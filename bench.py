@@ -1,0 +1,74 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Headline set: scan-agg, multi-join, window, incremental-diff, KNN, dedup.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_revenue_topk",
+    "tpch_q5_regional_revenue",
+    "j5_set_equality_diff",
+    "a1_hash_multiset_per_url",
+    "a7_total_chunks_window",
+    "t1_knn_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from doc2vec_spark.registry import all_queries
+    from doc2vec_spark.session import get_spark
+
+    spark = get_spark("doc2vec-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+    # optional extended queries present in the registry
+    for extra in sorted(registry):
+        if extra.startswith(("dedup_", "ta_", "ann_", "stream_")) and extra not in names:
+            names.append(extra)
+
+    # warm the JVM/codegen path once on the smallest SF so timings measure
+    # the query, not session startup
+    registry["tpch_q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

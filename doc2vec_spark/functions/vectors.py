@@ -1,0 +1,40 @@
+"""Vector column expressions — the KNN / similarity kernel (SURVEY T1/E3).
+
+Exact cosine distance as a *native* column expression: ``zip_with`` +
+``aggregate`` compile into Catalyst expressions evaluated JVM-side, so the
+brute-force scan stays inside codegen with no Python boundary. The reference
+delegates this to sqlite-vec / Qdrant (mcp/src/server.ts:448-476); here it is
+an ordinary projection that Catalyst can pipeline with filters, and the
+top-k on it compiles to TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 - cos(a, b); ascending = closer, matching sqlite-vec MATCH distance
+    ordering (the engine-standard convention, SURVEY E3)."""
+    return F.lit(1.0) - dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def lit_vector(values: Sequence[float]) -> Column:
+    """A query vector as a literal array<double> column."""
+    return F.array(*[F.lit(float(v)) for v in values])

@@ -1,0 +1,216 @@
+"""Headline analytical queries: TPC-H-style joins/aggs (bench workload) and
+the T1 vector-KNN core operator (SURVEY 2.6, reference mcp/src/server.ts:448-476).
+
+These are the queries bench.py times at sf0.1; each is written so the
+physical plan is the one we'd want at 100 TB: filters reach the parquet scan,
+dims broadcast, top-k compiles to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+@_register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary — scan-heavy agg; exercises partial aggregation",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "tpch_q3_revenue_topk",
+    """
+    SELECT l_orderkey, revenue, order_day FROM (
+      SELECT l_orderkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_day
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+    ) ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "TPC-H Q3 shipping priority — 3-way join + grouped top-k "
+    "(revenue rounded to cents before ranking for cross-engine determinism)",
+)
+def tpch_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+    )
+
+
+@_register(
+    "tpch_q5_regional_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5 local-supplier revenue — 6-way join; dims broadcast, facts shuffle once",
+)
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — vector KNN (the reference's core query operator)
+# ---------------------------------------------------------------------------
+
+_KNN_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id, label,
+         1 - list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS dist
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings), q
+)
+SELECT vec_id, label, rnk, ROUND(dist, 6) + 0.0 AS distance FROM (
+  SELECT vec_id, label, dist, ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk FROM d
+) WHERE rnk <= 10
+"""
+
+
+@_register(
+    "t1_knn_cosine_topk",
+    _KNN_SQL,
+    "T1 top-k cosine KNN (mcp/src/server.ts:448-476): native zip_with/aggregate "
+    "dot product -> TakeOrderedAndProject; no UDF, no full sort",
+)
+def t1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    e = as_double_array(F.col("embedding"))
+    scored = emb.select(
+        "vec_id",
+        "label",
+        cosine_distance(e, lit_vector(qvec)).alias("dist"),
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("vec_id", "label", "rnk", (F.round(F.col("dist"), 6) + 0.0).alias("distance"))
+    )
+
+
+@_register(
+    "t1_knn_filtered",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    d AS (
+      SELECT vec_id, label,
+             1 - list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS dist
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings WHERE label IN (2, 3)), q
+    )
+    SELECT vec_id, label, rnk, ROUND(dist, 6) + 0.0 AS distance FROM (
+      SELECT vec_id, label, dist, ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk FROM d
+    ) WHERE rnk <= 5
+    """,
+    "T1+P1: metadata-filtered KNN — the filter is pushed below the distance "
+    "computation (the reference pushes it into the vec0 WHERE / Qdrant must-clause)",
+)
+def t1_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    e = as_double_array(F.col("embedding"))
+    scored = (
+        emb.filter(F.col("label").isin(2, 3))
+        .select("vec_id", "label", cosine_distance(e, lit_vector(qvec)).alias("dist"))
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "label", "rnk", (F.round(F.col("dist"), 6) + 0.0).alias("distance"))
+    )

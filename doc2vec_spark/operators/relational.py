@@ -1,0 +1,635 @@
+"""Relational operator inventory (SURVEY.md sections 2.3-2.8) as oracle-checked
+query specs over the driver testdata.
+
+Each entry re-expresses one reference operator Spark-first:
+filters (P*), joins (J*), aggregations (A*), top-k/sorts (T*), set ops (U*),
+scalar functions (F*). The DuckDB oracle runs the semantically identical
+ANSI SQL. Doubles that flow through arithmetic are rounded identically on
+both sides (raw pass-through doubles are left exact); doubles are never cast
+to strings (formatting differs across engines) — DECIMAL casts are used
+whenever a numeric feeds a hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from doc2vec_spark.functions import has_extension, md5_uuid, normalize_url, sha256_hex, url_prefix
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+# Synthetic document URL (testdata has no url column; the reference's P2/P3/F3
+# operators act on URL-shaped strings, so we derive one deterministically).
+def _doc_url() -> F.Column:
+    ext = (
+        F.when(F.col("doc_id") % 3 == 0, ".md")
+        .when(F.col("doc_id") % 3 == 1, ".html")
+        .otherwise(".PDF")
+    )
+    return F.concat(
+        F.lit("https://docs.example.com/"),
+        F.col("source"),
+        F.lit("/p"),
+        F.col("doc_id").cast("string"),
+        ext,
+    )
+
+
+_DOC_URL_SQL = (
+    "'https://docs.example.com/' || source || '/p' || doc_id::VARCHAR || "
+    "CASE WHEN doc_id % 3 = 0 THEN '.md' WHEN doc_id % 3 = 1 THEN '.html' ELSE '.PDF' END"
+)
+
+
+# Per-lineitem content hash, cast through DECIMAL so the string fed to sha256
+# is formatting-stable across engines (doubles stringify differently).
+def _line_hash() -> F.Column:
+    return sha256_hex(
+        F.concat_ws(
+            "|",
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("decimal(12,2)").cast("string"),
+            F.col("l_extendedprice").cast("decimal(14,2)").cast("string"),
+        )
+    )
+
+
+_LINE_HASH_SQL = (
+    "sha256(l_linenumber::VARCHAR || '|' || CAST(l_quantity AS DECIMAL(12,2))::VARCHAR"
+    " || '|' || CAST(l_extendedprice AS DECIMAL(14,2))::VARCHAR)"
+)
+
+
+# ---------------------------------------------------------------------------
+# P — projections / filters (SURVEY 2.3; reference mcp/src/server.ts:70-107,455-458)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p1_metadata_filter",
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en' AND source = 'src3'",
+    "P1 metadata equality pre-filter (mcp/src/server.ts:455-458)",
+)
+def p1_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("source") == "src3"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@_register(
+    "p2_url_prefix_filter",
+    f"SELECT doc_id, url FROM (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents) "
+    "WHERE starts_with(url, 'https://docs.example.com/src1/')",
+    "P2 URL-prefix filter (mcp/src/server.ts:78-98) — pushed below top-k, not post-filtered",
+)
+def p2_url_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("url", _doc_url())
+    return docs.filter(F.col("url").startswith("https://docs.example.com/src1/")).select(
+        "doc_id", "url"
+    )
+
+
+@_register(
+    "p3_extension_filter",
+    f"SELECT doc_id, url FROM (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents) "
+    "WHERE ends_with(lower(url), '.md') OR ends_with(lower(url), '.pdf')",
+    "P3 extension post-filter with case normalization (mcp/src/server.ts:70-95)",
+)
+def p3_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("url", _doc_url())
+    return docs.filter(has_extension(F.col("url"), ["md", ".PDF"])).select("doc_id", "url")
+
+
+@_register(
+    "p4_p6_content_guards",
+    "SELECT doc_id, n_chars FROM documents WHERE trim(text) <> '' AND n_chars <= 400",
+    "P4 non-empty-content + P6 max-size guard (mcp/src/server.ts:100-107, content-processor.ts:1002-1005)",
+)
+def p4_p6_content_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .filter((F.trim(F.col("text")) != "") & (F.col("n_chars") <= 400))
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins (SURVEY 2.4; reference database.ts:522-547, doc2vec.ts:1189-1199,...)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j1_anti_join_cleanup",
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "J1 left-anti cleanup join (database.ts:533-541): rows with no match in the visited set",
+)
+def j1_anti_join_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "j2_semi_join_allowlist",
+    "SELECT p_partkey, p_name FROM part p "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)",
+    "J2 left-semi allow-list join (doc2vec.ts:1189-1199): keep only keys in the changed set",
+)
+def j2_semi_join_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    changed = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return part.join(changed, part.p_partkey == changed.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@_register(
+    "j3_broadcast_hash_lookup",
+    "SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "COUNT(*) AS line_count FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE p_size < 10 GROUP BY p_brand",
+    "J3 hash equi-lookup (database.ts:387) as an explicit broadcast join: small dim side ships to executors",
+)
+def j3_broadcast_hash_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@_register(
+    "j4_left_outer_enrich",
+    "SELECT c_custkey, COUNT(o_orderkey) AS order_count, "
+    "strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order_day "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey",
+    "J4 left-outer enrichment join (chunk-inspector.ts:121-129): chunks x creation dates",
+)
+def j4_left_outer_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order_day"),
+        )
+    )
+
+
+_J5_SQL = f"""
+WITH h AS (
+  SELECT l_orderkey, {_LINE_HASH_SQL} AS h, l_shipdate FROM lineitem
+),
+stored AS (
+  SELECT l_orderkey, list(h ORDER BY h) AS hs FROM h
+  WHERE l_shipdate < TIMESTAMP '1999-01-01' GROUP BY l_orderkey
+),
+current AS (
+  SELECT l_orderkey, list(h ORDER BY h) AS hs FROM h
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' GROUP BY l_orderkey
+)
+SELECT COALESCE(stored.l_orderkey, current.l_orderkey) AS o_orderkey,
+       CASE WHEN stored.l_orderkey IS NULL THEN 'new'
+            WHEN current.l_orderkey IS NULL THEN 'deleted'
+            WHEN stored.hs = current.hs THEN 'unchanged'
+            ELSE 'updated' END AS status
+FROM stored FULL OUTER JOIN current ON stored.l_orderkey = current.l_orderkey
+"""
+
+
+def _j5_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 grouped set-equality join (doc2vec.ts:1936-1955, database.ts:726-770):
+    compare the sorted multiset of chunk hashes per document between the
+    stored state and the current state -> {new, updated, unchanged, deleted}.
+    One shuffle per side + one join; this is the heart of incremental sync.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _line_hash().alias("h"), "l_shipdate"
+    )
+    stored = (
+        li.filter(F.col("l_shipdate") < "1999-01-01")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("h")).alias("stored_hs"))
+    )
+    current = (
+        li.filter(F.col("l_shipdate") >= "1997-01-01")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("h")).alias("current_hs"))
+    )
+    joined = stored.join(current, "l_orderkey", "full_outer")
+    status = (
+        F.when(F.col("stored_hs").isNull(), "new")
+        .when(F.col("current_hs").isNull(), "deleted")
+        .when(F.col("stored_hs") == F.col("current_hs"), "unchanged")
+        .otherwise("updated")
+    )
+    return joined.select(F.col("l_orderkey").alias("o_orderkey"), status.alias("status"))
+
+
+@_register(
+    "j5_set_equality_diff",
+    _J5_SQL,
+    "J5 grouped hash-multiset change detection (doc2vec.ts:1936-1955)",
+)
+def j5_set_equality_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _j5_status(spark, sf_dir)
+
+
+@_register(
+    "j6_prefix_join",
+    f"""
+    WITH docs AS (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents),
+    prefixes AS (
+      SELECT DISTINCT 'https://docs.example.com/' || source AS prefix
+      FROM documents WHERE source IN ('src1', 'src2', 'src3')
+    )
+    SELECT doc_id, prefix FROM docs
+    JOIN prefixes ON regexp_extract(url, '^(https://docs\\.example\\.com/[^/]+)', 1) = prefix
+    """,
+    "J6 url-LIKE-prefix join (database.ts:523-529) as an equi-join on a computed prefix column "
+    "(broadcastable; no LIKE scan)",
+)
+def j6_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", _doc_url().alias("url"))
+    prefixes = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src1", "src2", "src3"))
+        .select(F.concat(F.lit("https://docs.example.com/"), F.col("source")).alias("prefix"))
+        .distinct()
+    )
+    computed = docs.withColumn(
+        "prefix", url_prefix(F.col("url"), r"^(https://docs\.example\.com/[^/]+)")
+    )
+    return computed.join(F.broadcast(prefixes), "prefix").select("doc_id", "prefix")
+
+
+@_register(
+    "j7_latest_run_per_config",
+    "SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day FROM ("
+    "  SELECT o_custkey, o_orderkey, o_orderdate, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn"
+    "  FROM orders) WHERE rn = 1",
+    "J7 DISTINCT ON / last-run-per-config (controller/store.ts:195-200) via row_number window",
+)
+def j7_latest_run_per_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations (SURVEY 2.5; reference database.ts:726-770, controller/store.ts:262-324)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_hash_multiset_per_url",
+    f"SELECT l_orderkey, string_agg(h, ',' ORDER BY h) AS hashes FROM "
+    f"(SELECT l_orderkey, {_LINE_HASH_SQL} AS h FROM lineitem) GROUP BY l_orderkey",
+    "A1 per-URL sorted hash multiset (database.ts:730-770)",
+)
+def a1_hash_multiset_per_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", _line_hash().alias("h"))
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.sort_array(F.collect_list("h")), ",").alias("hashes")
+    )
+
+
+@_register(
+    "a2_distinct_urls",
+    "SELECT DISTINCT lang, source FROM documents",
+    "A2 SELECT DISTINCT url-by-prefix (database.ts:685-689)",
+)
+def a2_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@_register(
+    "a3_run_counters",
+    f"SELECT status, COUNT(*) AS n FROM ({_J5_SQL}) GROUP BY status",
+    "A3 run counters derived from the J5 status column (types.ts:158-178) — "
+    "a declarative agg instead of the reference's mutable counters",
+)
+def a3_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _j5_status(spark, sf_dir).groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "a4_log_level_counts",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "A4 log level counts (controller/store.ts:262-271)",
+)
+def a4_log_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_register(
+    "a5_daily_run_stats",
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, "
+    "COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value, "
+    "COUNT(*) FILTER (WHERE value > 100) AS high_count "
+    "FROM events GROUP BY 1, 2",
+    "A5 daily stats with FILTER-style conditional counts (controller/store.ts:286-324)",
+)
+def a5_daily_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.when(F.col("value") > 100, 1)).alias("high_count"),
+    )
+
+
+@_register(
+    "a6_max_mtime",
+    "SELECT event_type, strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts FROM events GROUP BY event_type",
+    "A6 max modification time over scanned files (content-processor.ts:1839-1908)",
+)
+def a6_max_mtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"))
+    )
+
+
+@_register(
+    "a7_total_chunks_window",
+    "SELECT l_orderkey, l_linenumber, COUNT(*) OVER (PARTITION BY l_orderkey) AS total_chunks "
+    "FROM lineitem",
+    "A7 total_chunks per page via window count (content-processor.ts:2329-2332)",
+)
+def a7_total_chunks_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_orderkey")
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.count(F.lit(1)).over(w).alias("total_chunks")
+    )
+
+
+@_register(
+    "a8_severity_counts",
+    "SELECT user_id, COUNT(*) FILTER (WHERE event_type = 'error') AS error_count, "
+    "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase_count "
+    "FROM events GROUP BY user_id",
+    "A8 warn/error counts per run (controller/job-runner.ts:194-196)",
+)
+def a8_severity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T — top-k / sorts / limits (SURVEY 2.6; reference mcp/src/server.ts:448-606)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "t3_ordered_chunk_range",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_orderkey % 100 = 1 AND l_linenumber BETWEEN 2 AND 5",
+    "T3 (url, chunk_index) range scan (mcp/src/server.ts:524-550)",
+)
+def t3_ordered_chunk_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 100 == 1) & F.col("l_linenumber").between(2, 5))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_register(
+    "t4_page_reconstruction",
+    "SELECT l_orderkey, string_agg(l_returnflag || l_linestatus, ' ' "
+    "ORDER BY l_linenumber, l_returnflag || l_linestatus) "
+    "AS page FROM lineitem GROUP BY l_orderkey",
+    "T4 page reconstruction: concat chunks ordered by chunk_index (README.md:85-103)",
+)
+def t4_page_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("idx"),
+            F.concat("l_returnflag", "l_linestatus").alias("piece"),
+        ).alias("chunk"),
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("chunk")), lambda c: c.piece), " "
+        ).alias("page")
+    )
+
+
+@_register(
+    "t5_keyset_pagination",
+    "SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day "
+    "FROM orders WHERE o_orderkey < 800 ORDER BY o_orderkey DESC LIMIT 20",
+    "T5 keyset pagination: id < before ORDER BY id DESC LIMIT n (controller/store.ts:170-192)",
+)
+def t5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 800)
+        .orderBy(F.desc("o_orderkey"))
+        .limit(20)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+    )
+
+
+@_register(
+    "t7_tail_start_seq",
+    "SELECT MIN(event_id) AS start_seq FROM "
+    "(SELECT event_id FROM events ORDER BY event_id DESC LIMIT 10)",
+    "T7 tail-N start seq (controller/store.ts:253-259) — top-k then min, no full sort",
+)
+def t7_tail_start_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id")
+        .orderBy(F.desc("event_id"))
+        .limit(10)
+        .agg(F.min("event_id").alias("start_seq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U — set ops & dedup (SURVEY 2.7; reference content-processor.ts:569-789)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "u1_frontier_except",
+    "SELECT DISTINCT source FROM documents "
+    "EXCEPT SELECT DISTINCT source FROM documents WHERE lang = 'zh'",
+    "U1 crawl-frontier visited-set subtraction (content-processor.ts:569-571)",
+)
+def u1_frontier_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    frontier = docs.select("source").distinct()
+    visited = docs.filter(F.col("lang") == "zh").select("source").distinct()
+    return frontier.subtract(visited)
+
+
+@_register(
+    "u2_dedup_by_key",
+    "SELECT lang, source, doc_id FROM ("
+    "  SELECT lang, source, doc_id, "
+    "  ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn FROM documents"
+    ") WHERE rn = 1",
+    "U2 dedup by (source,target) key keeping a deterministic representative "
+    "(doc2vec.ts:786-800) — row_number, not dropDuplicates, for determinism",
+)
+def u2_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "source", "doc_id")
+    )
+
+
+@_register(
+    "u4_union_distinct",
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "UNION SELECT s_nationkey AS nationkey FROM supplier",
+    "U4 union of url sets + distinct (content-processor.ts:375-437)",
+)
+def u4_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# F — scalar functions (SURVEY 2.8; reference utils.ts)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f1_sha256_hash",
+    "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    "F1 sha256 content hash (utils.ts:6-8) — native sha2, no UDF",
+)
+def f1_sha256_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", sha256_hex(F.col("text")).alias("content_hash")
+    )
+
+
+@_register(
+    "f2_md5_uuid",
+    "SELECT doc_id, "
+    "substr(md5(text),1,8) || '-' || substr(md5(text),9,4) || '-' || substr(md5(text),13,4)"
+    " || '-' || substr(md5(text),17,4) || '-' || substr(md5(text),21,12) AS point_id "
+    "FROM documents",
+    "F2 md5 -> UUID-format point id (utils.ts:10-15,76-86)",
+)
+def f2_md5_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", md5_uuid(F.col("text")).alias("point_id")
+    )
+
+
+@_register(
+    "f3_url_normalize",
+    f"SELECT doc_id, regexp_replace(url || '?ref=nav#sec-2', '[?#].*$', '') AS norm_url "
+    f"FROM (SELECT doc_id, {_DOC_URL_SQL} AS url FROM documents)",
+    "F3 URL normalization: strip query + fragment (utils.ts:17-24)",
+)
+def f3_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(_doc_url(), F.lit("?ref=nav#sec-2")).alias("url")
+    )
+    return docs.select("doc_id", normalize_url(F.col("url")).alias("norm_url"))
+
+
+@_register(
+    "f5_token_estimate",
+    r"SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS token_count FROM documents",
+    "F5 whitespace token estimate (utils.ts:88-90)",
+)
+def f5_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions import token_count_ws
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("token_count")
+    )
+
+
+@_register(
+    "f14_embed_truncation",
+    "SELECT doc_id, substr(text, 1, 200) AS truncated, length(substr(text, 1, 200)) AS trunc_len "
+    "FROM documents",
+    "F14 embedding-input truncation (doc2vec.ts:2002-2028; 200 stands in for 32764)",
+)
+def f14_embed_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truncated = F.substring(F.col("text"), 1, 200)
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", truncated.alias("truncated"), F.length(truncated).alias("trunc_len")
+    )
+
+
+@_register(
+    "f16_keyword_search",
+    "SELECT doc_id FROM documents WHERE contains(lower(text), 'spark window')",
+    "F16 ILIKE keyword search (controller/store.ts:236-239)",
+)
+def f16_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("text")).contains("spark window"))
+        .select("doc_id")
+    )
