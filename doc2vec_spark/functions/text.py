@@ -22,7 +22,8 @@ def token_count_ws(col: Column) -> Column:
 
 
 def token_count_regex(col: Column, pattern: str = BPE_ISH_PATTERN) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern)))
+    # group index 0 (whole match): Spark defaults to group 1, DuckDB to 0
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
 
 
 def truncate_chars(col: Column, max_chars: int = MAX_EMBED_CHARS) -> Column:

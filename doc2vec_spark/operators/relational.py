@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from doc2vec_spark.functions import has_extension, md5_uuid, normalize_url, sha256_hex, url_prefix
+from doc2vec_spark.functions.rounding import det_avg, pround, sql_det_avg
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
 
@@ -167,7 +168,7 @@ def j2_semi_join_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "j3_broadcast_hash_lookup",
-    "SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "SELECT p_brand, floor((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue, "
     "COUNT(*) AS line_count FROM lineitem JOIN part ON l_partkey = p_partkey "
     "WHERE p_size < 10 GROUP BY p_brand",
     "J3 hash equi-lookup (database.ts:387) as an explicit broadcast join: small dim side ships to executors",
@@ -179,7 +180,7 @@ def j3_broadcast_hash_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("line_count"),
@@ -369,7 +370,7 @@ def a4_log_level_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a5_daily_run_stats",
     "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, "
-    "COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value, "
+    "COUNT(*) AS n, " + sql_det_avg("SUM(value)", "COUNT(*)") + " AS avg_value, "
     "COUNT(*) FILTER (WHERE value > 100) AS high_count "
     "FROM events GROUP BY 1, 2",
     "A5 daily stats with FILTER-style conditional counts (controller/store.ts:286-324)",
@@ -381,7 +382,7 @@ def a5_daily_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        det_avg(F.sum("value"), F.count(F.lit(1))).alias("avg_value"),
         F.count(F.when(F.col("value") > 100, 1)).alias("high_count"),
     )
 

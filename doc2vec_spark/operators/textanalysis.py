@@ -1,0 +1,220 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json north
+star): language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All native column expressions — no UDFs, so the whole module
+stays inside WholeStageCodegen and scales linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2vec_spark.functions.text import BPE_ISH_PATTERN
+from doc2vec_spark.functions.rounding import pround
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# language ID: marker-token scoring (n-gram heuristic)
+# ---------------------------------------------------------------------------
+# Deterministic argmax over per-language marker-token hit counts with a fixed
+# tie order. (The driver corpus is synthetic shared-vocabulary text, so the
+# interesting part is the operator machinery: token membership scoring +
+# deterministic argmax — the marker lists are the pluggable model.)
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "window"],
+    "es": ["el", "la", "de", "que", "dup"],
+    "fr": ["le", "la", "et", "les", "stream"],
+    "de": ["der", "die", "und", "das", "merge"],
+    "zh": ["的", "是", "了", "在", "spark"],
+}
+_TIE_ORDER = list(LANG_MARKERS)  # first wins ties
+
+
+def _lang_scores() -> dict[str, Column]:
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    best_lang = F.lit(_TIE_ORDER[0])
+    best_score = scores[_TIE_ORDER[0]]
+    for lang in _TIE_ORDER[1:]:
+        better = scores[lang] > best_score  # strict > keeps earlier lang on tie
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN ({markers})))"
+    )
+
+
+def _argmax_lang_sql() -> str:
+    expr_lang = f"'{_TIE_ORDER[0]}'"
+    expr_score = _lang_score_sql(_TIE_ORDER[0])
+    for lang in _TIE_ORDER[1:]:
+        s = _lang_score_sql(lang)
+        expr_lang = f"CASE WHEN ({s}) > ({expr_score}) THEN '{lang}' ELSE ({expr_lang}) END"
+        expr_score = f"CASE WHEN ({s}) > ({expr_score}) THEN ({s}) ELSE ({expr_score}) END"
+    return expr_lang
+
+
+@_register(
+    "ta_langid",
+    f"SELECT doc_id, lang, ({_argmax_lang_sql()}) AS predicted_lang, "
+    f"CASE WHEN ({_argmax_lang_sql()}) = lang THEN 1 ELSE 0 END AS correct "
+    "FROM documents",
+    "Language-ID heuristic: marker-token scoring with deterministic argmax",
+)
+def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = _argmax_lang(_lang_scores())
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ta_quality_score",
+    r"""
+    SELECT doc_id,
+           n_chars,
+           ws_tokens,
+           floor((n_chars * 1.0 / ws_tokens) * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+           floor((uniq_tokens * 1.0 / ws_tokens) * 1000000.0 + 0.5) / 1000000.0 AS unique_ratio,
+           floor((punct_chars * 1.0 / n_chars) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor(((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN uniq_tokens * 1.0 / ws_tokens >= 0.3 THEN 0.3 ELSE 0.0 END)
+                + (CASE WHEN punct_chars * 1.0 / n_chars <= 0.1 THEN 0.3 ELSE 0.0 END)) * 1000000.0 + 0.5) / 1000000.0
+           AS quality_score
+    FROM (
+      SELECT doc_id, n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+             len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS uniq_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_chars
+      FROM documents
+    )
+    """,
+    "Quality scoring: length / unique-token ratio / punctuation ratio with a "
+    "rule-based composite score (the Gopher/C4-style heuristic family)",
+)
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("uniq_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0)).alias(
+            "punct_chars"
+        ),
+    )
+    unique_ratio = F.col("uniq_tokens") * 1.0 / F.col("ws_tokens")
+    punct_ratio = F.col("punct_chars") * 1.0 / F.col("n_chars")
+    score = (
+        F.when(F.col("n_chars").between(100, 20000), 0.4).otherwise(0.0)
+        + F.when(unique_ratio >= 0.3, 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.3).otherwise(0.0)
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "ws_tokens",
+        pround(F.col("n_chars") * 1.0 / F.col("ws_tokens"), 6).alias("chars_per_token"),
+        pround(unique_ratio, 6).alias("unique_ratio"),
+        pround(punct_ratio, 6).alias("punct_ratio"),
+        pround(score, 6).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ta_token_counts",
+    rf"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+    "Token counting: whitespace + BPE-ish regex pre-tokenizer counts",
+)
+def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.text import token_count_regex, token_count_ws
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("ws_tokens"),
+        token_count_regex(F.col("text")).alias("bpe_tokens"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (winnowing-lite)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ta_fingerprint",
+    r"""
+    SELECT doc_id,
+           MIN(h) AS fingerprint,
+           COUNT(DISTINCT h) AS n_shingles
+    FROM (
+      SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS h
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+           unnest(generate_series(1, len(ws)-4)) t(i)
+    )
+    GROUP BY doc_id
+    """,
+    "Document fingerprint: min-hash over rolling word-5-gram windows "
+    "(winnowing-style content signature, stable under small edits)",
+)
+def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(ws) - 4)
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(5)])
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"), F.count_distinct(F.col("h")).alias("n_shingles"))
+    )
