@@ -1,0 +1,99 @@
+"""Website crawler as an iterative DataFrame BFS (SURVEY S1; reference
+content-processor.ts:321-933).
+
+The reference runs a serial queue + visited-set loop in one process with a
+headless browser. Spark-first, each BFS *wave* is a distributed job:
+
+    frontier_df --mapInPandas fetch--> (url, markdown, links)
+    visited    |= frontier
+    frontier'   = explode(links) ∖ visited   (left-anti join, U1)
+
+The page fetcher is injected per-partition (``make_fetcher`` returns a
+callable; a real deployment builds an HTTP client or browser per partition —
+the reference's browser-restart-every-50-pages lifecycle,
+content-processor.ts:513-561, becomes partition-scoped setup/teardown).
+Hermetic tests drive it with a dict-backed fake site.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINK_RE = re.compile(r'href="([^"#]+)"')
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("markdown", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+Fetcher = Callable[[str], tuple[str, list[str], bool]]
+
+
+def crawl(
+    spark: SparkSession,
+    seeds: list[str],
+    make_fetcher: Callable[[], Fetcher],
+    url_prefix: str,
+    max_waves: int = 10,
+    max_pages: int = 100_000,
+) -> DataFrame:
+    """BFS from seeds, admitting only urls under ``url_prefix`` (the
+    reference's same-site guard). Returns (url, markdown, ok)."""
+    visited = spark.createDataFrame([(u,) for u in seeds], "url string").limit(0)
+    frontier = spark.createDataFrame([(u,) for u in seeds], "url string").distinct()
+    results: DataFrame | None = None
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetcher = make_fetcher()  # per-partition lifecycle (browser/client)
+        for pdf in batches:
+            rows = {"url": [], "markdown": [], "links": [], "ok": []}
+            for url in pdf["url"]:
+                markdown, links, ok = fetcher(url)
+                rows["url"].append(url)
+                rows["markdown"].append(markdown)
+                rows["links"].append(links)
+                rows["ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    total = 0
+    for _ in range(max_waves):
+        if frontier.limit(1).count() == 0 or total >= max_pages:
+            break
+        fetched = frontier.mapInPandas(fetch_partition, FETCH_SCHEMA).cache()
+        total += fetched.count()  # materialize once per wave
+        wave_results = fetched.select("url", "markdown", "ok")
+        results = wave_results if results is None else results.unionByName(wave_results)
+        visited = visited.unionByName(frontier).distinct().cache()
+        discovered = (
+            fetched.select(F.explode("links").alias("url"))
+            .filter(F.col("url").startswith(url_prefix))
+            .distinct()
+        )
+        frontier = discovered.join(visited, "url", "left_anti").distinct()  # U1
+    if results is None:
+        return spark.createDataFrame([], "url string, markdown string, ok boolean")
+    return results
+
+
+def extract_links(html: str, base_url: str) -> list[str]:
+    """href extraction + relative-url resolution (utils.ts:37-46)."""
+    from urllib.parse import urljoin
+
+    out = []
+    for href in LINK_RE.findall(html):
+        try:
+            out.append(urljoin(base_url, href))
+        except ValueError:
+            continue
+    return out

@@ -1,0 +1,107 @@
+"""Local-directory and code-directory sources (SURVEY S5/S6; reference
+content-processor.ts:1696-1947).
+
+The reference walks directories recursively with include/exclude extension
+filters, a max_size guard, and an mtime cutoff for incremental code scans.
+Spark's binaryFile source does all of that natively at the scan:
+``pathGlobFilter`` prunes files before read, ``recursiveFileLookup`` walks,
+and the built-in ``modificationTime``/``length`` columns make the mtime
+cutoff and size guard plain pushed-down filters. At 100 TB this is exactly
+the listing-parallelized scan you want — no driver-side os.walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# extension -> language map for code sources (content-processor.ts:1996-2037
+# — subset; the full 34-ext map extends this dict)
+CODE_LANGUAGES = {
+    ".ts": "typescript",
+    ".tsx": "typescript",
+    ".js": "javascript",
+    ".jsx": "javascript",
+    ".py": "python",
+    ".go": "go",
+    ".java": "java",
+    ".rb": "ruby",
+    ".rs": "rust",
+    ".c": "c",
+    ".h": "c",
+    ".cpp": "cpp",
+    ".cs": "csharp",
+    ".sh": "bash",
+    ".md": "markdown",
+    ".yaml": "yaml",
+    ".yml": "yaml",
+    ".json": "json",
+}
+
+
+def read_local_directory(
+    spark: SparkSession,
+    path: str,
+    include_extensions: list[str] | None = None,
+    max_size_chars: int | None = None,
+) -> DataFrame:
+    """S5: (url, markdown, mtime, size) rows for every admitted file."""
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if include_extensions and len(include_extensions) == 1:
+        reader = reader.option("pathGlobFilter", f"*{include_extensions[0]}")
+    df = reader.load(path)
+    if include_extensions and len(include_extensions) > 1:
+        pred = F.lit(False)
+        for ext in include_extensions:
+            pred = pred | F.lower(F.col("path")).endswith(ext.lower())
+        df = df.filter(pred)
+    out = df.select(
+        F.concat(F.lit("file://"), F.regexp_replace("path", "^file:", "")).alias("url"),
+        F.decode(F.col("content"), "utf-8").alias("markdown"),
+        F.col("modificationTime").alias("mtime"),
+        F.col("length").alias("size"),
+    )
+    if max_size_chars is not None:
+        # P6 size guard (content-processor.ts:1770-1796)
+        out = out.filter(F.length("markdown") <= max_size_chars)
+    return out
+
+
+def read_code_directory(
+    spark: SparkSession,
+    path: str,
+    repo: str = "",
+    branch: str = "main",
+    mtime_cutoff=None,
+    allowed_files: DataFrame | None = None,
+) -> DataFrame:
+    """S6: code files with language tag, W5 mtime cutoff, and the J2
+    semi-join allow-list gate for git-diff incremental scans
+    (doc2vec.ts:1189-1199)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.regexp_replace("path", "^file:", "").alias("path"),
+            F.decode(F.col("content"), "utf-8").alias("content"),
+            F.col("modificationTime").alias("mtime"),
+        )
+    )
+    ext = F.lower(F.regexp_extract("path", r"(\.[^./\\]+)$", 1))
+    lang_expr = F.lit(None).cast("string")
+    for e, lang in CODE_LANGUAGES.items():
+        lang_expr = F.when(ext == e, lang).otherwise(lang_expr)
+    df = df.withColumn("language", lang_expr).filter(F.col("language").isNotNull())
+    if mtime_cutoff is not None:
+        df = df.filter(F.col("mtime") > mtime_cutoff)  # W5
+    if allowed_files is not None:
+        df = df.join(F.broadcast(allowed_files.select("path")), "path", "left_semi")  # J2
+    return df.select(
+        "path",
+        F.lit(repo).alias("repo"),
+        F.lit(branch).alias("branch"),
+        "language",
+        "content",
+        "mtime",
+    )

@@ -1,0 +1,150 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference's incremental machinery is bounded batch with watermark state
+(SURVEY 1.4); the true unbounded surface the engine adds uses Spark
+Structured Streaming: readStream -> event-time windows + watermarks ->
+writeStream. Everything here runs with Trigger.AvailableNow against a
+parquet directory + checkpoint — the same code is a 24/7 job on a cluster
+(file source -> Kafka is a one-line source swap).
+
+The batch-expressible forms of these aggregations live in
+operators/windows.py where they are oracle-checked; these versions verify
+the *streaming* execution path (state store, watermark, output modes) in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """Streaming read of the events table (nanos ts handled as in tables.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    # the streaming file source monitors a DIRECTORY; when given a single
+    # parquet file, watch its parent filtered to that file name
+    import os
+
+    if events_parquet.endswith(".parquet"):
+        base, fname = os.path.dirname(events_parquet), os.path.basename(events_parquet)
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+        )
+    else:
+        raw = spark.readStream.schema(schema).parquet(events_parquet)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
+    """Drain the source with AvailableNow into a memory sink; returns the
+    finished StreamingQuery (read results from table ``query_name``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append" if not stream_df.isStreaming else "complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def tumbling_counts(
+    spark: SparkSession, events_parquet: str, checkpoint: str, name: str = "tumbling"
+) -> DataFrame:
+    """Watermarked tumbling-window counts; late rows beyond 1h are dropped."""
+    ev = read_events_stream(spark, events_parquet)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_dedup(
+    spark: SparkSession, events_parquet: str, checkpoint: str, name: str = "dedup"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type)."""
+    ev = read_events_stream(spark, events_parquet)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STATE_SCHEMA = "count LONG, total DOUBLE"
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("value_total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(
+    spark: SparkSession, events_parquet: str, checkpoint: str, name: str = "running"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event count + value total (the pattern for any custom accumulator the
+    built-in aggs can't express)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, events_parquet)
+
+    def update(key, pdf_iter, state):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_seen": [count], "value_total": [total]}
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            update, _OUT_SCHEMA, _STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

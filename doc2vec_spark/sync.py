@@ -1,0 +1,104 @@
+"""Incremental change detection + sync (SURVEY J5/W3/A3; the heart of the
+reference: processChunksForUrl, doc2vec.ts:1927-2000).
+
+The reference diffs each URL's new chunk-hash multiset against the stored
+one (getChunkHashesByUrl, database.ts:726-770), then: unchanged -> skip
+(no embed, no write); changed -> delete url + embed + insert; absent ->
+insert. Spark-first this is ONE grouped set-equality full-outer join for the
+whole corpus (not a per-url loop), and the embedding stage — the expensive
+operator, exactly as the reference treats it (W3) — runs only over chunks of
+new/updated urls.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2vec_spark.chunking import chunk_documents
+from doc2vec_spark.embedding import DEFAULT_DIM, with_embeddings
+from doc2vec_spark.store import ChunkStore
+
+
+def diff_status(new_chunks: DataFrame, stored_chunks: DataFrame) -> DataFrame:
+    """(url, status in {new, updated, unchanged, deleted}) via the J5 grouped
+    hash-multiset comparison (doc2vec.ts:1936-1955)."""
+    agg_new = new_chunks.groupBy("url").agg(
+        F.sort_array(F.collect_list("hash")).alias("new_hashes")
+    )
+    agg_old = stored_chunks.groupBy("url").agg(
+        F.sort_array(F.collect_list("hash")).alias("old_hashes")
+    )
+    joined = agg_new.join(agg_old, "url", "full_outer")
+    status = (
+        F.when(F.col("old_hashes").isNull(), "new")
+        .when(F.col("new_hashes").isNull(), "deleted")
+        .when(F.col("new_hashes") == F.col("old_hashes"), "unchanged")
+        .otherwise("updated")
+    )
+    return joined.select("url", status.alias("status"))
+
+
+@dataclass
+class SyncCounters:
+    """SourceRunCounters (types.ts:158-178) derived declaratively (A3)."""
+
+    items_new: int = 0
+    items_updated: int = 0
+    items_unchanged: int = 0
+    items_deleted: int = 0
+    chunks_added: int = 0
+    chunks_deleted: int = 0
+
+
+def sync_documents(
+    spark: SparkSession,
+    store: ChunkStore,
+    docs: DataFrame,
+    dim: int = DEFAULT_DIM,
+    cleanup_prefix: str | None = None,
+) -> SyncCounters:
+    """One ingestion run: chunk -> diff -> embed only changed -> commit.
+
+    ``docs`` carries (url, markdown, product_name, version). If
+    ``cleanup_prefix`` is given, stored urls under it that are absent from
+    ``docs`` are purged (K4 anti-join; gated on success like W9 — any failure
+    raises before the commit, so watermarks/state never advance past one).
+    """
+    new_chunks = chunk_documents(docs).cache()
+    stored = store.read().cache()
+
+    statuses = diff_status(new_chunks, stored.select("url", "hash")).cache()
+    by_status = {r["status"]: r["n"] for r in statuses.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    changed_urls = statuses.filter(F.col("status").isin("new", "updated")).select("url")
+    to_embed = new_chunks.join(F.broadcast(changed_urls), "url", "left_semi")
+    embedded = with_embeddings(to_embed, text_col="content", dim=dim)
+
+    chunks_added = embedded.count()
+    chunks_deleted = (
+        stored.join(
+            F.broadcast(statuses.filter(F.col("status").isin("updated", "deleted")).select("url")),
+            "url",
+            "left_semi",
+        ).count()
+    )
+
+    if chunks_added:
+        store.upsert_documents(embedded)
+    deleted_urls = statuses.filter(F.col("status") == "deleted").select("url")
+    if cleanup_prefix is not None:
+        store.cleanup_obsolete(cleanup_prefix, docs.select("url"))
+    elif deleted_urls.limit(1).count():
+        store.delete_by_urls(deleted_urls)
+
+    return SyncCounters(
+        items_new=by_status.get("new", 0),
+        items_updated=by_status.get("updated", 0),
+        items_unchanged=by_status.get("unchanged", 0),
+        items_deleted=by_status.get("deleted", 0),
+        chunks_added=chunks_added,
+        chunks_deleted=chunks_deleted,
+    )

@@ -27,9 +27,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors (addPyFile) so pandas-UDF closures that
+    reference doc2vec_spark deserialize on workers regardless of the driver's
+    cwd/PYTHONPATH. Idempotent per SparkContext; on a real cluster this is
+    the standard --py-files deployment."""
+    sc = spark.sparkContext
+    if getattr(sc, "_doc2vec_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "doc2vec_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._doc2vec_spark_shipped = True
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_shipped(spark)
     if name == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
         # default; read nanos as long and truncate to microseconds (matching
