@@ -177,11 +177,12 @@ def t1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         cosine_distance(e, lit_vector(qvec)).alias("dist"),
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed top-k,
+    # no global sort); the rank window then runs over k rows, not the corpus
+    topk = scored.orderBy(F.asc("dist"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("vec_id", "label", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "label", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance")
     )
 
 
@@ -209,9 +210,8 @@ def t1_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("label").isin(2, 3))
         .select("vec_id", "label", cosine_distance(e, lit_vector(qvec)).alias("dist"))
     )
+    topk = scored.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("vec_id", "label", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "label", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance")
     )

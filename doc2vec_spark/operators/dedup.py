@@ -58,15 +58,24 @@ def _tokens() -> Column:
     return F.split(F.trim(F.col("text")), r"\s+")
 
 
-def word_shingles(n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (1-indexed element_at)."""
-    ws = _tokens()
+def word_shingles_from(ws: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a (bound) token-array column."""
     idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]),
     )
     return F.array_distinct(gram)
+
+
+def word_shingles(n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the `text` column.
+
+    NOTE: pass through a projection barrier before fanning out into multiple
+    consumers — ProjectCollapse inlines this whole expression (including the
+    split) into every lambda that references it.
+    """
+    return word_shingles_from(_tokens(), n)
 
 
 _SHINGLES_SQL = """
@@ -77,7 +86,9 @@ _SHINGLES_SQL = """
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
     return (
         docs.select("doc_id", "lang", F.explode(word_shingles(3)).alias("s"))
         .distinct()
@@ -157,29 +168,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
-# Portable minhash: the i-th hash of a shingle set is the lexicographic MIN of
-# md5(f"{i}:{shingle}") — identical in any engine with md5, no 64-bit hash
-# compatibility games.
+# Portable minhash via one strong hash + k universal hashes: each shingle is
+# hashed ONCE (first 7 hex digits of md5 -> 28-bit int), then the i-th
+# minhash is MIN over shingles of (a_i*h + b_i) mod p — the classic
+# Carter-Wegman family. One md5 pass instead of k, and the arithmetic
+# (products < 2^58) is exact in any engine's 64-bit integers, so the DuckDB
+# oracle computes bit-identical signatures.
 
 _SIG_COLS = [f"m{i}" for i in range(NUM_MINHASH)]
 _BANDS = [
     _SIG_COLS[i : i + BAND_SIZE] for i in range(0, NUM_MINHASH, BAND_SIZE)
 ]
 
+_MERSENNE_P = (1 << 31) - 1
+# fixed Carter-Wegman coefficients (seeded, a odd and nonzero, < 2^30)
+import numpy as _np
+
+_cw_rng = _np.random.RandomState(7)
+_CW_A = [int(x) * 2 + 1 for x in _cw_rng.randint(1, 1 << 29, NUM_MINHASH)]
+_CW_B = [int(x) for x in _cw_rng.randint(0, 1 << 30, NUM_MINHASH)]
+
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"m{i}")
-        for i in range(NUM_MINHASH)
-    ]
-    return sh.groupBy("doc_id", "lang").agg(*aggs)
+    # Map-only signature: the shingle->28-bit-hash array is materialized once
+    # behind a repartition barrier — (a) ProjectCollapse would otherwise
+    # inline the split()/md5 work into all 12 min lambdas, (b) the
+    # single-file parquet scan is one partition and the barrier spreads the
+    # hashing across all cores (on a cluster, all executors).
+    from doc2vec_spark.session import default_parallelism
 
+    n = default_parallelism()
+    # stage 1: tokenize (split once per row), spread across cores
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", _tokens().alias("ws"))
+        .repartition(n)
+    )
+    # stage 2: shingle + one md5 per shingle; the barrier below keeps this
+    # out of the 12 min-lambdas
+    hashed = toks.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            word_shingles_from(F.col("ws"), 3),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+        ).alias("hs"),
+    ).repartition(n)
+
+    def minhash(i: int) -> F.Column:
+        a, b = _CW_A[i], _CW_B[i]
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE_P)
+        )
+
+    return hashed.select(
+        "doc_id", "lang", *[minhash(i).alias(f"m{i}") for i in range(NUM_MINHASH)]
+    )
+
+
+_HASHED_SHINGLES_SQL = (
+    "SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h "
+    f"FROM ({_SHINGLES_SQL})"
+)
 
 _MINHASH_SIG_SQL = (
-    f"SELECT doc_id, lang, "
-    + ", ".join(f"MIN(md5('{i}:' || s)) AS m{i}" for i in range(NUM_MINHASH))
-    + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id, lang"
+    "SELECT doc_id, lang, "
+    + ", ".join(
+        f"MIN(({_CW_A[i]} * h + {_CW_B[i]}) % {_MERSENNE_P}) AS m{i}"
+        for i in range(NUM_MINHASH)
+    )
+    + f" FROM ({_HASHED_SHINGLES_SQL}) GROUP BY doc_id, lang"
 )
 
 _EST_SQL = (
@@ -211,33 +269,60 @@ _BAND_JOIN_SQL = " UNION ".join(
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_sig(spark, sf_dir).cache()
-    a, b = sig.alias("a"), sig.alias("b")
+    # bands via explode -> ONE equi-join on (lang, band_id, band_key) instead
+    # of one join per band: a single shuffle whose key includes band_id, which
+    # is exactly how LSH candidate generation shards at 100 TB (band_key is a
+    # uniform hash -> no skew)
+    sig = _minhash_sig(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key"),
+            )
+            for bi, band in enumerate(_BANDS)
+        ]
+    )
+    banded = (
+        sig.select(
+            "doc_id",
+            "lang",
+            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
+            F.explode(bands).alias("band"),
+        )
+        .select("doc_id", "lang", "ms", "band.band_id", "band.band_key")
+        .cache()  # both join sides read the materialized signatures once
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
     est = (
-        sum(
-            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
-            for i in range(NUM_MINHASH)
+        F.aggregate(
+            F.zip_with(
+                F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
         )
         * 1.0
         / NUM_MINHASH
     )
-    candidates = None
-    for band in _BANDS:
-        cond = (F.col("a.lang") == F.col("b.lang")) & (
-            F.col("a.doc_id") < F.col("b.doc_id")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        for c in band:
-            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-        part = a.join(b, cond).select(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             est.alias("est_jaccard"),
         )
-        candidates = part if candidates is None else candidates.unionByName(part)
-    return (
-        candidates.distinct()
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard"))
+        .distinct()  # docs sharing multiple bands collapse to one pair
+    )
+    return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard")
     )
 
 
@@ -359,13 +444,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
 
+    # norms precomputed per VECTOR (not per pair): same arithmetic, ~3x less
+    # fold work inside the quadratic pair stage
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (
-        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
-    )
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(
             b,

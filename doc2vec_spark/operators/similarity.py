@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, dot, lit_vector
+from doc2vec_spark.functions.vectors import (
+    as_double_array,
+    cosine_distance,
+    dot,
+    l2_norm,
+    lit_vector,
+)
 from doc2vec_spark.functions.rounding import pround
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
@@ -120,11 +126,10 @@ def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = b.filter(F.col("bucket") == qbucket).select(
         "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
     )
+    topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("vec_id", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance")
     )
 
 
@@ -134,15 +139,25 @@ def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _nearest_centroid_expr(vcol) -> F.Column:
-    """argmin over fixed centroids of cosine distance, ties to lower id."""
-    best_id = F.lit(0)
-    best_dist = cosine_distance(vcol, lit_vector(CENTROIDS[0]))
-    for i in range(1, NUM_CENTROIDS):
-        d = cosine_distance(vcol, lit_vector(CENTROIDS[i]))
-        better = d < best_dist
-        best_id = F.when(better, F.lit(i)).otherwise(best_id)
-        best_dist = F.when(better, d).otherwise(best_dist)
-    return best_id
+    """argmin over fixed centroids of cosine distance, ties to lower id.
+
+    Computed as array_position(dists, array_min(dists)) over one dists array:
+    each distance is evaluated once (a CASE-chain fold duplicates subtrees
+    exponentially), centroid norms are compile-time Python constants, and the
+    vector's own norm is factored out of all 8 distances.
+    """
+    import math
+
+    vnorm = l2_norm(vcol)
+    dists = F.array(
+        *[
+            F.lit(1.0)
+            - dot(vcol, lit_vector(c))
+            / (vnorm * F.lit(math.sqrt(sum(x * x for x in c))))
+            for c in CENTROIDS
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def _centroid_dist_sql(i: int) -> str:

@@ -204,6 +204,8 @@ def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(winnowing-style content signature, stable under small edits)",
 )
 def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array_min/array_distinct over the in-row shingle array: a pure
+    # projection — no explode, no shuffle. At 100 TB this is a map-only scan.
     docs = load(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     idx = F.sequence(F.lit(1), F.size(ws) - 4)
@@ -213,8 +215,8 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(5)])
         ),
     )
-    return (
-        docs.select("doc_id", F.explode(grams).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.min("h").alias("fingerprint"), F.count_distinct(F.col("h")).alias("n_shingles"))
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).alias("n_shingles"),
     )

@@ -1,0 +1,57 @@
+"""Plan-quality regression tests: pin the physical-plan properties that make
+the headline queries survive a 1000x scale-up."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _q(name, spark):
+    from doc2vec_spark.registry import all_queries
+
+    return all_queries()[name].fn(spark, SF_DIR)
+
+
+def test_metadata_filter_pushed_to_scan(spark):
+    from doc2vec_spark.plans.checks import assert_pushed_filter
+
+    assert_pushed_filter(_q("p1_metadata_filter", spark), "EqualTo(lang,en)")
+
+
+def test_q1_prunes_columns(spark):
+    from doc2vec_spark.plans.checks import (
+        assert_pushed_filter,
+        assert_read_schema_excludes,
+    )
+
+    df = _q("tpch_q1_pricing_summary", spark)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_read_schema_excludes(df, "l_orderkey")  # only 7 of 11 cols read
+
+
+def test_dim_joins_broadcast(spark):
+    from doc2vec_spark.plans.checks import assert_broadcast_join
+
+    assert_broadcast_join(_q("j3_broadcast_hash_lookup", spark))
+    assert_broadcast_join(_q("tpch_q5_regional_revenue", spark))
+
+
+def test_knn_is_take_ordered(spark):
+    from doc2vec_spark.plans.checks import assert_top_k
+
+    assert_top_k(_q("t1_knn_cosine_topk", spark))
+    assert_top_k(_q("t5_keyset_pagination", spark))
+
+
+def test_knn_prunes_embedding_after_scoring(spark):
+    # P8: the query plane must never carry the embedding column past scoring
+    from doc2vec_spark.chunking import chunk_documents
+    from doc2vec_spark.embedding import with_embeddings
+    from doc2vec_spark.query import query_documentation
+
+    docs = spark.createDataFrame(
+        [("https://d/x", "content " * 200, "p", "1")],
+        "url string, markdown string, product_name string, version string",
+    )
+    out = query_documentation(with_embeddings(chunk_documents(docs)), "content")
+    assert "embedding" not in out.columns
