@@ -1,0 +1,94 @@
+"""Engine extensions beyond the reference's surface (SURVEY 2.5 note):
+multi-dimensional aggregates (rollup / cube / grouping sets) and approximate
+distinct counting — all built-in Catalyst operators, registered here so the
+coverage inventory exercises them against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2vec_spark.functions.rounding import pround
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+@_register(
+    "ext_rollup_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events GROUP BY ROLLUP (1, 2)
+    """,
+    "ROLLUP aggregation: per-(day,type), per-day and grand totals in one pass "
+    "(partial-agg friendly; one shuffle)",
+)
+def ext_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.rollup(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_register(
+    "ext_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           floor((SUM(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE aggregation over orders: all 4 grouping combinations in one shuffle",
+)
+def ext_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@_register(
+    "ext_grouping_sets",
+    """
+    SELECT lang, source, COUNT(*) AS n FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+    "GROUPING SETS: per-lang, per-source and grand totals without a self-union",
+)
+def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        "SELECT lang, source, COUNT(*) AS n FROM documents_gs "
+        "GROUP BY GROUPING SETS ((lang), (source), ())"
+    )
+
+
+@_register(
+    "ext_approx_count_distinct",
+    None,  # HLL sketches differ across engines -> rows-only; accuracy is
+    # asserted against the exact count in tests/test_extensions.py
+    "approx_count_distinct (HyperLogLog++): constant-memory distinct counts — "
+    "at 100 TB the only viable distinct-user metric",
+)
+def ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    )

@@ -46,6 +46,12 @@ def all_queries() -> dict[str, QuerySpec]:
         modules.append(domain)
     except ImportError:
         pass
+    try:
+        from doc2vec_spark.operators import extensions
+
+        modules.append(extensions)
+    except ImportError:
+        pass
 
     merged: dict[str, QuerySpec] = {}
     for mod in modules:

@@ -1,0 +1,61 @@
+"""Extension-operator tests: approx-distinct accuracy, MLlib ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_approx_count_distinct_accuracy(spark):
+    from doc2vec_spark.registry import all_queries
+    from doc2vec_spark.tables import load
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["ext_approx_count_distinct"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_mllib_lsh_neighbors_contain_exact_top1(spark):
+    from doc2vec_spark.mllib_ann import approx_neighbors
+    from doc2vec_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    got = approx_neighbors(emb, query_vec_id=0, k=5).collect()
+    assert len(got) == 5
+    # the query vector itself is its own nearest neighbor at distance 0
+    assert got[0]["vec_id"] == 0 and got[0]["distance"] == pytest.approx(0.0)
+
+
+def test_mllib_similarity_join_no_cross(spark):
+    from doc2vec_spark.mllib_ann import similarity_self_join
+    from doc2vec_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    pairs = similarity_self_join(emb, threshold=8.0)
+    rows = pairs.collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
+    assert all(r["dist"] <= 8.0 for r in rows)
+
+
+def test_mllib_kmeans_cells(spark):
+    from doc2vec_spark.mllib_ann import ivf_kmeans_cells
+    from doc2vec_spark.tables import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cells = ivf_kmeans_cells(emb, k=8).collect()
+    assert 1 <= len(cells) <= 8
+    assert sum(r["n"] for r in cells) == emb.count()
