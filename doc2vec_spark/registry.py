@@ -52,6 +52,12 @@ def all_queries() -> dict[str, QuerySpec]:
         modules.append(extensions)
     except ImportError:
         pass
+    try:
+        from doc2vec_spark.operators import reference_parity
+
+        modules.append(reference_parity)
+    except ImportError:
+        pass
 
     merged: dict[str, QuerySpec] = {}
     for mod in modules:
