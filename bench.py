@@ -17,7 +17,8 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-# Headline set: scan-agg, multi-join, window, incremental-diff, KNN, dedup.
+# Headline set: scan-agg, multi-join, window, incremental-diff, KNN, dedup,
+# multi-dim aggs, and the pandas-UDF chunk+embed pipeline.
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_revenue_topk",
@@ -26,6 +27,10 @@ HEADLINE = [
     "a1_hash_multiset_per_url",
     "a7_total_chunks_window",
     "t1_knn_cosine_topk",
+    "ext_rollup_daily",
+    "ext_cube_orders",
+    "doc_chunk_pipeline",
+    "doc_knn_query_documentation",
 ]
 
 
