@@ -86,6 +86,51 @@ def doc_reconstruct_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_chunk_markdown_corpus",
+    None,  # multi-section merge/split output has no closed form -> rows-only
+    "F9 chunker over a REAL markdown corpus: documents are grouped per "
+    "(lang, source) into heading-structured pages (## section per doc), so "
+    "the sibling-merge and hierarchy machinery runs at corpus scale "
+    "(behavioral truth pinned by tests/test_chunking.py + hypothesis suite)",
+)
+def doc_chunk_markdown_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.chunking import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    sections = docs.select(
+        "lang",
+        "source",
+        F.struct("doc_id", "text").alias("s"),
+    )
+    pages = (
+        sections.groupBy("lang", "source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")),
+                    lambda s: F.concat(
+                        F.lit("## Doc "), s.doc_id.cast("string"), F.lit("\n\n"), s.text
+                    ),
+                ),
+                "\n\n",
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("https://corpus/"), F.col("lang"), F.lit("/"), F.col("source")).alias("url"),
+            F.concat(F.lit("# "), F.col("source"), F.lit("\n\n"), F.col("body")).alias("markdown"),
+            F.col("lang").alias("product_name"),
+            F.lit("latest").alias("version"),
+        )
+    )
+    chunks = chunk_documents(pages)
+    return chunks.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("total_chunks").alias("total_chunks"),
+        F.count_distinct("chunk_id").alias("distinct_ids"),
+    )
+
+
+@_register(
     "doc_knn_query_documentation",
     None,  # embedding UDF is not SQL-expressible -> rows-only check
     "Full query plane: chunk -> deterministic embed -> metadata filter -> "

@@ -81,6 +81,33 @@ def ext_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ext_salted_agg",
+    """
+    SELECT event_type, SUM(n)::BIGINT AS n,
+           floor((SUM(total)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM (
+      SELECT event_type, event_id % 8 AS salt, COUNT(*) AS n, SUM(value) AS total
+      FROM events GROUP BY 1, 2
+    ) GROUP BY event_type
+    """,
+    "Two-stage salted aggregation: the skew pattern for hot keys at 100 TB — "
+    "partial agg on (key, salt) spreads a hot key over 8 reducers, final agg "
+    "combines. Same result as a direct groupBy (the oracle states exactly that).",
+)
+def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.col("event_id") % 8)
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        pround(F.sum("total"), 2).alias("total_value"),
+    )
+
+
+@_register(
     "ext_approx_count_distinct",
     None,  # HLL sketches differ across engines -> rows-only; accuracy is
     # asserted against the exact count in tests/test_extensions.py
