@@ -108,6 +108,80 @@ def ext_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ext_running_totals",
+    """
+    SELECT event_id, user_id,
+           floor((SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)) * 100.0 + 0.5) / 100.0
+             AS running_value
+    FROM events
+    """,
+    "Running per-user totals (window prefix sums; DuckDB evaluates windowed "
+    "sums with a segment tree, so only the fixed-point-rounded value is "
+    "engine-portable — cents inputs make round-2 boundary-safe)",
+)
+def ext_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(running, 2).alias("running_value"),
+    )
+
+
+@_register(
+    "ext_topn_per_group",
+    """
+    SELECT o_custkey, o_orderkey, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    "Top-N per group (row_number window): the grouped-top-k workhorse",
+)
+def ext_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", pround(F.col("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+@_register(
+    "ext_percentiles",
+    """
+    SELECT event_type,
+           floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+           floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p95
+    FROM events GROUP BY event_type
+    """,
+    "Exact interpolated percentiles per group (Spark percentile == DuckDB "
+    "quantile_cont: same sort + linear interpolation)",
+)
+def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        pround(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        pround(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+@_register(
     "ext_approx_count_distinct",
     None,  # HLL sketches differ across engines -> rows-only; accuracy is
     # asserted against the exact count in tests/test_extensions.py

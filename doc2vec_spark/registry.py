@@ -58,6 +58,12 @@ def all_queries() -> dict[str, QuerySpec]:
         modules.append(reference_parity)
     except ImportError:
         pass
+    try:
+        from doc2vec_spark.operators import asof
+
+        modules.append(asof)
+    except ImportError:
+        pass
 
     merged: dict[str, QuerySpec] = {}
     for mod in modules:
