@@ -23,6 +23,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_revenue_topk",
     "tpch_q5_regional_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     "j5_set_equality_diff",
     "a1_hash_multiset_per_url",
     "a7_total_chunks_window",

@@ -145,6 +145,59 @@ def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT floor((SUM(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H Q6 forecasting revenue — pure scan+filter+agg; every predicate "
+    "reaches the parquet scan, zero shuffles past the partial agg",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, total_qty FROM (
+      SELECT o_custkey AS c_custkey, l_orderkey AS o_orderkey,
+             floor((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_orderkey
+      HAVING SUM(l_quantity) > 150
+    ) ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """,
+    "TPC-H Q18-style large-volume orders — join + grouped HAVING + top-k "
+    "(TakeOrderedAndProject over the filtered aggregate)",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"), F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 150)
+    )
+    return (
+        agg.select("c_custkey", "o_orderkey", pround(F.col("qty_raw"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # T1 — vector KNN (the reference's core query operator)
 # ---------------------------------------------------------------------------
