@@ -69,36 +69,48 @@ def sync_documents(
     """
     new_chunks = chunk_documents(docs).cache()
     stored = store.read().cache()
-
     statuses = diff_status(new_chunks, stored.select("url", "hash")).cache()
-    by_status = {r["status"]: r["n"] for r in statuses.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    try:
+        by_status = {
+            r["status"]: r["n"]
+            for r in statuses.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
 
-    changed_urls = statuses.filter(F.col("status").isin("new", "updated")).select("url")
-    to_embed = new_chunks.join(F.broadcast(changed_urls), "url", "left_semi")
-    embedded = with_embeddings(to_embed, text_col="content", dim=dim)
+        changed_urls = statuses.filter(F.col("status").isin("new", "updated")).select("url")
+        to_embed = new_chunks.join(F.broadcast(changed_urls), "url", "left_semi")
+        embedded = with_embeddings(to_embed, text_col="content", dim=dim)
 
-    chunks_added = embedded.count()
-    chunks_deleted = (
-        stored.join(
-            F.broadcast(statuses.filter(F.col("status").isin("updated", "deleted")).select("url")),
-            "url",
-            "left_semi",
-        ).count()
-    )
+        chunks_added = embedded.count()
+        chunks_deleted = (
+            stored.join(
+                F.broadcast(
+                    statuses.filter(F.col("status").isin("updated", "deleted")).select("url")
+                ),
+                "url",
+                "left_semi",
+            ).count()
+        )
 
-    if chunks_added:
-        store.upsert_documents(embedded)
-    deleted_urls = statuses.filter(F.col("status") == "deleted").select("url")
-    if cleanup_prefix is not None:
-        store.cleanup_obsolete(cleanup_prefix, docs.select("url"))
-    elif deleted_urls.limit(1).count():
-        store.delete_by_urls(deleted_urls)
+        if chunks_added:
+            store.upsert_documents(embedded)
+        deleted_urls = statuses.filter(F.col("status") == "deleted").select("url")
+        if cleanup_prefix is not None:
+            store.cleanup_obsolete(cleanup_prefix, docs.select("url"))
+        elif deleted_urls.limit(1).count():
+            store.delete_by_urls(deleted_urls)
 
-    return SyncCounters(
-        items_new=by_status.get("new", 0),
-        items_updated=by_status.get("updated", 0),
-        items_unchanged=by_status.get("unchanged", 0),
-        items_deleted=by_status.get("deleted", 0),
-        chunks_added=chunks_added,
-        chunks_deleted=chunks_deleted,
-    )
+        return SyncCounters(
+            items_new=by_status.get("new", 0),
+            items_updated=by_status.get("updated", 0),
+            items_unchanged=by_status.get("unchanged", 0),
+            items_deleted=by_status.get("deleted", 0),
+            chunks_added=chunks_added,
+            chunks_deleted=chunks_deleted,
+        )
+    finally:
+        # MUST unpersist: Spark's CacheManager matches cached data by logical
+        # plan, so a later sync over the same source path would silently read
+        # this run's (stale) cached chunks instead of the files on disk
+        statuses.unpersist()
+        new_chunks.unpersist()
+        stored.unpersist()
