@@ -89,6 +89,22 @@ def zendesk_window_fetch(
     ) + zendesk_window_fetch(count_in_window, fetch_window, mid, end, min_window)
 
 
+def zendesk_articles(
+    spark: SparkSession,
+    fetch: Fetch,
+    base_url: str,
+    updated_since: str | None = None,
+    schema: str = "id long, title string, body string, updated_at string",
+) -> DataFrame:
+    """S10 (doc2vec.ts:1791-1913): help-center article pagination with the
+    reference's CLIENT-side ``updated_at >= start`` incremental filter (the
+    articles endpoint has no server-side since param)."""
+    items = fetch_paginated(fetch, f"{base_url}/api/v2/help_center/articles?per_page=100")
+    if updated_since is not None:
+        items = [a for a in items if a.get("updated_at", "") >= updated_since]
+    return spark.createDataFrame(items, schema) if items else spark.createDataFrame([], schema)
+
+
 def zendesk_tickets(
     spark: SparkSession,
     count_in_window: Callable[[datetime, datetime], int],

@@ -160,3 +160,31 @@ def test_extract_links_resolves_relative():
     html = '<a href="/abs">x</a> <a href="rel/page">y</a> <a href="#frag">z</a>'
     got = extract_links(html, "https://d/dir/index.html")
     assert got == ["https://d/abs", "https://d/dir/rel/page"]
+
+
+# -- S10 zendesk articles ----------------------------------------------------
+
+
+def test_zendesk_articles_client_side_filter(spark):
+    from doc2vec_spark.sources.rest import zendesk_articles
+
+    pages = {
+        "p1": (
+            [
+                {"id": 1, "title": "old", "body": "", "updated_at": "2023-01-01T00:00:00Z"},
+                {"id": 2, "title": "new", "body": "", "updated_at": "2024-06-01T00:00:00Z"},
+            ],
+            {"Link": '<p2>; rel="next"'},
+        ),
+        "p2": (
+            [{"id": 3, "title": "newer", "body": "", "updated_at": "2024-07-01T00:00:00Z"}],
+            {},
+        ),
+    }
+
+    def fetch(url):
+        return pages["p2"] if url == "p2" else pages["p1"]
+
+    df = zendesk_articles(spark, fetch, "https://z.example", updated_since="2024-01-01T00:00:00Z")
+    assert sorted(r["id"] for r in df.collect()) == [2, 3]  # old filtered client-side
+    assert zendesk_articles(spark, fetch, "https://z.example").count() == 3
