@@ -69,6 +69,27 @@ def record_success(
     state.put_many(updates)
 
 
+def parse_retry_after(value: str | None, now=None) -> float | None:
+    """F13 (content-processor.ts:1274-1291): Retry-After as delta-seconds or
+    an HTTP-date; None/unparseable -> None (caller falls back to default)."""
+    if not value:
+        return None
+    v = value.strip()
+    if v.isdigit():
+        return float(v)
+    from email.utils import parsedate_to_datetime
+
+    try:
+        dt = parsedate_to_datetime(v)
+    except (TypeError, ValueError):
+        return None
+    if now is None:
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc)
+    return max(0.0, (dt - now).total_seconds())
+
+
 class AdaptiveBackoff:
     """HEAD-request pacing (content-processor.ts:458-469): start at 0; on
     failure 200ms then x2 capped at 5000ms; on success halve with a 10ms

@@ -102,3 +102,16 @@ def test_adaptive_backoff_sequence():
     assert b.delay_ms == 10  # floor
     b2 = AdaptiveBackoff()
     assert b2.on_success() == 0  # never engaged -> stays 0
+
+
+def test_parse_retry_after():
+    from datetime import datetime, timezone
+
+    from doc2vec_spark.watermarks import parse_retry_after
+
+    assert parse_retry_after("30") == 30.0
+    assert parse_retry_after(None) is None
+    assert parse_retry_after("garbage") is None
+    now = datetime(2024, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert parse_retry_after("Mon, 01 Jan 2024 12:00:45 GMT", now=now) == 45.0
+    assert parse_retry_after("Mon, 01 Jan 2024 11:00:00 GMT", now=now) == 0.0  # past -> 0
