@@ -80,9 +80,13 @@ def get_chunks(
     start_index: int | None = None,
     end_index: int | None = None,
 ) -> DataFrame:
+    # each bound is independently optional (mcp/src/index.ts:237-238;
+    # the Qdrant provider honors one-sided ranges, mcp/src/server.ts:719-723)
     df = chunks.filter(F.col("url") == url)
-    if start_index is not None and end_index is not None:
-        df = df.filter(F.col("chunk_index").between(start_index, end_index))
+    if start_index is not None:
+        df = df.filter(F.col("chunk_index") >= start_index)
+    if end_index is not None:
+        df = df.filter(F.col("chunk_index") <= end_index)
     return df.drop("embedding").orderBy("chunk_index", "chunk_id")
 
 

@@ -11,13 +11,20 @@ operations on a parquet-backed table:
                       the reference's Qdrant scroll pagination loop
                       (database.ts:576-601) disappears entirely
 
-Writes go to a fresh directory version and the `current` pointer flips last
-(write-ahead versioning), giving the all-or-nothing visibility the reference
-approximates with its `sync_complete` flag (W8) — on a real deployment this
-file-swap is exactly a Delta/Iceberg transactional commit, and upsert is
-`MERGE INTO`. The layout partitions by product_name (the reference's
-per-product databases, mcp/src/server.ts:417-430) so metadata-filtered KNN
-prunes partitions at the scan.
+Commits are INCREMENTAL and bucketed: rows hash-bucket by url
+(``pmod(xxhash64(url), num_buckets)``), a manifest maps each bucket to the
+version directory holding its current files, and a commit rewrites ONLY the
+buckets containing touched urls — an upsert of 0.1% of urls rewrites ~0.1%
+of a 100 TB store, not all of it. The manifest flips atomically last
+(write-ahead versioning), giving the all-or-nothing visibility the
+reference approximates with its `sync_complete` flag (W8) — on a real
+deployment this is exactly a Delta/Iceberg MERGE with partition overwrite
+(`replaceWhere`), and the url-bucket layout is the same lever layout.py
+proves Exchange-free for url-keyed joins. Within each version, files
+partition by product_name (the reference's per-product databases,
+mcp/src/server.ts:417-430) so metadata-filtered KNN prunes at the scan.
+Superseded version directories are garbage-collected after the flip (a
+deployment would instead retain them for a snapshot-isolation TTL).
 
 A small KV `sync_state` table mirrors vec_metadata (database.ts:121-126)
 for watermarks.
@@ -27,7 +34,8 @@ from __future__ import annotations
 
 import json
 import os
-import time
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,88 +43,172 @@ from pyspark.sql import functions as F
 from doc2vec_spark.chunking import CHUNK_SCHEMA
 
 EMBED_FIELD = "embedding"
+DEFAULT_NUM_BUCKETS = 16
 
 
 class ChunkStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, num_buckets: int = DEFAULT_NUM_BUCKETS):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.num_buckets = num_buckets
         os.makedirs(self.path, exist_ok=True)
 
-    # -- versioned current-pointer machinery ---------------------------------
+    # -- manifest machinery --------------------------------------------------
 
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "CURRENT")
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST")
 
-    def _current_dir(self) -> str | None:
+    def _manifest(self) -> dict:
         try:
-            with open(self._pointer()) as f:
-                name = json.load(f)["dir"]
-            d = os.path.join(self.path, name)
-            return d if os.path.exists(d) else None
-        except (OSError, ValueError, KeyError):
-            return None
+            with open(self._manifest_path()) as f:
+                m = json.load(f)
+            if not isinstance(m.get("buckets"), dict):
+                raise ValueError("bad manifest")
+            return m
+        except (OSError, ValueError):
+            return {"counter": 0, "num_buckets": self.num_buckets, "buckets": {}}
 
-    def _commit(self, df: DataFrame) -> None:
-        name = f"v{int(time.time() * 1000)}"
-        out = os.path.join(self.path, name)
-        (
-            df.repartition(F.col("product_name"), F.col("url"))
-            .write.partitionBy("product_name")
-            .mode("overwrite")
-            .parquet(out)
-        )
-        tmp = self._pointer() + ".tmp"
+    def _flip(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"dir": name}, f)
-        os.replace(tmp, self._pointer())  # atomic flip = the "transaction"
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # atomic flip = the "transaction"
+
+    def _gc(self, manifest: dict) -> None:
+        """Remove version dirs no longer referenced by any bucket — keeps
+        disk usage proportional to ONE copy of the data, not sync count."""
+        live = set(manifest["buckets"].values())
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name not in live:
+                full = os.path.join(self.path, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+
+    def _bucket_expr(self, nb: int):
+        return F.pmod(F.xxhash64(F.col("url")), F.lit(nb)).cast("int")
+
+    def _empty(self) -> DataFrame:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            CHUNK_SCHEMA.fields
+            + [T.StructField(EMBED_FIELD, T.ArrayType(T.FloatType()))]
+        )
+        return self.spark.createDataFrame([], schema)
+
+    def _read_buckets(self, manifest: dict, buckets: list[int]) -> DataFrame:
+        # group by owning version: one scan per version dir (with basePath so
+        # bucket/product_name partition columns parse), unioned by name —
+        # #versions <= num_buckets, and each scan lists only selected buckets
+        by_version: dict[str, list[int]] = {}
+        for b in buckets:
+            ver = manifest["buckets"].get(str(b))
+            if ver is not None:
+                by_version.setdefault(ver, []).append(b)
+        if not by_version:
+            return self._empty()
+        cols = [f.name for f in self._empty().schema.fields]
+        parts = []
+        for ver, bs in sorted(by_version.items()):
+            base = os.path.join(self.path, ver)
+            paths = [os.path.join(base, f"bucket={b}") for b in bs]
+            parts.append(
+                self.spark.read.option("basePath", base).parquet(*paths).select(*cols)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- reads ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
-        d = self._current_dir()
-        if d is None:
-            from pyspark.sql import types as T
-
-            schema = T.StructType(
-                CHUNK_SCHEMA.fields
-                + [T.StructField(EMBED_FIELD, T.ArrayType(T.FloatType()))]
-            )
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(d)
+        manifest = self._manifest()
+        nb = manifest.get("num_buckets", self.num_buckets)
+        return self._read_buckets(manifest, list(range(nb)))
 
     def count(self) -> int:
         return self.read().count()
 
+    def version_token(self) -> tuple:
+        """Cheap identity of the current committed state (tests use this to
+        assert that a no-op sync does not advance the store)."""
+        m = self._manifest()
+        return (m["counter"], tuple(sorted(m["buckets"].items())))
+
     # -- writes (K1-K5) ------------------------------------------------------
 
+    def apply(self, new_chunks: DataFrame | None, delete_urls: DataFrame | None) -> None:
+        """ONE commit covering both mutation kinds of a sync: urls in
+        ``new_chunks`` get their chunks replaced (delete-by-url-then-insert,
+        database.ts:630-678 + doc2vec.ts:1957-1969), urls in ``delete_urls``
+        are purged. Only buckets containing a touched url are rewritten."""
+        manifest = self._manifest()
+        nb = manifest.get("num_buckets", self.num_buckets)
+
+        parts = []
+        if new_chunks is not None:
+            parts.append(new_chunks.select("url"))
+        if delete_urls is not None:
+            parts.append(delete_urls.select("url"))
+        if not parts:
+            return
+        touched = parts[0]
+        for p in parts[1:]:
+            touched = touched.unionByName(p)
+        touched = touched.distinct()
+
+        affected = sorted(
+            r["b"] for r in touched.select(self._bucket_expr(nb).alias("b")).distinct().collect()
+        )
+        if not affected:
+            return
+
+        kept = self._read_buckets(manifest, affected).join(
+            F.broadcast(touched), "url", "left_anti"
+        )
+        out = kept if new_chunks is None else kept.unionByName(new_chunks)
+
+        manifest["counter"] += 1
+        name = f"v{manifest['counter']:08d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.path, name)
+        (
+            out.withColumn("bucket", self._bucket_expr(nb))
+            .repartition(len(affected), F.col("bucket"))
+            .write.partitionBy("bucket", "product_name")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        # a bucket left empty by deletes has no bucket=K dir -> drop its entry
+        for b in affected:
+            if os.path.isdir(os.path.join(out_dir, f"bucket={b}")):
+                manifest["buckets"][str(b)] = name
+            else:
+                manifest["buckets"].pop(str(b), None)
+        self._flip(manifest)
+        self._gc(manifest)
+
     def upsert_documents(self, chunks: DataFrame) -> None:
-        """Replace all chunks of every url present in ``chunks`` (the
-        reference's delete-by-url-then-insert, database.ts:630-678 +
-        doc2vec.ts:1957-1969), keep everything else."""
-        stored = self.read()
-        urls = chunks.select("url").distinct()
-        kept = stored.join(F.broadcast(urls), "url", "left_anti")
-        self._commit(kept.unionByName(chunks))
+        """K1/K2: replace all chunks of every url present in ``chunks``,
+        keep everything else."""
+        self.apply(chunks, None)
 
     def delete_by_urls(self, urls: DataFrame) -> None:
-        stored = self.read()
-        self._commit(stored.join(F.broadcast(urls.select("url")), "url", "left_anti"))
+        self.apply(None, urls.select("url"))
 
     def cleanup_obsolete(self, url_prefix: str, visited_urls: DataFrame) -> int:
         """K4: delete chunks under ``url_prefix`` whose url was not visited —
         one left-anti join (database.ts:522-619)."""
         stored = self.read()
         in_scope = stored.filter(F.col("url").startswith(url_prefix))
-        obsolete = in_scope.join(
-            F.broadcast(visited_urls.select("url").distinct()), "url", "left_anti"
+        obsolete_urls = (
+            in_scope.select("url")
+            .distinct()
+            .join(F.broadcast(visited_urls.select("url").distinct()), "url", "left_anti")
         )
-        n = obsolete.count()
+        n = stored.join(F.broadcast(obsolete_urls), "url", "left_semi").count()
         if n:
-            keep = stored.join(
-                obsolete.select("url").distinct(), "url", "left_anti"
-            )
-            self._commit(keep)
+            self.apply(None, obsolete_urls)
         return n
 
 

@@ -70,6 +70,7 @@ def sync_documents(
     new_chunks = chunk_documents(docs).cache()
     stored = store.read().cache()
     statuses = diff_status(new_chunks, stored.select("url", "hash")).cache()
+    embedded = None
     try:
         by_status = {
             r["status"]: r["n"]
@@ -78,7 +79,11 @@ def sync_documents(
 
         changed_urls = statuses.filter(F.col("status").isin("new", "updated")).select("url")
         to_embed = new_chunks.join(F.broadcast(changed_urls), "url", "left_semi")
-        embedded = with_embeddings(to_embed, text_col="content", dim=dim)
+        # persist BEFORE counting: the count materializes every embedding, and
+        # without the persist the store write below would recompute them all —
+        # 2x provider cost on the most expensive stage, the exact thing W3
+        # (embed-only-changed) exists to avoid
+        embedded = with_embeddings(to_embed, text_col="content", dim=dim).persist()
 
         chunks_added = embedded.count()
         chunks_deleted = (
@@ -91,13 +96,25 @@ def sync_documents(
             ).count()
         )
 
-        if chunks_added:
-            store.upsert_documents(embedded)
-        deleted_urls = statuses.filter(F.col("status") == "deleted").select("url")
+        # ONE commit for the whole sync: upserts + deletions flip together,
+        # so a reader never sees the half-applied intermediate state and the
+        # store rewrites each affected url-bucket at most once per run
         if cleanup_prefix is not None:
-            store.cleanup_obsolete(cleanup_prefix, docs.select("url"))
-        elif deleted_urls.limit(1).count():
-            store.delete_by_urls(deleted_urls)
+            in_scope = stored.filter(F.col("url").startswith(cleanup_prefix))
+            delete_urls = (
+                in_scope.select("url")
+                .distinct()
+                .join(F.broadcast(docs.select("url").distinct()), "url", "left_anti")
+            )
+        else:
+            delete_urls = statuses.filter(F.col("status") == "deleted").select("url")
+
+        has_deletes = delete_urls.limit(1).count() > 0
+        if chunks_added or has_deletes:
+            store.apply(
+                embedded if chunks_added else None,
+                delete_urls if has_deletes else None,
+            )
 
         return SyncCounters(
             items_new=by_status.get("new", 0),
@@ -111,6 +128,8 @@ def sync_documents(
         # MUST unpersist: Spark's CacheManager matches cached data by logical
         # plan, so a later sync over the same source path would silently read
         # this run's (stale) cached chunks instead of the files on disk
+        if embedded is not None:
+            embedded.unpersist()
         statuses.unpersist()
         new_chunks.unpersist()
         stored.unpersist()

@@ -70,13 +70,21 @@ def record_success(
 
 
 def parse_retry_after(value: str | None, now=None) -> float | None:
-    """F13 (content-processor.ts:1274-1291): Retry-After as delta-seconds or
-    an HTTP-date; None/unparseable -> None (caller falls back to default)."""
+    """F13 (content-processor.ts:1274-1291): Retry-After as delta-seconds
+    (any finite numeric, incl. decimals/negatives) or an HTTP-date;
+    None/unparseable -> None (caller falls back to default). Clamped to a
+    1-second minimum in both forms, matching the reference's 1000ms floor."""
     if not value:
         return None
     v = value.strip()
-    if v.isdigit():
-        return float(v)
+    import math
+
+    try:
+        seconds = float(v)
+    except ValueError:
+        seconds = None
+    if seconds is not None:
+        return max(1.0, seconds) if math.isfinite(seconds) else None
     from email.utils import parsedate_to_datetime
 
     try:
@@ -87,13 +95,14 @@ def parse_retry_after(value: str | None, now=None) -> float | None:
         from datetime import datetime, timezone
 
         now = datetime.now(timezone.utc)
-    return max(0.0, (dt - now).total_seconds())
+    return max(1.0, (dt - now).total_seconds())
 
 
 class AdaptiveBackoff:
-    """HEAD-request pacing (content-processor.ts:458-469): start at 0; on
-    failure 200ms then x2 capped at 5000ms; on success halve with a 10ms
-    floor once backoff has engaged."""
+    """HEAD-request pacing (content-processor.ts:458-469,643-660): start at
+    0; on failure 200ms then x2 capped at 5000ms; on success halve, and snap
+    to 0 once the decayed value drops below the 10ms floor — so a recovered
+    endpoint stops paying any sleep at all."""
 
     INITIAL_MS = 200
     CAP_MS = 5000
@@ -110,5 +119,7 @@ class AdaptiveBackoff:
 
     def on_success(self) -> int:
         if self.delay_ms > 0:
-            self.delay_ms = max(self.delay_ms // 2, self.FLOOR_MS)
+            self.delay_ms = self.delay_ms // 2
+            if self.delay_ms < self.FLOOR_MS:
+                self.delay_ms = 0
         return self.delay_ms

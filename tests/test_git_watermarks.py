@@ -99,7 +99,10 @@ def test_adaptive_backoff_sequence():
     assert b.on_success() == 2500  # halve on success
     for _ in range(20):
         b.on_success()
-    assert b.delay_ms == 10  # floor
+    assert b.delay_ms == 0  # decayed below the 10ms floor -> snaps to 0
+    b3 = AdaptiveBackoff()
+    b3.delay_ms = 19
+    assert b3.on_success() == 0  # 19 // 2 = 9 < floor -> 0, not clamped to 10
     b2 = AdaptiveBackoff()
     assert b2.on_success() == 0  # never engaged -> stays 0
 
@@ -110,8 +113,12 @@ def test_parse_retry_after():
     from doc2vec_spark.watermarks import parse_retry_after
 
     assert parse_retry_after("30") == 30.0
+    assert parse_retry_after("1.5") == 1.5  # decimals accepted (Number() semantics)
+    assert parse_retry_after("0") == 1.0  # 1-second minimum clamp
+    assert parse_retry_after("-5") == 1.0
+    assert parse_retry_after("inf") is None  # non-finite -> unparseable
     assert parse_retry_after(None) is None
     assert parse_retry_after("garbage") is None
     now = datetime(2024, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
     assert parse_retry_after("Mon, 01 Jan 2024 12:00:45 GMT", now=now) == 45.0
-    assert parse_retry_after("Mon, 01 Jan 2024 11:00:00 GMT", now=now) == 0.0  # past -> 0
+    assert parse_retry_after("Mon, 01 Jan 2024 11:00:00 GMT", now=now) == 1.0  # past -> 1s floor

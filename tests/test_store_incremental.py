@@ -1,0 +1,172 @@
+"""Incremental bucketed store commits: an upsert touching one url rewrites
+only that url's bucket (not the table), superseded versions are
+garbage-collected, one sync = one commit, and the embedding UDF runs exactly
+once per changed chunk (VERDICT r01 findings 1-2; ADVICE store.py items)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+BODY = "body text for incremental store tests. " * 40
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, markdown string, product_name string, version string"
+    )
+
+
+def _data_files(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def _version_dirs(root):
+    return sorted(
+        d for d in os.listdir(root) if d.startswith("v") and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def test_single_url_upsert_rewrites_one_bucket(spark, tmp_path):
+    from doc2vec_spark.store import ChunkStore
+    from doc2vec_spark.sync import sync_documents
+
+    root = str(tmp_path / "chunks")
+    store = ChunkStore(spark, root, num_buckets=16)
+    docs = _docs(
+        spark,
+        [(f"https://d/{i}", f"# Doc {i}\n{BODY} doc {i}.", "prod", "1.0") for i in range(64)],
+    )
+    sync_documents(spark, store, docs)
+    before = set(_data_files(root))
+    n_before = store.count()
+
+    one = _docs(spark, [("https://d/7", f"# Doc 7\n{BODY} doc 7 EDITED.", "prod", "1.0")])
+    store.upsert_documents(
+        __import__("doc2vec_spark.embedding", fromlist=["with_embeddings"]).with_embeddings(
+            __import__("doc2vec_spark.chunking", fromlist=["chunk_documents"]).chunk_documents(one)
+        )
+    )
+    after = set(_data_files(root))
+    # unchanged buckets keep their exact old files; only 1 of 16 buckets is new
+    surviving = before & after
+    new_files = after - before
+    assert len(surviving) >= len(before) * 0.8, (len(before), len(surviving))
+    assert 0 < len(new_files) <= max(2, len(before) // 8)
+    # contents correct
+    assert store.count() >= n_before  # doc 7 re-chunked, others intact
+    got = store.read().filter(F.col("url") == "https://d/7").select("content").collect()
+    assert any("EDITED" in r["content"] for r in got)
+    assert store.read().select("url").distinct().count() == 64
+
+
+def test_version_gc_bounds_disk(spark, tmp_path):
+    from doc2vec_spark.chunking import chunk_documents
+    from doc2vec_spark.embedding import with_embeddings
+    from doc2vec_spark.store import ChunkStore
+
+    root = str(tmp_path / "chunks")
+    store = ChunkStore(spark, root, num_buckets=4)
+    for i in range(5):
+        docs = _docs(spark, [(f"https://d/{i}", f"# D{i}\n{BODY} v{i}.", "prod", "1.0")])
+        store.upsert_documents(with_embeddings(chunk_documents(docs)))
+    # every version dir still on disk is referenced by the manifest (GC ran);
+    # monotonic counter names mean no same-millisecond collisions possible
+    manifest = store._manifest()
+    live = set(manifest["buckets"].values())
+    assert set(_version_dirs(root)) == live
+    assert len(live) <= 4  # at most one live version per bucket
+    assert manifest["counter"] == 5
+    assert store.read().select("url").distinct().count() == 5
+
+
+def test_sync_is_single_commit_and_deletes_fold_in(spark, tmp_path):
+    from doc2vec_spark.store import ChunkStore
+    from doc2vec_spark.sync import sync_documents
+
+    root = str(tmp_path / "chunks")
+    store = ChunkStore(spark, root, num_buckets=4)
+    v1 = _docs(
+        spark,
+        [
+            ("https://d/a", f"# A\n{BODY} a.", "prod", "1.0"),
+            ("https://d/b", f"# B\n{BODY} b.", "prod", "1.0"),
+            ("https://d/c", f"# C\n{BODY} c.", "prod", "1.0"),
+        ],
+    )
+    sync_documents(spark, store, v1)
+    c1 = store._manifest()["counter"]
+    # v2: a edited, b unchanged, c dropped -> upsert + delete in ONE commit
+    v2 = _docs(
+        spark,
+        [
+            ("https://d/a", f"# A\n{BODY} a EDITED.", "prod", "1.0"),
+            ("https://d/b", f"# B\n{BODY} b.", "prod", "1.0"),
+        ],
+    )
+    c = sync_documents(spark, store, v2, cleanup_prefix="https://d/")
+    assert c.items_updated == 1 and c.items_deleted == 1
+    assert store._manifest()["counter"] == c1 + 1  # exactly one commit
+    urls = {r["url"] for r in store.read().select("url").distinct().collect()}
+    assert urls == {"https://d/a", "https://d/b"}
+
+
+def test_embed_udf_runs_once_per_changed_chunk(spark, tmp_path, monkeypatch):
+    """W3 at provider-cost level: counting via accumulator, each changed chunk
+    is embedded exactly once per sync (not once for the counter and again for
+    the store write — the r01 double-materialization bug)."""
+    import doc2vec_spark.sync as sync_mod
+    from doc2vec_spark.store import ChunkStore
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_with_embeddings(df, text_col="content", out_col="embedding", dim=64):
+        from doc2vec_spark.embedding import embed_text
+
+        @pandas_udf(T.ArrayType(T.FloatType()))
+        def _embed(texts):
+            import pandas as pd
+
+            acc.add(len(texts))
+            return pd.Series([embed_text(t, dim).tolist() for t in texts])
+
+        return df.withColumn(out_col, _embed(F.col(text_col)))
+
+    monkeypatch.setattr(sync_mod, "with_embeddings", counting_with_embeddings)
+
+    store = ChunkStore(spark, str(tmp_path / "chunks"), num_buckets=4)
+    docs = _docs(
+        spark,
+        [(f"https://d/{i}", f"# D{i}\n{BODY} doc {i}.", "prod", "1.0") for i in range(8)],
+    )
+    c1 = sync_mod.sync_documents(spark, store, docs)
+    assert acc.value == c1.chunks_added > 0
+
+    # second sync: one url changed -> only its chunks embed, once each
+    acc.value = 0
+    docs2 = _docs(
+        spark,
+        [
+            (
+                f"https://d/{i}",
+                f"# D{i}\n{BODY} doc {i}." + (" EDITED" if i == 3 else ""),
+                "prod",
+                "1.0",
+            )
+            for i in range(8)
+        ],
+    )
+    c2 = sync_mod.sync_documents(spark, store, docs2)
+    assert c2.items_updated == 1 and c2.items_unchanged == 7
+    assert acc.value == c2.chunks_added > 0

@@ -56,10 +56,10 @@ def test_corpus_sync_then_mutate(spark, tmp_path, corpus):
     assert stored_urls == v2_urls
 
     # third sync with no changes: nothing written
-    vdir = store._current_dir()
+    token = store.version_token()
     c3 = sync_documents(spark, store, v2, cleanup_prefix="https://c/")
     assert c3.items_unchanged == len(v2_urls) and c3.chunks_added == 0
-    assert store._current_dir() == vdir
+    assert store.version_token() == token
 
 
 def test_query_after_sync(spark, tmp_path, corpus):

@@ -99,11 +99,11 @@ def test_unchanged_sync_writes_nothing(spark, store):
 
     docs = _docs(spark, [("https://d/a", f"# A\n{BODY_A}", "prod", "1.0")])
     sync_documents(spark, store, docs)
-    v1_dir = store._current_dir()
+    token = store.version_token()
     c = sync_documents(spark, store, docs)
     assert c.items_unchanged == 1 and c.chunks_added == 0
     # W3: no embed, no write — the store version did not advance
-    assert store._current_dir() == v1_dir
+    assert store.version_token() == token
 
 
 def test_sync_state_watermarks(tmp_path):
