@@ -55,3 +55,18 @@ def test_knn_prunes_embedding_after_scoring(spark):
     )
     out = query_documentation(with_embeddings(chunk_documents(docs)), "content")
     assert "embedding" not in out.columns
+
+
+def test_pair_dedup_join_keys_are_not_block_only(spark):
+    """VERDICT r01: the two pairwise dedup variants must not join on the
+    coarse block key (lang/label) alone — simhash joins on band columns,
+    embedding cosine on the salt-grid cells."""
+    def join_conds(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [l for l in plan.splitlines() if "Join Inner" in l]
+
+    conds = join_conds(_q("dedup_simhash_pairs", spark))
+    assert conds and all("band_val" in c and "band_id" in c for c in conds), conds
+
+    conds = join_conds(_q("dedup_embedding_cosine", spark))
+    assert conds and all("salt" in c for c in conds), conds
