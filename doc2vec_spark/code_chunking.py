@@ -14,19 +14,28 @@ Algorithm (faithful to the reference):
 - parse failure / unknown language -> fixed-budget token chunker fallback
   (content-processor.ts:2087-2104)
 
-Parsers: the reference loads tree-sitter WASM grammars. This container has
-no tree-sitter wheels, so parsing is pluggable: ``_treesitter_tree`` is
-attempted first (drops in when py-tree-sitter + grammars are installed,
-import-gated), then a Python ``ast``-based tree for Python, then a
-structural brace parser for C-family/TS/JS/Go/Java/Rust that preserves the
-property the reference's tests assert (tests/README.md:417-501): a construct
-that fits the budget always lands whole in one chunk — construct boundaries
-are exactly the child boundaries the recursion splits on.
+Parsers: the reference loads tree-sitter WASM grammars for 19 languages
+(content-processor.ts:1996-2037). This container has no tree-sitter wheels,
+so parsing is pluggable: ``_treesitter_tree`` is attempted first (drops in
+when py-tree-sitter + grammars are installed, import-gated), then per-family
+structural parsers that preserve the property the reference's tests assert
+(tests/README.md:417-501): a construct that fits the budget always lands
+whole in one chunk — construct boundaries are exactly the child boundaries
+the recursion splits on. Families:
+
+- Python: real ``ast`` tree
+- brace languages (TS/JS/Go/Java/Rust/C/C++/C#/Kotlin/Swift/PHP/Scala/
+  Dart/Zig/CSS/SCSS/LESS/JSON): brace-matching statement parser
+- end-keyword languages (Ruby/Lua/Elixir/Bash): line-based block parser
+  driven by per-language open/close token counters
+- SQL: ';'-statement splitter (quote/comment aware)
+- YAML: indentation tree; HTML: tag-nesting tree
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -38,6 +47,8 @@ TokenCounter = Callable[[str], int]
 
 BRACE_LANGUAGES = {
     "typescript", "javascript", "go", "java", "rust", "c", "cpp", "csharp",
+    "kotlin", "swift", "php", "scala", "dart", "zig",
+    "css", "scss", "less", "json",
 }
 
 
@@ -168,6 +179,191 @@ def _brace_tree(text: str, start: int, end: int) -> list[_Node]:
     return children
 
 
+# ---------------------------------------------------------------------------
+# end-keyword block languages (Ruby/Lua/Elixir/Bash): line-based parser
+# ---------------------------------------------------------------------------
+
+
+def _line_block_tree(text: str, line_delta: Callable[[str], tuple[int, int]]) -> _Node:
+    """Build a block tree from per-line (opens, closes) token counts: a line
+    with net opens starts a block node; net closes pop back to the enclosing
+    block; balanced lines (statements, one-liner defs) become leaves."""
+    root = _Node(0, len(text))
+    stack = [root]
+    offset = 0
+    for raw in text.splitlines(keepends=True):
+        start, end = offset, offset + len(raw)
+        offset = end
+        line = raw.rstrip("\n")
+        if not line.strip():
+            continue
+        opens, closes = line_delta(line)
+        net = opens - closes
+        if net > 0:
+            node = _Node(start, end)
+            stack[-1].children.append(node)
+            stack.append(node)
+        elif net < 0:
+            for _ in range(min(-net, len(stack) - 1)):
+                stack[-1].end = end
+                stack.pop()
+        else:
+            stack[-1].children.append(_Node(start, end))
+    while len(stack) > 1:
+        stack[-1].end = len(text)
+        stack.pop()
+    return root
+
+
+_RUBY_OPEN = re.compile(
+    r"^\s*(def|class|module|if|unless|case|while|until|begin|for)\b"
+)
+_RUBY_DO = re.compile(r"\bdo\s*(\|[^|]*\|)?\s*$")
+_END_TOKEN = re.compile(r"(?<![\w.:@$])end\b")
+
+
+def _ruby_delta(line: str) -> tuple[int, int]:
+    opens = (1 if _RUBY_OPEN.match(line) else 0) + (1 if _RUBY_DO.search(line) else 0)
+    return opens, len(_END_TOKEN.findall(line))
+
+
+def _lua_delta(line: str) -> tuple[int, int]:
+    s = line.strip()
+    opens = len(re.findall(r"\bfunction\b", line)) + len(
+        re.findall(r"\bdo\b", line)
+    ) + len(re.findall(r"\brepeat\b", line))
+    if not s.startswith(("elseif", "else")):
+        opens += len(re.findall(r"\bthen\b", line))
+    closes = len(_END_TOKEN.findall(line)) + len(re.findall(r"\buntil\b", line))
+    return opens, closes
+
+
+def _elixir_delta(line: str) -> tuple[int, int]:
+    opens = (1 if re.search(r"\bdo\s*$", line) else 0) + len(
+        re.findall(r"\bfn\b", line)
+    )
+    return opens, len(_END_TOKEN.findall(line))
+
+
+def _bash_delta(line: str) -> tuple[int, int]:
+    code = line.split("#", 1)[0]
+    s = code.strip()
+    opens = len(re.findall(r"\bdo\b", code)) + len(re.findall(r"\bcase\b", code))
+    if not s.startswith(("elif", "else")):
+        opens += len(re.findall(r"\bthen\b", code))
+    if code.rstrip().endswith("{"):
+        opens += 1
+    closes = len(re.findall(r"\b(fi|done|esac)\b", code))
+    if s in ("}", "};"):
+        closes += 1
+    return opens, closes
+
+
+_END_BLOCK_DELTAS: dict[str, Callable[[str], tuple[int, int]]] = {
+    "ruby": _ruby_delta,
+    "lua": _lua_delta,
+    "elixir": _elixir_delta,
+    "bash": _bash_delta,
+    "sh": _bash_delta,
+    "shell": _bash_delta,
+}
+
+
+# ---------------------------------------------------------------------------
+# SQL / YAML / HTML structural parsers
+# ---------------------------------------------------------------------------
+
+
+def _sql_tree(text: str) -> _Node:
+    """One node per ';'-terminated statement; quotes, '--' and block comments
+    are opaque."""
+    nodes: list[_Node] = []
+    i, n, seg = 0, len(text), 0
+    while i < n:
+        c = text[i]
+        if c in "'\"":
+            q = c
+            i += 1
+            while i < n and text[i] != q:
+                i += 1
+            i += 1
+            continue
+        if c == "-" and text[i : i + 2] == "--":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        if c == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c == ";":
+            if text[seg : i + 1].strip():
+                nodes.append(_Node(seg, i + 1))
+            i += 1
+            seg = i
+            continue
+        i += 1
+    if text[seg:n].strip():
+        nodes.append(_Node(seg, n))
+    root = _Node(0, len(text))
+    root.children = nodes
+    return root
+
+
+def _yaml_tree(text: str) -> _Node:
+    """Indentation tree: an entry owns every following deeper-indented line."""
+    root = _Node(0, len(text))
+    stack: list[tuple[_Node, int]] = [(root, -1)]
+    offset = 0
+    for raw in text.splitlines(keepends=True):
+        start, end = offset, offset + len(raw)
+        offset = end
+        line = raw.rstrip("\n")
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        indent = len(line) - len(line.lstrip())
+        while len(stack) > 1 and indent <= stack[-1][1]:
+            stack[-1][0].end = start
+            stack.pop()
+        node = _Node(start, end)
+        stack[-1][0].children.append(node)
+        stack.append((node, indent))
+    while len(stack) > 1:
+        stack[-1][0].end = len(text)
+        stack.pop()
+    return root
+
+
+_HTML_TAG = re.compile(r"<(/?)([a-zA-Z][\w-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*?)(/?)>")
+_HTML_VOID = {
+    "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+}
+
+
+def _html_tree(text: str) -> _Node:
+    root = _Node(0, len(text))
+    stack: list[tuple[_Node, str]] = [(root, "")]
+    for m in _HTML_TAG.finditer(text):
+        closing, name, self_close = m.group(1), m.group(2).lower(), m.group(4)
+        if closing:
+            if any(n == name for _nd, n in stack[1:]):
+                while stack[-1][1] != name:
+                    stack[-1][0].end = m.start()
+                    stack.pop()
+                stack[-1][0].end = m.end()
+                stack.pop()
+            continue
+        node = _Node(m.start(), m.end())
+        stack[-1][0].children.append(node)
+        if not self_close and name not in _HTML_VOID:
+            stack.append((node, name))
+    while len(stack) > 1:
+        stack[-1][0].end = len(text)
+        stack.pop()
+    return root
+
+
 def _parse(text: str, lang: str) -> _Node | None:
     lang = (lang or "").lower().replace("-", "_")
     tree = _treesitter_tree(text, lang)
@@ -179,6 +375,14 @@ def _parse(text: str, lang: str) -> _Node | None:
         root = _Node(0, len(text))
         root.children = _brace_tree(text, 0, len(text))
         return root
+    if lang in _END_BLOCK_DELTAS:
+        return _line_block_tree(text, _END_BLOCK_DELTAS[lang])
+    if lang == "sql":
+        return _sql_tree(text)
+    if lang == "yaml":
+        return _yaml_tree(text)
+    if lang == "html":
+        return _html_tree(text)
     return None
 
 

@@ -15,27 +15,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# extension -> language map for code sources (content-processor.ts:1996-2037
-# — subset; the full 34-ext map extends this dict)
+# extension -> language map for code sources: the reference's full map
+# (content-processor.ts:1996-2037)
 CODE_LANGUAGES = {
     ".ts": "typescript",
     ".tsx": "typescript",
     ".js": "javascript",
     ".jsx": "javascript",
+    ".mjs": "javascript",
+    ".cjs": "javascript",
     ".py": "python",
     ".go": "go",
-    ".java": "java",
-    ".rb": "ruby",
     ".rs": "rust",
+    ".java": "java",
+    ".kt": "kotlin",
+    ".kts": "kotlin",
+    ".swift": "swift",
     ".c": "c",
-    ".h": "c",
+    ".cc": "cpp",
     ".cpp": "cpp",
+    ".h": "cpp",
+    ".hpp": "cpp",
     ".cs": "csharp",
+    ".rb": "ruby",
+    ".php": "php",
+    ".scala": "scala",
+    ".sql": "sql",
     ".sh": "bash",
-    ".md": "markdown",
+    ".bash": "bash",
+    ".zsh": "bash",
+    ".html": "html",
+    ".css": "css",
+    ".scss": "scss",
+    ".sass": "scss",
+    ".less": "css",
+    ".json": "json",
     ".yaml": "yaml",
     ".yml": "yaml",
-    ".json": "json",
+    ".md": "markdown",
 }
 
 

@@ -134,3 +134,146 @@ def test_chunk_code_files_spark(spark):
         assert sorted(r["chunk_index"] for r in rs) == list(range(len(rs)))
         assert all(r["total_chunks"] == len(rs) for r in rs)
         assert all(r["branch"] == "main" and r["repo"] == "o/r" for r in rs)
+
+
+# ---------------------------------------------------------------------------
+# full language matrix — the reference's 18-language boundary-integrity list
+# (tests/README.md:417-501); every construct fitting the budget lands whole
+# in exactly one chunk while the file as a whole is forced to split
+# ---------------------------------------------------------------------------
+
+LANG_FUNCS = {
+    "javascript": (
+        "function func{i}(x) {{\n  const y = x * {i};\n  return y + 1;\n}}\n\n",
+        "function func{i}(",
+    ),
+    "go": (
+        "func Func{i}(x int) int {{\n\ty := x * {i}\n\treturn y + 1\n}}\n\n",
+        "func Func{i}(",
+    ),
+    "rust": (
+        "fn func_{i}(x: i64) -> i64 {{\n    let y = x * {i};\n    y + 1\n}}\n\n",
+        "fn func_{i}(",
+    ),
+    "java": (
+        "public static int func{i}(int x) {{\n    int y = x * {i};\n    return y + 1;\n}}\n\n",
+        "int func{i}(",
+    ),
+    "kotlin": (
+        "fun func{i}(x: Int): Int {{\n    val y = x * {i}\n    return y + 1\n}}\n\n",
+        "fun func{i}(",
+    ),
+    "swift": (
+        "func func{i}(_ x: Int) -> Int {{\n    let y = x * {i}\n    return y + 1\n}}\n\n",
+        "func func{i}(",
+    ),
+    "c": (
+        "int func{i}(int x) {{\n    int y = x * {i};\n    return y + 1;\n}}\n\n",
+        "int func{i}(",
+    ),
+    "cpp": (
+        "int func{i}(int x) {{\n    int y = x * {i};\n    return y + 1;\n}}\n\n",
+        "int func{i}(",
+    ),
+    "csharp": (
+        "public static int Func{i}(int x) {{\n    var y = x * {i};\n    return y + 1;\n}}\n\n",
+        "int Func{i}(",
+    ),
+    "php": (
+        "function func{i}($x) {{\n    $y = $x * {i};\n    return $y + 1;\n}}\n\n",
+        "function func{i}(",
+    ),
+    "scala": (
+        "def func{i}(x: Int): Int = {{\n  val y = x * {i}\n  y + 1\n}}\n\n",
+        "def func{i}(",
+    ),
+    "dart": (
+        "int func{i}(int x) {{\n  final y = x * {i};\n  return y + 1;\n}}\n\n",
+        "int func{i}(",
+    ),
+    "zig": (
+        "fn func{i}(x: i64) i64 {{\n    const y = x * {i};\n    return y + 1;\n}}\n\n",
+        "fn func{i}(",
+    ),
+    "ruby": (
+        "def func_{i}(x)\n  y = x * {i}\n  y + 1\nend\n\n",
+        "def func_{i}(",
+    ),
+    "lua": (
+        "function func{i}(x)\n  local y = x * {i}\n  return y + 1\nend\n\n",
+        "function func{i}(",
+    ),
+    "elixir": (
+        "def func_{i}(x) do\n  y = x * {i}\n  y + 1\nend\n\n",
+        "def func_{i}(",
+    ),
+    "bash": (
+        "func{i}() {{\n  local y=$(( $1 * {i} ))\n  echo $(( y + 1 ))\n}}\n\n",
+        "func{i}()",
+    ),
+}
+
+
+@pytest.mark.parametrize("lang", sorted(LANG_FUNCS))
+def test_boundary_integrity_language_matrix(lang):
+    template, sig = LANG_FUNCS[lang]
+    n = 12
+    while len("".join(template.format(i=i) for i in range(n))) <= DEFAULT_CHUNK_SIZE * 1.5:
+        n += 4
+    code = "".join(template.format(i=i) for i in range(n))
+    assert len(code) > DEFAULT_CHUNK_SIZE  # forces splitting
+    chunks = chunk_code_text(code, lang)
+    assert len(chunks) > 1, f"{lang}: no split occurred"
+    for i in range(n):
+        hits = [c for c in chunks if sig.format(i=i) in c.text]
+        assert len(hits) == 1, f"{lang} func {i} in {len(hits)} chunks"
+        # the whole construct (signature through close) is in that one chunk
+        assert template.format(i=i).strip() in hits[0].text, (
+            f"{lang} func {i} split mid-body"
+        )
+
+
+def test_class_methods_survive_class_split_ruby():
+    methods = "".join(
+        f"  def method_{i}(x)\n    y = x * {i}\n    y + 1\n  end\n\n" for i in range(16)
+    )
+    code = f"class BigClass\n{methods}end\n"
+    chunks = chunk_code_text(code, "ruby")
+    assert len(chunks) > 1  # class exceeds budget -> split at method level
+    for i in range(16):
+        hits = [c for c in chunks if f"def method_{i}(" in c.text]
+        assert len(hits) == 1
+        assert f"def method_{i}(x)\n    y = x * {i}\n    y + 1\n  end" in hits[0].text
+
+
+def test_sql_statements_stay_whole():
+    stmt = (
+        "CREATE TABLE t{i} (id INTEGER PRIMARY KEY, name VARCHAR(100), "
+        "created TIMESTAMP DEFAULT now());\n"
+    )
+    code = "".join(stmt.format(i=i) for i in range(12))
+    chunks = chunk_code_text(code, "sql")
+    assert len(chunks) > 1
+    for i in range(12):
+        hits = [c for c in chunks if f"CREATE TABLE t{i} (" in c.text]
+        assert len(hits) == 1 and f"t{i} (id INTEGER" in hits[0].text
+
+
+def test_yaml_top_level_blocks_stay_whole():
+    block = "service{i}:\n  image: img{i}\n  ports:\n    - {i}80\n  env:\n    KEY: value{i}\n"
+    code = "".join(block.format(i=i) for i in range(16))
+    chunks = chunk_code_text(code, "yaml")
+    assert len(chunks) > 1
+    for i in range(16):
+        hits = [c for c in chunks if f"service{i}:" in c.text]
+        assert len(hits) == 1 and f"KEY: value{i}" in hits[0].text
+
+
+def test_html_elements_stay_whole():
+    el = "<section id=\"s{i}\">\n  <h2>Title {i}</h2>\n  <p>Body text {i}</p>\n</section>\n"
+    code = "<html>\n<body>\n" + "".join(el.format(i=i) for i in range(12)) + "</body>\n</html>\n"
+    chunks = chunk_code_text(code, "html")
+    assert len(chunks) > 1
+    for i in range(12):
+        hits = [c for c in chunks if f'id="s{i}"' in c.text]
+        assert len(hits) == 1 and f"</h2>\n  <p>Body text {i}</p>" in hits[0].text
