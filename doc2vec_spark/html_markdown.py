@@ -104,9 +104,17 @@ def parse_html(html: str) -> _El:
 # ---------------------------------------------------------------------------
 
 
+def _has_class(el: _El, cls: str) -> bool:
+    return cls in (el.attrs.get("class") or "").split()
+
+
 def extract_main_content(root: _El) -> _El:
-    """Readability-lite: role=main / <main> / <article> wins; else the child
-    container with the most text after dropping nav/header/footer/aside."""
+    """Main-content selection with the reference's selector cascade
+    (content-processor.ts:1089-1099): `.docs-content` -> `.doc-content` ->
+    `.markdown-body` -> `<article>` -> `div[role=main].document` -> `<main>`
+    -> body — doc-site content classes beat the semantic elements, so heavy
+    chrome around a `.markdown-body` never wins. Falls back to the densest
+    text container after dropping nav/header/footer/aside."""
 
     def prune(el: _El) -> None:
         el.children = [c for c in el.children if c.tag not in STRUCTURAL_DROP]
@@ -114,13 +122,94 @@ def extract_main_content(root: _El) -> _El:
             prune(c)
 
     prune(root)
-    for el in root.iter():
-        if el.tag == "main" or el.attrs.get("role") == "main":
-            return el
+    for cls in ("docs-content", "doc-content", "markdown-body"):
+        for el in root.iter():
+            if _has_class(el, cls):
+                return el
     for el in root.iter():
         if el.tag == "article":
             return el
+    for el in root.iter():
+        if el.tag == "div" and el.attrs.get("role") == "main" and _has_class(el, "document"):
+            return el
+    for el in root.iter():
+        if el.tag == "main" or el.attrs.get("role") == "main":
+            return el
     return root
+
+
+# ---------------------------------------------------------------------------
+# F8b: WAI-ARIA tab flattening (content-processor.ts:1307-1399)
+# ---------------------------------------------------------------------------
+
+_HIDING_CLASSES = {"hidden", "hx-hidden", "is-hidden", "display-none", "d-none", "invisible"}
+
+
+def preprocess_tabs(root: _El) -> None:
+    """Flatten tabbed widgets before extraction: inject each tab's label as a
+    bold paragraph at the top of its panel (aria-controls id link, positional
+    nth-tab->nth-panel fallback), skip panels already labeled (pages reuse
+    panel ids across tab groups), unhide the panels, then remove the tab
+    buttons so labels don't render twice."""
+    tabs = [e for e in root.iter() if e.attrs.get("role") == "tab"]
+    if not tabs:
+        return
+    panels = [e for e in root.iter() if e.attrs.get("role") == "tabpanel"]
+    by_id = {e.attrs["id"]: e for e in root.iter() if e.attrs.get("id")}
+    labeled: set[int] = set()
+
+    for index, tab in enumerate(tabs):
+        label = re.sub(r"\s+", " ", tab.text_content()).strip()
+        if not label:
+            continue
+        panel = by_id.get(tab.attrs.get("aria-controls") or "")
+        if panel is None and index < len(panels):
+            panel = panels[index]
+        if panel is None or id(panel) in labeled:
+            continue
+        labeled.add(id(panel))
+
+        strong = _El("strong")
+        strong.children.append(_El("#text", text=label + ":"))
+        label_el = _El("p")
+        label_el.children.append(strong)
+        panel.children.insert(0, label_el)
+
+        # visibility surgery (parity with the reference; our renderer ignores
+        # CSS, but stripped classes keep the sanitized tree faithful)
+        classes = [
+            c
+            for c in (panel.attrs.get("class") or "").split()
+            if c not in _HIDING_CLASSES and not re.search(r"\bhidden\b", c, re.I)
+        ]
+        panel.attrs["class"] = " ".join(classes)
+        style = panel.attrs.get("style") or ""
+        if "display" in style and "none" in style:
+            panel.attrs["style"] = re.sub(r"display\s*:\s*none\s*;?", "", style, flags=re.I)
+        panel.attrs["data-state"] = "selected"
+
+    def drop_tabs(el: _El) -> None:
+        el.children = [c for c in el.children if c.attrs.get("role") != "tab"]
+        for c in el.children:
+            drop_tabs(c)
+
+    drop_tabs(root)
+
+
+_SKIP_H1 = re.compile(r"^(link|#|menu|close)$", re.I)
+
+
+def extract_page_h1s(root: _El) -> list[str]:
+    """H1 texts collected from the FULL document before extraction
+    (content-processor.ts:1124-1135): doc sites often put the page title in
+    header chrome that main-content selection drops; the first real H1 is
+    re-injected as the markdown title."""
+    out = []
+    for h1 in root.find_all("h1"):
+        text = re.sub(r"\s+", " ", h1.text_content()).strip()
+        if text and len(text) > 3 and not _SKIP_H1.match(text):
+            out.append(text)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -228,13 +317,26 @@ def _render(el: _El, ctx: dict) -> str:
 
 
 def convert_html_to_markdown(html: str, main_content_only: bool = False) -> str:
-    """F7 (+ optional F8) entry point (content-processor.ts:243-275)."""
+    """F7 (+ optional F8) entry point (content-processor.ts:243-275,
+    1089-1226): parse -> flatten tabs -> select main content -> render ->
+    re-inject the page H1 if extraction dropped it."""
     if not html or not html.strip():
         return ""
     root = parse_html(html)
+    page_title = ""
     if main_content_only:
+        preprocess_tabs(root)
+        h1s = extract_page_h1s(root)
+        page_title = h1s[0] if h1s else ""
         root = extract_main_content(root)
     md = _render(root, {})
     md = re.sub(r"[ \t]+\n", "\n", md)
     md = re.sub(r"\n{3,}", "\n\n", md)
-    return md.strip()
+    md = md.strip()
+    if page_title:
+        first_line = md.split("\n", 1)[0] if md else ""
+        m = re.match(r"^#\s+(.+)$", first_line)
+        existing = re.sub(r"\s+", " ", m.group(1)).strip() if m else ""
+        if not m or existing != page_title:
+            md = f"# {page_title}\n\n{md}" if md else f"# {page_title}"
+    return md
