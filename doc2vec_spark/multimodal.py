@@ -54,14 +54,34 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def decode_image_real(data: bytes) -> np.ndarray:
-    """Drop-in point for a real decoder:
-    ``PIL.Image.open(io.BytesIO(data))`` -> resize -> np.asarray.
-    Not available in this container."""
-    raise NotImplementedError(
-        "image codec not installed; use extract_features (deterministic stub) "
-        "or install pillow and implement here"
-    )
+def decode_image_real(data: bytes, size: tuple[int, int] = (8, 8)) -> np.ndarray:
+    """Real image decode, import-gated on pillow: bytes -> grayscale ->
+    resize -> float32 array in [0,1]. When pillow is absent (this container)
+    it raises NotImplementedError and callers stay on the deterministic stub;
+    when present, tests/test_multimodal_ops.py decodes a real fixture PNG
+    through this exact path."""
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codec not installed; use extract_features (deterministic "
+            "stub) or install pillow to activate this path"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(data)).convert("L").resize(size)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def real_image_feature(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Feature from real pixels: decoded 8x8 grayscale thumbnail, flattened
+    and L2-normalized, truncated/padded to ``dim`` — the drop-in replacement
+    for ``_stub_feature`` once pillow is installed."""
+    px = decode_image_real(data).reshape(-1)[:dim]
+    if px.size < dim:
+        px = np.pad(px, (0, dim - px.size))
+    n = float(np.linalg.norm(px))
+    return (px / n if n else px).astype(np.float32).tolist()
 
 
 def _stub_feature(data: bytes) -> list[float]:

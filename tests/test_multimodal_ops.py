@@ -32,11 +32,33 @@ def test_extract_features_deterministic(spark):
     assert a[1]["feature"] != a[2]["feature"]
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_gate():
+    """Without pillow the real-decode path raises NotImplementedError (honest
+    stub); with pillow it decodes an actual PNG through the same function."""
     from doc2vec_spark.multimodal import decode_image_real
 
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"bytes")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"bytes")
+        return
+
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), color=(200, 40, 40)).save(buf, format="PNG")
+    px = decode_image_real(buf.getvalue())
+    assert px.shape == (8, 8)
+    assert 0.0 <= float(px.min()) and float(px.max()) <= 1.0
+
+    from doc2vec_spark.multimodal import FEATURE_DIM, real_image_feature
+
+    feat = real_image_feature(buf.getvalue())
+    assert len(feat) == FEATURE_DIM
+    assert abs(sum(x * x for x in feat) - 1.0) < 1e-5  # L2-normalized
 
 
 def test_frame_sample_plan(spark):
