@@ -199,3 +199,39 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
     )
+
+
+@_register(
+    "ann_ivf_search",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({_nearest_centroid_sql()}) AS cell FROM e),
+    q AS (SELECT v AS qv, cell AS qcell FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id,
+             1 - list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS dist
+      FROM b, q WHERE b.cell = q.qcell
+    )
+    SELECT vec_id, rnk, floor((dist) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS distance FROM (
+      SELECT vec_id, dist, ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk FROM cand
+    ) WHERE rnk <= 5
+    """,
+    "IVF probe search: exact cosine top-5 inside the query's cell only — at "
+    "scale the cell is a partition key, so nprobe=1 touches one partition; "
+    "same TakeOrderedAndProject plan shape as exact KNN",
+)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    b = e.select("vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell"))
+    qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    qv, qcell = qrow["v"], qrow["cell"]
+    cand = b.filter(F.col("cell") == qcell).select(
+        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+    )
+    topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance")
+    )

@@ -74,7 +74,12 @@ def crawl(
         total += fetched.count()  # materialize once per wave
         wave_results = fetched.select("url", "markdown", "ok")
         results = wave_results if results is None else results.unionByName(wave_results)
-        visited = visited.unionByName(frontier).distinct().cache()
+        # localCheckpoint truncates the visited set's lineage each wave:
+        # without it the plan (and the set of live cached RDDs) grows linearly
+        # with crawl depth — a deep crawl would re-walk every prior wave's
+        # union/distinct on any recompute. The checkpoint pins only the
+        # materialized partitions, O(|visited|), independent of depth.
+        visited = visited.unionByName(frontier).distinct().localCheckpoint(eager=True)
         discovered = (
             fetched.select(F.explode("links").alias("url"))
             .filter(F.col("url").startswith(url_prefix))
