@@ -100,10 +100,10 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.session import default_parallelism
 
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    return (
-        docs.select("doc_id", "lang", F.explode(word_shingles(3)).alias("s"))
-        .distinct()
-    )
+    # No .distinct() needed: word_shingles applies array_distinct per doc and
+    # doc_id is unique, so (doc_id, lang, s) rows are already unique — the
+    # explicit distinct was a pure extra shuffle of the full shingle table.
+    return docs.select("doc_id", "lang", F.explode(word_shingles(3)).alias("s"))
 
 
 # ---------------------------------------------------------------------------
@@ -156,14 +156,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounding any single shingle's join fanout".format(MAX_SHINGLE_DF),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     sh0 = _shingle_df(spark, sf_dir)
-    keep = (
-        sh0.groupBy("lang", "s")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # DF cap via a window count over (lang, s): ONE shuffle that leaves the
+    # data hash-partitioned on exactly the pair-join keys below, vs the
+    # groupBy + left-semi formulation which costs two extra shuffles of the
+    # full shingle table (and computes the explode+distinct twice).
+    dfw = Window.partitionBy("lang", "s")
+    sh = (
+        sh0.withColumn("df", F.count(F.lit(1)).over(dfw))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("lang", "s")
+        .drop("df")
+        .cache()  # three consumers: both pair-join sides + the sizes agg
     )
-    sh = sh0.join(keep, ["lang", "s"], "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -358,27 +364,46 @@ _NIBBLE_BITS = [(p, q) for p in range(8) for q in range(4)]  # (nibble idx, bit 
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    )
-    h = F.md5(F.col("tok"))
-    nibble = [
-        F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int") for p in range(8)
-    ]
-    sums = [
-        F.sum(
-            (F.shiftright(nibble[p], q).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s_{p}_{q}")
-        for p, q in _NIBBLE_BITS
-    ]
-    agg = toks.groupBy("doc_id", "lang").agg(*sums)
+    """32-bit simhash per document, computed array-per-doc (no token explode).
+
+    Same shape as `_minhash_sig`: one md5 per token inside an array
+    `transform`, materialized behind a repartition barrier (ProjectCollapse
+    would otherwise inline the hashing into all 32 bit-sum aggregates), then
+    each simhash bit is an `F.aggregate` bit-count over the hash array. Zero
+    shuffles beyond the tiny doc-level repartition — no 54x row explosion,
+    no groupBy of the token multiset. Per-doc arrays are bounded by document
+    length, so at 100 TB this stays a map-only stage after the scan.
+
+    Bit layout matches the oracle SQL exactly: simhash bit 4p+q is sign(sum
+    over tokens of ±1 on bit q of md5 hex-nibble p); hex digit p+1 of the
+    md5 sits at bits [4*(7-p), 4*(7-p)+3] of hv = int(md5[:8], 16), and
+    sign-sum > 0  <=>  2 * popcount > n_tokens (integer-exact both engines).
+    """
+    from doc2vec_spark.session import default_parallelism
+
+    n = default_parallelism()
+    docs = load(spark, sf_dir, "documents").repartition(n)
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            _tokens(),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("hs"),
+    ).repartition(n)  # barrier: hs materialized once, read by 32 aggregates
+    nt = F.size(F.col("hs"))
     simhash = None
     for p, q in _NIBBLE_BITS:
-        bit = F.when(F.col(f"s_{p}_{q}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        shift = 4 * (7 - p) + q
+        ones = F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.shiftright(x, shift).bitwiseAND(F.lit(1)),
+        )
+        bit = F.when(ones * 2 > nt, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, 4 * p + q)
         simhash = term if simhash is None else simhash + term
-    return agg.select("doc_id", "lang", simhash.alias("simhash"))
+    return hashed.select("doc_id", "lang", simhash.alias("simhash"))
 
 
 _SIMHASH_SQL = (
