@@ -47,7 +47,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     # optional extended queries present in the registry
     for extra in sorted(registry):
-        if extra.startswith(("dedup_", "ta_", "ann_", "stream_")) and extra not in names:
+        if extra.startswith(("dedup_", "ta_", "ann_", "stream_", "pipe_")) and extra not in names:
             names.append(extra)
 
     # warm the JVM/codegen path once on the smallest SF so timings measure

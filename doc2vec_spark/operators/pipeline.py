@@ -1,0 +1,456 @@
+"""Training-data pipeline operators (BASELINE.json north star): the ops a
+100 TB LLM-corpus build needs between raw documents and training shards.
+
+- pipe_split_assign:      deterministic train/val/test assignment by content
+                          hash — reproducible across engines and runs, no RNG.
+- pipe_shard_pack:        token-budget shard packing via windowed cumulative
+                          sums inside (lang, pack_group) — packing needs *a*
+                          deterministic grouping, not a global order, so the
+                          window partition key includes a hash group and every
+                          group packs in parallel (no single-ordering
+                          bottleneck at 100 TB).
+- pipe_stratified_sample: exact-fraction per-stratum sampling, rank-by-hash —
+                          deterministic replacement for sampleBy's Bernoulli
+                          draw when exact split sizes matter.
+- pipe_contamination:     train-split documents sharing 5-gram shingles with
+                          the eval split (the standard n-gram eval-leakage
+                          check) via a df-capped inverted-index join.
+- dedup_cc_clusters:      connected components over the near-dup candidate
+                          graph (docs sharing >= 2 distinct 5-grams) by
+                          iterative min-label propagation with path
+                          compression; DuckDB oracle is the recursive-CTE
+                          transitive closure.
+
+All hashing is md5-hex -> integer (engine-portable, like operators/dedup.py);
+every output is integer/string-exact so the driver's value-hash comparison is
+bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+TRAIN_PCT = 80  # bucket < 80 -> train
+VAL_PCT = 90  # 80 <= bucket < 90 -> val; rest test
+PACK_GROUPS = 8  # parallel packing groups per lang
+PACK_BUDGET_TOKENS = 2000  # per-shard token budget
+SAMPLE_DENOM = 5  # stratified sample keeps ceil(n/5) per stratum (20%)
+SHINGLE_N = 5  # contamination / candidate-graph n-gram width
+# Hot-shingle cap: same rationale as dedup.MAX_SHINGLE_DF — a 5-gram present
+# in d docs fans into d^2 join rows and carries no leakage/dup signal when
+# corpus-common. Applied identically in the oracle, so results stay
+# hash-checkable.
+MAX_SHINGLE5_DF = 50
+MIN_SHARED_EDGE = 2  # >= 2 shared distinct 5-grams -> candidate edge
+CC_MAX_ITERS = 15
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+# bucket in [0, 100) from the first 8 md5 hex digits of the doc id; the split
+# is a pure function of the id, so re-running the pipeline (or running it in
+# another engine) assigns every document identically — the property that makes
+# held-out splits trustworthy across pipeline versions.
+
+
+def _bucket_col() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN ({_BUCKET_SQL}) < {TRAIN_PCT} THEN 'train' "
+    f"WHEN ({_BUCKET_SQL}) < {VAL_PCT} THEN 'val' ELSE 'test' END"
+)
+
+
+@_register(
+    "pipe_split_assign",
+    f"SELECT doc_id, lang, {_BUCKET_SQL} AS bucket, {_SPLIT_CASE_SQL} AS split "
+    "FROM documents",
+    "Deterministic train/val/test split by md5 bucket of doc_id "
+    f"({TRAIN_PCT}/{VAL_PCT - TRAIN_PCT}/{100 - VAL_PCT}). Map-only: no "
+    "shuffle, no RNG, reproducible across engines and runs.",
+)
+def pipe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b = _bucket_col()
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", b.alias("bucket"), split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# token-budget shard packing
+# ---------------------------------------------------------------------------
+# A global "order all docs, cut every B tokens" pack serializes the corpus
+# through one cumulative sum — the classic scale trap. Packing only needs
+# deterministic, budget-bounded bins, so we pack independently inside
+# (lang, pack_group) where pack_group is a hash of the doc id: each group is a
+# window partition, all groups run in parallel, and shard identity
+# (lang, pack_group, shard_id) is stable under re-runs. At 100 TB, raise
+# PACK_GROUPS until each group's token mass fits one task comfortably.
+
+
+def _pack_group_col() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 4), 16, 10)
+        .cast("long")
+        % PACK_GROUPS
+    )
+
+
+_PACK_GROUP_SQL = (
+    f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 4))::BIGINT % {PACK_GROUPS}"
+)
+
+
+@_register(
+    "pipe_shard_pack",
+    f"""
+    SELECT doc_id, lang, pack_group, n_tokens,
+           CAST(floor((cum - n_tokens) / {float(PACK_BUDGET_TOKENS)}) AS BIGINT) AS shard_id
+    FROM (
+      SELECT doc_id, lang, pack_group, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang, pack_group ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT doc_id, lang, {_PACK_GROUP_SQL} AS pack_group,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents))
+    """,
+    "Token-budget shard packing: windowed cumulative token counts inside "
+    f"(lang, pack_group % {PACK_GROUPS}), shard_id = floor(tokens-before / "
+    f"{PACK_BUDGET_TOKENS}). Hash groups keep packing parallel at 100 TB.",
+)
+def pipe_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        _pack_group_col().alias("pack_group"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    shard = F.floor(
+        (cum - F.col("n_tokens")) / F.lit(float(PACK_BUDGET_TOKENS))
+    ).cast("long")
+    return base.select(
+        "doc_id", "lang", "pack_group", "n_tokens", shard.alias("shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-fraction stratified sample
+# ---------------------------------------------------------------------------
+# sampleBy() draws Bernoulli per row: stratum sizes vary run to run and engine
+# to engine. Rank-by-hash gives exactly ceil(n/SAMPLE_DENOM) rows per
+# (lang, source) stratum, deterministically: one shuffle (the window
+# partition), rank key = (md5(doc_id), doc_id) so the "random" order is
+# reproducible.
+
+
+@_register(
+    "pipe_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source, sample_rank, stratum_n
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank,
+             COUNT(*) OVER (PARTITION BY lang, source) AS stratum_n
+      FROM documents)
+    WHERE sample_rank <= ceil(stratum_n * 1.0 / {SAMPLE_DENOM})
+    """,
+    "Exact-fraction stratified sample: deterministic rank-by-hash keeps "
+    f"ceil(n/{SAMPLE_DENOM}) docs per (lang, source) stratum — one shuffle.",
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    part = Window.partitionBy("lang", "source")
+    rn = F.row_number().over(
+        part.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    n = F.count(F.lit(1)).over(
+        part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            rn.alias("sample_rank"),
+            n.alias("stratum_n"),
+        )
+        .filter(F.col("sample_rank") <= F.ceil(F.col("stratum_n") * 1.0 / SAMPLE_DENOM))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5-gram shingles (shared by contamination + candidate graph)
+# ---------------------------------------------------------------------------
+
+_SHINGLES5_SQL = """
+  SELECT DISTINCT doc_id,
+         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       unnest(generate_series(1, len(ws)-4)) t(i)
+"""
+
+_CAPPED_SHINGLES5_SQL = f"""
+  SELECT sh0.doc_id, sh0.s FROM ({_SHINGLES5_SQL}) sh0
+  JOIN (SELECT s FROM ({_SHINGLES5_SQL}) GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE5_DF}) keep
+  USING (s)
+"""
+
+
+def _shingle5_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) distinct 5-gram shingles, uncapped."""
+    from doc2vec_spark.operators.dedup import word_shingles
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    return docs.select("doc_id", F.explode(word_shingles(SHINGLE_N)).alias("s"))
+
+
+def _shingle5_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) distinct 5-gram shingles, df-capped; cached (two consumers
+    in every caller: both sides of an inverted-index join)."""
+    sh0 = _shingle5_raw(spark, sf_dir)
+    dfw = Window.partitionBy("s")
+    return (
+        sh0.withColumn("df", F.count(F.lit(1)).over(dfw))
+        .filter(F.col("df") <= MAX_SHINGLE5_DF)
+        .drop("df")
+        .cache()
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pipe_contamination",
+    f"""
+    WITH sh AS ({_CAPPED_SHINGLES5_SQL}),
+    shb AS (SELECT doc_id, s, {_BUCKET_SQL} AS b FROM sh),
+    tr AS (SELECT doc_id, s FROM shb WHERE b < {TRAIN_PCT}),
+    ev AS (SELECT doc_id, s FROM shb WHERE b >= {TRAIN_PCT})
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.s) AS n_shared_ngrams,
+           COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    HAVING COUNT(DISTINCT tr.s) >= {MIN_SHARED_EDGE}
+    """,
+    f"Eval-leakage check: train docs sharing >= {MIN_SHARED_EDGE} distinct "
+    f"{SHINGLE_N}-gram shingles with the val/test split. Inverted-index join "
+    f"on the shingle (df <= {MAX_SHINGLE5_DF} cap bounds fanout) — never a "
+    "train x eval cross join.",
+)
+def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle5_df(spark, sf_dir).withColumn("b", _bucket_col())
+    tr = sh.filter(F.col("b") < TRAIN_PCT).select("doc_id", "s")
+    ev = sh.filter(F.col("b") >= TRAIN_PCT).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    return (
+        tr.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_ngrams") >= MIN_SHARED_EDGE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected-components dup clustering
+# ---------------------------------------------------------------------------
+
+
+def pairs_in_posting(ids: Column) -> Column:
+    """All (u, v) u < v pairs from a doc-id array — the map-side pair
+    expansion of an inverted-index posting list. Emitting pairs from a
+    grouped posting costs ONE shuffle of the shingle table (the groupBy);
+    the equivalent self-join on the shingle shuffles it twice (once per join
+    side). Posting lists are df-capped, so the expansion is bounded."""
+    sorted_ids = F.array_sort(ids)
+    n = F.size(sorted_ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda u, i: F.transform(
+                F.slice(sorted_ids, i + 2, n),
+                lambda v: F.struct(u.alias("u"), v.alias("v")),
+            ),
+        )
+    )
+
+
+def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate edges: (u, v) docs sharing >= MIN_SHARED_EDGE
+    distinct 5-gram shingles, u < v. Inverted-index shape: group doc ids per
+    shingle into posting lists, expand pairs map-side, count per pair. The
+    hot-shingle df cap IS the posting-size filter — no separate window pass,
+    so the whole edge build is two shuffles (groupBy h, groupBy (u, v)).
+
+    Shingles are hashed map-side to 60-bit md5-prefix longs before the
+    shuffle: equality is all the posting groupBy needs, and an 8-byte key
+    shuffles ~4x less than a ~30-char 5-gram string. The hash is the same
+    engine-portable md5 construction as operators/dedup.py, computed
+    identically in the oracle — even a (2^-60-improbable) collision is
+    mirrored, so results stay hash-checkable."""
+    from doc2vec_spark.operators.dedup import word_shingles
+
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    hashed = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_shingles(SHINGLE_N),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("h"),
+    )
+    postings = hashed.groupBy("h").agg(F.collect_list("doc_id").alias("ids"))
+    return (
+        postings.filter(F.size("ids").between(2, MAX_SHINGLE5_DF))
+        .select(F.explode(pairs_in_posting(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= MIN_SHARED_EDGE)
+        .select("u", "v")
+    )
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation with path compression over an undirected edge
+    list (u, v) -> (doc_id, component) where component = min doc_id reachable.
+
+    Each round: (1) every node takes the min label over itself and its
+    neighbors (join + groupBy: shuffles keyed on node id), then (2) labels are
+    path-compressed one hop (label := label(label)), which is the pointer-
+    jumping step that turns worst-case O(diameter) propagation into
+    ~O(log diameter) rounds. Rounds run until a fixed point (sum of label
+    changes == 0 — a cheap driver-side scalar per round). Near-dup clusters
+    are near-cliques (diameter <= 2-3), so this converges in 2-3 rounds;
+    for adversarially deep graphs the same loop structure takes the
+    alternating large-star/small-star edge rewrite (Kiveris et al., "CC in
+    MapReduce and Beyond") without changing callers. Labels are
+    localCheckpoint()ed every round, so lineage stays O(1) across rounds.
+    """
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.cache()
+    labels = (
+        sym.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["doc_id"])
+            .groupBy(sym["u"].alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+        )
+        # path compression: label := label(label)
+        lref = labels.select(
+            F.col("doc_id").alias("ref_id"), F.col("label").alias("ref_label")
+        )
+        compressed = (
+            prop.join(lref, prop["label"] == lref["ref_id"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("ref_label", "label")).alias("label"),
+                "old_label",
+            )
+        )
+        new_labels = compressed.select("doc_id", "label", "old_label").localCheckpoint()
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+_HASHED_SHINGLES5_SQL = (
+    "SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h "
+    f"FROM ({_SHINGLES5_SQL})"
+)
+
+@_register(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE sh0 AS ({_HASHED_SHINGLES5_SQL}),
+    keep AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE5_DF}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SHARED_EDGE}),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+    SELECT doc_id, component,
+           CASE WHEN doc_id = component THEN 1 ELSE 0 END AS is_canonical
+    FROM comp
+    """,
+    "Dup-cluster assignment: connected components over the candidate graph "
+    f"(>= {MIN_SHARED_EDGE} shared {SHINGLE_N}-grams) via iterative min-label "
+    "propagation + path compression; canonical doc = component min. Oracle is "
+    "the recursive-CTE transitive closure, so multi-hop merges are "
+    "hash-verified (the driver corpus contains a 3-doc chain).",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = connected_components(candidate_edges(spark, sf_dir))
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_canonical"),
+    )

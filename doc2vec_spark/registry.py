@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup,
         domain,
         extensions,
+        pipeline,
         reference_parity,
         relational,
         similarity,
@@ -70,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         windows,
         domain,
         extensions,
+        pipeline,
         reference_parity,
         asof,
     ]

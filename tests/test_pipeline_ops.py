@@ -1,0 +1,109 @@
+"""Behavioral tests for training-pipeline operators (operators/pipeline.py).
+
+Oracle parity (vs DuckDB) is covered by test_parity.py; these tests check the
+algorithmic properties parity can't see on the driver corpus: multi-hop CC
+convergence on synthetic graphs, split determinism/coverage, packing budget
+invariants, and exact stratified-sample sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2vec_spark.operators.pipeline import (
+    PACK_BUDGET_TOKENS,
+    SAMPLE_DENOM,
+    connected_components,
+    dedup_cc_clusters,
+    pipe_shard_pack,
+    pipe_split_assign,
+    pipe_stratified_sample,
+)
+from tests.conftest import SF_DIR
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_cc_merges_a_path_graph_multihop(spark):
+    # path 1-2-3-4-5: diameter 4, forces >1 propagation round
+    comp = connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    rows = {r.doc_id: r.component for r in comp.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cc_keeps_disjoint_cliques_separate(spark):
+    comp = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)])
+    )
+    rows = {r.doc_id: r.component for r in comp.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cc_long_path_needs_compression(spark):
+    # 16-node path: min-label propagation alone needs 15 rounds; with path
+    # compression this must converge within the CC_MAX_ITERS=15 budget with
+    # room to spare.
+    n = 16
+    comp = connected_components(_edges(spark, [(i, i + 1) for i in range(1, n)]))
+    rows = {r.doc_id: r.component for r in comp.collect()}
+    assert rows == {i: 1 for i in range(1, n + 1)}
+
+
+def test_cc_clusters_on_corpus_contains_multihop_component(spark):
+    # the driver corpus contains a 3-doc chain (A~B, B~C without A~C edge
+    # necessarily) — every member must collapse to one component and exactly
+    # one canonical per component
+    out = dedup_cc_clusters(spark, SF_DIR).collect()
+    assert out, "candidate graph is empty"
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    sizes = sorted(len(v) for v in by_comp.values())
+    assert max(sizes) >= 3, f"expected a multi-doc chain, sizes={sizes}"
+    for comp_id, members in by_comp.items():
+        assert sum(r.is_canonical for r in members) == 1
+        assert min(r.doc_id for r in members) == comp_id
+
+
+def test_split_assign_covers_all_docs_and_is_deterministic(spark):
+    a = pipe_split_assign(spark, SF_DIR).collect()
+    b = pipe_split_assign(spark, SF_DIR).collect()
+    assert sorted((r.doc_id, r.split) for r in a) == sorted(
+        (r.doc_id, r.split) for r in b
+    )
+    splits = {r.split for r in a}
+    assert splits == {"train", "val", "test"}
+    n = len(a)
+    train = sum(r.split == "train" for r in a)
+    assert 0.6 * n < train < 0.95 * n  # ~80% +- hash noise
+
+
+def test_shard_pack_budget_invariant(spark):
+    # within every (lang, pack_group, shard): tokens-before-last-doc < budget
+    # (each doc lands in the shard its running prefix starts in)
+    rows = pipe_shard_pack(spark, SF_DIR).collect()
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r.lang, r.pack_group), []).append(r)
+    for (lang, grp), docs in by_key.items():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in docs:
+            assert r.shard_id == cum // PACK_BUDGET_TOKENS, (lang, grp, r)
+            cum += r.n_tokens
+
+
+def test_stratified_sample_exact_sizes(spark):
+    import math
+
+    docs = pipe_stratified_sample(spark, SF_DIR).collect()
+    strata: dict[tuple, list] = {}
+    for r in docs:
+        strata.setdefault((r.lang, r.source), []).append(r)
+    for (lang, source), members in strata.items():
+        n = members[0].stratum_n
+        expect = math.ceil(n / SAMPLE_DENOM)
+        assert len(members) == expect, (lang, source, n, len(members))
+        assert sorted(r.sample_rank for r in members) == list(range(1, expect + 1))
