@@ -116,6 +116,50 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "mime", "data").mapInPandas(process, FEATURE_SCHEMA)
 
 
+def media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from `documents`: text bytes as the
+    opaque binary payload, mime cycling image/audio/video by doc_id, typed
+    metadata synthesized arithmetically. This is the fixture the registry's
+    mm_* queries run on — byte-exact in any engine, so binary-column plumbing
+    (octet lengths, content hashes, metadata projections, frame explodes)
+    gets real driver-verified correctness rows, not just pytest coverage."""
+    from doc2vec_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mime.alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.struct(
+            F.concat(F.lit("synthetic://"), F.col("doc_id").cast("string")).alias(
+                "source_url"
+            ),
+            (64 + F.col("doc_id") % 64).cast("int").alias("width"),
+            (48 + F.col("doc_id") % 48).cast("int").alias("height"),
+            ((F.col("n_chars") % 10 + 1) * 1000).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+_MEDIA_SQL = """
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         encode(text) AS data,
+         text,
+         64 + doc_id % 64 AS width,
+         48 + doc_id % 48 AS height,
+         (n_chars % 10 + 1) * 1000 AS duration_ms
+  FROM documents
+"""
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame timestamp from
     the metadata (decode stubbed). Shows the explode shape: a 2-hour video
@@ -127,3 +171,81 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
     ).withColumn("frame_ts_ms", F.col("frame_index") * every_ms)
+
+
+# ---------------------------------------------------------------------------
+# registry queries (driver-verified multimodal plumbing)
+# ---------------------------------------------------------------------------
+
+from doc2vec_spark.spec import QuerySpec  # noqa: E402
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+@_register(
+    "mm_media_stats",
+    f"""
+    SELECT mime, COUNT(*) AS n_items,
+           CAST(SUM(octet_length(data)) AS BIGINT) AS total_bytes,  -- DuckDB SUM(BIGINT) is HUGEINT -> pandas float; Spark returns long
+           COUNT(DISTINCT sha256(text)) AS n_distinct,  -- sha256 is VARCHAR-only in DuckDB; data IS encode(text), same bytes
+           MAX(width) AS max_width
+    FROM ({_MEDIA_SQL})
+    GROUP BY mime
+    """,
+    "Per-mime corpus stats over opaque binary payloads: byte totals and "
+    "content-hash distinct counts — the scan/agg plumbing every multimodal "
+    "pipeline starts with. One shuffle on a 3-value key.",
+)
+def mm_media_stats(spark, sf_dir: str) -> DataFrame:
+    media = media_from_documents(spark, sf_dir)
+    return media.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("data")).alias("total_bytes"),
+        F.countDistinct(F.sha2(F.col("data"), 256)).alias("n_distinct"),
+        F.max("meta.width").alias("max_width"),
+    )
+
+
+@_register(
+    "mm_frame_sample",
+    f"""
+    SELECT media_id, i AS frame_index, i * 1000 AS frame_ts_ms
+    FROM (SELECT media_id, greatest(1, duration_ms // 1000) AS n_frames
+          FROM ({_MEDIA_SQL}) WHERE mime = 'video/mp4'),
+         unnest(generate_series(0, n_frames - 1)) t(i)
+    """,
+    "Video frame-sampling plan: metadata-driven explode of per-frame rows "
+    "(decode stubbed; the 100 TB point is that a 2-hour video becomes 7200 "
+    "independently-processed rows, not one task).",
+)
+def mm_frame_sample(spark, sf_dir: str) -> DataFrame:
+    media = media_from_documents(spark, sf_dir).filter(F.col("mime") == "video/mp4")
+    return frame_sample_plan(media, every_ms=1000)
+
+
+@_register(
+    "mm_feature_extract",
+    None,  # mapInPandas stub decoder: not SQL-expressible, rows-only check
+    "Arrow-batched feature extraction over binary payloads (deterministic "
+    "stub decoder; real codec drop-in at decode_image_real).",
+)
+def mm_feature_extract(spark, sf_dir: str) -> DataFrame:
+    media = media_from_documents(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "content_hash",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
+            "feature_sq_norm"
+        ),
+    )

@@ -96,14 +96,23 @@ _SHINGLES_SQL = """
 """
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc2vec_spark.session import default_parallelism
-
-    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    # No .distinct() needed: word_shingles applies array_distinct per doc and
-    # doc_id is unique, so (doc_id, lang, s) rows are already unique — the
-    # explicit distinct was a pure extra shuffle of the full shingle table.
-    return docs.select("doc_id", "lang", F.explode(word_shingles(3)).alias("s"))
+def pairs_in_posting(ids: Column) -> Column:
+    """All (u, v) u < v pairs from a doc-id array — the map-side pair
+    expansion of an inverted-index posting list. Emitting pairs from a
+    grouped posting costs ONE shuffle of the shingle table (the groupBy);
+    the equivalent self-join on the shingle shuffles it twice (once per join
+    side). Posting lists are df-capped, so the expansion is bounded."""
+    sorted_ids = F.array_sort(ids)
+    n = F.size(sorted_ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda u, i: F.transform(
+                F.slice(sorted_ids, i + 2, n),
+                lambda v: F.struct(u.alias("u"), v.alias("v")),
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -135,52 +144,67 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_HASHED_SHINGLES3_SQL = (
+    "SELECT doc_id, lang, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h "
+    f"FROM ({_SHINGLES_SQL})"
+)
+
+
 @_register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh0 AS ({_SHINGLES_SQL}),
-    keep AS (SELECT lang, s FROM sh0 GROUP BY lang, s HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
-    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (lang, s)),
+    WITH sh0 AS ({_HASHED_SHINGLES3_SQL}),
+    keep AS (SELECT lang, h FROM sh0 GROUP BY lang, h HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (lang, h)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, floor((inter * 1.0 / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
     WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
     """,
-    "Near-dup pairs by word-3-gram Jaccard: shingle equi-join blocked by lang "
-    "(inverted-index join, not a cross join), with a DF<={} hot-shingle cap "
-    "bounding any single shingle's join fanout".format(MAX_SHINGLE_DF),
+    "Near-dup pairs by word-3-gram Jaccard over an inverted index: shingles "
+    "hashed map-side to 60-bit md5-prefix longs (8-byte shuffle keys instead "
+    "of ~20-char strings), grouped into per-(lang, shingle) posting lists "
+    "(the DF<={} hot-shingle cap IS the posting-size filter), pairs expanded "
+    "map-side from each posting — ONE shuffle of the shingle table instead "
+    "of a two-sided self-join, never a cross join.".format(MAX_SHINGLE_DF),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from doc2vec_spark.session import default_parallelism
 
-    sh0 = _shingle_df(spark, sf_dir)
-    # DF cap via a window count over (lang, s): ONE shuffle that leaves the
-    # data hash-partitioned on exactly the pair-join keys below, vs the
-    # groupBy + left-semi formulation which costs two extra shuffles of the
-    # full shingle table (and computes the explode+distinct twice).
-    dfw = Window.partitionBy("lang", "s")
-    sh = (
-        sh0.withColumn("df", F.count(F.lit(1)).over(dfw))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
-        .cache()  # three consumers: both pair-join sides + the sizes agg
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                word_shingles(3),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("h"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # one shuffle: posting list per (lang, shingle-hash); the df cap is a
+    # size filter on the posting, and both the pair expansion and the
+    # per-doc size count are derived from the SAME cached postings
+    postings = (
+        hashed.groupBy("lang", "h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= MAX_SHINGLE_DF)
+        .cache()
+    )
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs_in_posting(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.u").alias("doc_a"), F.col("p.v").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))

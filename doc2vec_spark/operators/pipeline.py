@@ -299,25 +299,6 @@ def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def pairs_in_posting(ids: Column) -> Column:
-    """All (u, v) u < v pairs from a doc-id array — the map-side pair
-    expansion of an inverted-index posting list. Emitting pairs from a
-    grouped posting costs ONE shuffle of the shingle table (the groupBy);
-    the equivalent self-join on the shingle shuffles it twice (once per join
-    side). Posting lists are df-capped, so the expansion is bounded."""
-    sorted_ids = F.array_sort(ids)
-    n = F.size(sorted_ids)
-    return F.flatten(
-        F.transform(
-            sorted_ids,
-            lambda u, i: F.transform(
-                F.slice(sorted_ids, i + 2, n),
-                lambda v: F.struct(u.alias("u"), v.alias("v")),
-            ),
-        )
-    )
-
-
 def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate edges: (u, v) docs sharing >= MIN_SHARED_EDGE
     distinct 5-gram shingles, u < v. Inverted-index shape: group doc ids per
@@ -331,7 +312,7 @@ def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable md5 construction as operators/dedup.py, computed
     identically in the oracle — even a (2^-60-improbable) collision is
     mirrored, so results stay hash-checkable."""
-    from doc2vec_spark.operators.dedup import word_shingles
+    from doc2vec_spark.operators.dedup import pairs_in_posting, word_shingles
 
     from doc2vec_spark.session import default_parallelism
 

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # swallowed ImportError would silently shrink queries()/oracle_sql() and
     # with it the driver correctness gate. Optional third-party deps are
     # gated inside the modules themselves, never here.
+    from doc2vec_spark import multimodal
     from doc2vec_spark.operators import (
         analytics,
         asof,
@@ -72,6 +73,7 @@ def all_queries() -> dict[str, QuerySpec]:
         domain,
         extensions,
         pipeline,
+        multimodal,
         reference_parity,
         asof,
     ]
