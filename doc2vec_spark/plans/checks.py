@@ -42,6 +42,23 @@ def assert_broadcast_join(df: DataFrame) -> None:
     assert "BroadcastHashJoin" in formatted_plan(df), "expected a broadcast join"
 
 
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan (broadcast
+    exchanges excluded): the scale-dominant cost a plan pays."""
+    import re
+
+    plan = formatted_plan(df)
+    # operator-detail headers ("(5) Exchange") — the tree section would
+    # double-count every node
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
+def assert_no_cross_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"{op} in plan — unbounded pair blow-up at scale"
+
+
 def assert_top_k(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, "expected TakeOrderedAndProject top-k"

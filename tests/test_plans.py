@@ -70,3 +70,33 @@ def test_pair_dedup_join_keys_are_not_block_only(spark):
 
     conds = join_conds(_q("dedup_embedding_cosine", spark))
     assert conds and all("salt" in c for c in conds), conds
+
+
+def test_split_assign_is_map_only(spark):
+    # deterministic split must stay a pure projection: zero shuffles
+    from doc2vec_spark.plans.checks import count_exchanges
+
+    assert count_exchanges(_q("pipe_split_assign", spark)) == 0
+
+
+def test_frame_sample_is_map_only(spark):
+    # metadata-driven frame explode: no shuffle before the per-frame rows
+    from doc2vec_spark.plans.checks import count_exchanges
+
+    assert count_exchanges(_q("mm_frame_sample", spark)) == 0
+
+
+def test_inverted_index_ops_never_cross_join(spark):
+    from doc2vec_spark.plans.checks import assert_no_cross_join
+
+    for name in ("dedup_ngram_jaccard", "pipe_contamination", "dedup_minhash_lsh"):
+        assert_no_cross_join(_q(name, spark))
+
+
+def test_candidate_edges_shuffle_budget(spark):
+    # posting-list pair generation: groupBy(h) + groupBy(u,v) and the doc
+    # repartition — one shuffle of the full shingle table, not two join sides
+    from doc2vec_spark.operators.pipeline import candidate_edges
+    from doc2vec_spark.plans.checks import count_exchanges
+
+    assert count_exchanges(candidate_edges(spark, SF_DIR)) <= 3
