@@ -435,3 +435,88 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus build
+# ---------------------------------------------------------------------------
+# The composition a real corpus build runs nightly: exact-dedup to canonical
+# docs -> quality gate -> deterministic split -> per-(split, lang) shard
+# stats. Every stage is the already-verified operator above / in
+# textanalysis.py; this query proves they compose into one declarative plan
+# (Catalyst sees a single tree: the dedup window, the quality projection and
+# the split bucket all collapse into two shuffles — the hash-partition for
+# the dedup window and the final stats groupBy).
+
+QUALITY_CUTOFF = 0.7
+
+
+@_register(
+    "pipe_corpus_build",
+    rf"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+             (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0
+                        / len(regexp_split_to_array(trim(text), '\s+')) >= 0.3 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / n_chars <= 0.1
+                   THEN 0.3 ELSE 0.0 END) AS q
+      FROM documents)
+    SELECT {_SPLIT_CASE_SQL} AS split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM scored
+    WHERE doc_id = canonical_id AND q >= {QUALITY_CUTOFF}
+    GROUP BY 1, 2
+    """,
+    "End-to-end corpus build: exact-dedup canonical filter -> quality gate "
+    f"(score >= {QUALITY_CUTOFF}) -> deterministic split -> per-(split, lang) "
+    "doc/token/char totals. One declarative plan, two shuffles.",
+)
+def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions import sha256_hex
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    canonical = F.min("doc_id").over(Window.partitionBy(sha256_hex(F.col("text"))))
+    unique_ratio = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+        * 1.0
+        / F.col("n_chars")
+    )
+    q = (
+        F.when(F.col("n_chars").between(100, 20000), 0.4).otherwise(0.0)
+        + F.when(unique_ratio >= 0.3, 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.3).otherwise(0.0)
+    )
+    b = _bucket_col()
+    split = (
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        split.alias("split"),
+        canonical.alias("canonical_id"),
+        F.size(toks).alias("ws_tokens"),
+        q.alias("q"),
+    )
+    return (
+        scored.filter(
+            (F.col("doc_id") == F.col("canonical_id"))
+            & (F.col("q") >= QUALITY_CUTOFF)
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
