@@ -40,7 +40,14 @@ SIMHASH_BITS = 32  # 8 md5 nibbles x 4 bits
 HAMMING_THRESHOLD = 3
 SIMHASH_BANDS = HAMMING_THRESHOLD + 1  # pigeonhole: <=3 diff bits -> a shared band
 COSINE_DUP_THRESHOLD = 0.4
-GRID_SALTS = 8  # pair-grid sharding factor for the exact cosine pair join
+# Pair-grid sharding bounds for the exact cosine pair join: the grid dim is
+# adaptive — ~1 salt per 1000 vectors, so small inputs don't pay 64x row
+# replication for parallelism they can't use, and large inputs shard O(n^2)
+# work into (n/salts)^2-cell tasks. Purely physical: the result set is
+# grid-invariant (proven by the unchanged oracle).
+GRID_SALTS_MIN = 2
+GRID_SALTS_MAX = 64
+GRID_TARGET_PER_SALT = 1000
 # Hot-shingle document-frequency cap: a shingle present in d docs fans out
 # into d^2 candidate rows in the inverted-index join; one stopword-gram
 # ("the quick brown") in 10^6 docs would dominate the whole shuffle. Shingles
@@ -535,30 +542,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
           >= {COSINE_DUP_THRESHOLD}
     """,
-    "Embedding near-dup pairs: cosine similarity >= {s}, exact, sharded on a "
-    "{g}x{g} salt grid. Why not SRP/LSH blocking: at this threshold "
+    "Embedding near-dup pairs: cosine similarity >= {s}, exact, sharded on "
+    "an adaptive gxg salt grid (~1 salt per {t} vectors, {lo}..{hi}). Why "
+    "not SRP/LSH blocking: at this threshold "
     "(cos≈0.45 -> ~65° apart) qualifying pairs disagree on ~36% of SRP bits — "
     "measured on the driver testdata, the 5 true pairs differ in 2-5 of 8 "
     "signature bits under every seed tried — so any LSH band join either "
     "misses pairs or probes near-exhaustively. Exact all-pairs IS the "
     "semantics; the grid shards the O(n^2) work evenly: each side is "
-    "replicated {g}x with a (salt, probe) key, every pair meets in exactly "
-    "one of {g}^2 cells, so a hot label melts into {g}^2 uniform tasks and "
+    "replicated g x with a (salt, probe) key, every pair meets in exactly "
+    "one of g^2 cells, so a hot label melts into g^2 uniform tasks and "
     "the join key is never label alone. At true near-dup thresholds (>=0.9, "
     "<26° -> bits agree p=0.86) the SRP bucket join in similarity.py is the "
-    "right plan.".format(s=COSINE_DUP_THRESHOLD, g=GRID_SALTS),
+    "right plan.".format(
+        s=COSINE_DUP_THRESHOLD,
+        t=GRID_TARGET_PER_SALT,
+        lo=GRID_SALTS_MIN,
+        hi=GRID_SALTS_MAX,
+    ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
 
+    # adaptive grid dim: one cheap metadata count (parquet footers) sizes the
+    # shard grid to the input — the result set is grid-invariant
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    grid = max(GRID_SALTS_MIN, min(GRID_SALTS_MAX, math.ceil(n_vecs / GRID_TARGET_PER_SALT)))
     # norms precomputed per VECTOR (not per pair): same arithmetic, ~3x less
     # fold work inside the quadratic pair stage
-    probes = F.array(*[F.lit(i) for i in range(GRID_SALTS)])
+    probes = F.array(*[F.lit(i) for i in range(grid)])
     e = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
         .withColumn("nrm", l2_norm(F.col("v")))
-        .withColumn("salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(GRID_SALTS)))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(grid)))
     )
     # pair (a,b) meets exactly once: in grid cell (a.salt, b.salt) — a is
     # replicated across probe columns j, b across probe rows i, and the join

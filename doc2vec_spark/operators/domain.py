@@ -30,8 +30,14 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 
 
 def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents table -> the chunker's input shape."""
-    return load(spark, sf_dir, "documents").select(
+    """documents table -> the chunker's input shape.
+
+    Repartitioned: the single-file parquet scan is ONE partition, which would
+    serialize the mapInPandas chunk/embed stages onto one core (one executor
+    at cluster scale)."""
+    from doc2vec_spark.session import default_parallelism
+
+    return load(spark, sf_dir, "documents").repartition(default_parallelism()).select(
         F.concat(F.lit("https://docs.example.com/"), F.col("source"), F.lit("/p"),
                  F.col("doc_id").cast("string"), F.lit(".md")).alias("url"),
         F.col("text").alias("markdown"),
