@@ -167,3 +167,58 @@ def stream_dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# interval (stream-stream) join
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_MIN = 30
+
+
+@_register(
+    "stream_interval_join",
+    f"""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id,
+           CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT) AS secs_to_purchase
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+    """,
+    "Event-time interval join (click -> purchase attribution within {m} min, "
+    "per user): the batch form of a watermarked stream-stream join. The join "
+    "keys on user_id (equi) with the time bound as a range predicate — at "
+    "scale this is a co-partitioned join on the user key, never a time-only "
+    "cross join. streaming/windows.py::attribution_stream runs the same join "
+    "with two readStreams + watermarks.".format(m=_ATTR_WINDOW_MIN),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    secs = F.floor(
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts")))
+        / F.lit(1_000_000.0)
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTES")
+            ),
+        )
+        .select("click_id", "purchase_id", "user_id", secs.alias("secs_to_purchase"))
+    )

@@ -148,3 +148,56 @@ def running_user_totals(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def attribution_stream(
+    spark: SparkSession,
+    events_parquet: str,
+    checkpoint: str,
+    name: str = "attribution",
+    window_min: int = 30,
+) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks joined to same-user
+    purchases within ``window_min`` minutes. Both sides carry event-time
+    watermarks, so Spark bounds the join state: a click's state is droppable
+    once the purchase-side watermark passes click_ts + window (this is the
+    state-cleanup contract a 24/7 attribution job needs — without the time
+    bound the join state grows forever). Batch-oracle twin:
+    operators/windows.py::stream_interval_join."""
+    clicks = (
+        read_events_stream(spark, events_parquet)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, events_parquet)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {window_min} MINUTES"
+        ),
+    ).select("click_id", "purchase_id", F.col("click_user").alias("user_id"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -51,3 +51,85 @@ def test_stateful_running_totals(spark, tmp_path):
     )
     j = final.join(batch, "user_id")
     assert j.filter(F.col("events_seen") != F.col("n")).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from doc2vec_spark.operators.windows import stream_interval_join
+    from doc2vec_spark.streaming.windows import attribution_stream
+
+    got = attribution_stream(spark, EVENTS, str(tmp_path / "ck_attr"), name="t_attr")
+    batch = stream_interval_join(spark, SF_DIR).select(
+        "click_id", "purchase_id", "user_id"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Three-micro-batch run (maxFilesPerTrigger=1): batch 0 pushes the
+    watermark to 12:00, batch 1 closes + emits the 10:00 window, batch 2's
+    late 10:30 event must be DROPPED (its window state is gone), so the
+    emitted 10:00-window count excludes it. (A late row arriving in the SAME
+    batch that closes its window is still merged — eviction happens at batch
+    end — which is why the late row rides in its own later batch here.)"""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_one(name, rows, mtime):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"stage_{name}"))
+        part = next(
+            p for p in (tmp_path / f"stage_{name}").iterdir() if p.name.endswith(".parquet")
+        )
+        dest = src / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    import datetime as dt
+
+    D = dt.datetime
+    base = time.time() - 1000
+    # batch 1: three on-time events in [10:00, 11:00) + one at 13:00 that
+    # pushes max event time to 13:00 -> watermark 12:00 after the batch
+    write_one(
+        "b1",
+        [
+            (1, D(2024, 1, 1, 10, 0), 1.0),
+            (2, D(2024, 1, 1, 10, 5), 1.0),
+            (3, D(2024, 1, 1, 10, 10), 1.0),
+            (4, D(2024, 1, 1, 13, 0), 1.0),
+        ],
+        base,
+    )
+    # batch 1: an on-time event (watermark -> 12:30; 10:00 window emits)
+    write_one("b2", [(6, D(2024, 1, 1, 13, 30), 1.0)], base + 50)
+    # batch 2: a LATE event inside the already-closed 10:00 window
+    write_one("b3", [(5, D(2024, 1, 1, 10, 30), 1.0)], base + 100)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("wstart"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.wstart: r.n for r in spark.table("t_late").collect()}
+    ten = dt.datetime(2024, 1, 1, 10, 0)
+    assert rows.get(ten) == 3, f"late event leaked into closed window: {rows}"
