@@ -246,9 +246,21 @@ def w1_prefix_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("https://docs.example.com", "2023-12-31")], "prefix string, lastmod string"
     )
     prefixes = section.unionByName(root)
-    joined = pages.join(
-        F.broadcast(prefixes), F.col("url").startswith(F.col("prefix"))
+    # EQUI-join, not a startswith theta-join: sitemap section prefixes are
+    # URL-directory-boundary-aligned, so each page's candidate matches are
+    # exactly its "/"-boundary ancestors — a bounded explode (url depth) that
+    # turns the prefix match into a broadcast HASH join. The startswith
+    # formulation compiles to BroadcastNestedLoopJoin: same result here, but
+    # O(pages x prefixes) comparisons instead of O(pages x depth) probes.
+    parts = F.split(F.col("url"), "/")
+    ancestors = F.transform(
+        F.sequence(F.lit(3), F.size(parts)),
+        lambda k: F.array_join(F.slice(parts, 1, k), "/"),
     )
+    candidates = pages.select(
+        "doc_id", "url", F.explode(ancestors).alias("prefix")
+    )
+    joined = candidates.join(F.broadcast(prefixes), "prefix")
     w = Window.partitionBy("doc_id").orderBy(F.length("prefix").desc(), F.col("prefix"))
     return (
         joined.withColumn("rn", F.row_number().over(w))

@@ -107,3 +107,59 @@ def test_stratified_sample_exact_sizes(spark):
         expect = math.ceil(n / SAMPLE_DENOM)
         assert len(members) == expect, (lang, source, n, len(members))
         assert sorted(r.sample_rank for r in members) == list(range(1, expect + 1))
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: the distributed min-label CC must agree with a
+    reference union-find on randomized graphs (seeded, hermetic)."""
+    import random
+
+    def union_find_components(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # canonical label = min node id in the component
+        comps = {}
+        for n in nodes:
+            comps.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comps.values() for n in members}
+
+    rng = random.Random(1234)
+    for trial in range(4):
+        n_nodes = rng.randint(8, 40)
+        nodes = rng.sample(range(1000), n_nodes)
+        n_edges = rng.randint(4, n_nodes * 2)
+        pairs = [tuple(rng.sample(nodes, 2)) for _ in range(n_edges)]
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(_edges(spark, pairs)).collect()
+        }
+        touched = sorted({x for p in pairs for x in p})
+        want = union_find_components(pairs, touched)
+        assert got == {n: want[n] for n in touched}, f"trial {trial}: {pairs}"
+
+
+def test_pairs_in_posting_matches_combinations(spark):
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.operators.dedup import pairs_in_posting
+
+    ids = [7, 3, 11, 5, 2]
+    df = spark.createDataFrame([(ids,)], "ids array<long>")
+    got = sorted(
+        (r.p.u, r.p.v)
+        for r in df.select(F.explode(pairs_in_posting(F.col("ids"))).alias("p")).collect()
+    )
+    want = sorted(combinations(sorted(ids), 2))
+    assert got == [tuple(p) for p in want]

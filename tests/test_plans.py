@@ -100,3 +100,22 @@ def test_candidate_edges_shuffle_budget(spark):
     from doc2vec_spark.plans.checks import count_exchanges
 
     assert count_exchanges(candidate_edges(spark, SF_DIR)) <= 3
+
+
+def test_no_registry_query_plans_a_cross_join(spark):
+    """Blanket scale contract: NO registered query may compile to a
+    CartesianProduct or BroadcastNestedLoopJoin — the two operators whose
+    cost explodes unbounded at 100 TB. (Every pair-generation op must key
+    its join on a blocking column.)"""
+    from doc2vec_spark.plans.checks import assert_no_cross_join
+    from doc2vec_spark.registry import all_queries
+
+    for name, spec in all_queries().items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+        except Exception as e:  # pragma: no cover - plan build must not fail
+            raise AssertionError(f"{name} failed to build: {e}") from e
+        try:
+            assert_no_cross_join(df)
+        except AssertionError as e:
+            raise AssertionError(f"{name}: {e}") from e
