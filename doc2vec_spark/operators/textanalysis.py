@@ -220,3 +220,83 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(grams).alias("fingerprint"),
         F.size(F.array_distinct(grams)).alias("n_shingles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary + distinctive tokens
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 100
+KEYWORDS_PER_DOC = 3
+
+
+@_register(
+    "ta_vocab_topk",
+    f"""
+    SELECT tok, cnt FROM (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents)
+      GROUP BY tok)
+    ORDER BY cnt DESC, tok LIMIT {VOCAB_K}
+    """,
+    "Corpus vocabulary top-{k}: the canonical wordcount with a deterministic "
+    "(count desc, token) tie order. Compiles to partial-agg -> final-agg -> "
+    "TakeOrderedAndProject: no global sort, no single-partition "
+    "exchange.".format(k=VOCAB_K),
+)
+def ta_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    toks = docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(VOCAB_K)
+    )
+
+
+@_register(
+    "ta_distinctive_tokens",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id, tok, tf, df,
+           floor((tf * 1.0 / df) * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * 1.0 / df.df DESC, tf.tok) AS rn
+      FROM tf JOIN df USING (tok))
+    WHERE rn <= {KEYWORDS_PER_DOC}
+    """,
+    "Per-document distinctive tokens: top-{k} by tf/df ratio (the log-free "
+    "tf-idf surrogate — a single integer division is bit-identical across "
+    "engines, where ln() is libm-dependent). Shuffles: token tf agg, token "
+    "df agg, tf x df equi-join on the token, per-doc window — all keyed, no "
+    "global ordering.".format(k=KEYWORDS_PER_DOC),
+)
+def ta_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    score = F.col("tf") * 1.0 / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(F.desc(score), "tok")
+    return (
+        tf.join(df_, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "tok", "tf", "df", pround(score, 6).alias("score"))
+    )

@@ -102,12 +102,16 @@ def test_candidate_edges_shuffle_budget(spark):
     assert count_exchanges(candidate_edges(spark, SF_DIR)) <= 3
 
 
-def test_no_registry_query_plans_a_cross_join(spark):
-    """Blanket scale contract: NO registered query may compile to a
-    CartesianProduct or BroadcastNestedLoopJoin — the two operators whose
-    cost explodes unbounded at 100 TB. (Every pair-generation op must key
-    its join on a blocking column.)"""
-    from doc2vec_spark.plans.checks import assert_no_cross_join
+def test_no_registry_query_plans_a_cross_join_or_global_serialization(spark):
+    """Blanket scale contracts over EVERY registered query:
+
+    1. no CartesianProduct / BroadcastNestedLoopJoin — the operators whose
+       cost explodes unbounded at 100 TB (every pair-generation op must key
+       its join on a blocking column);
+    2. no `Exchange SinglePartition` — a global single-partition shuffle
+       serializes the query on one core (global windows/sorts must instead
+       be partitioned windows or TakeOrderedAndProject top-ks)."""
+    from doc2vec_spark.plans.checks import assert_no_cross_join, formatted_plan
     from doc2vec_spark.registry import all_queries
 
     for name, spec in all_queries().items():
@@ -119,3 +123,6 @@ def test_no_registry_query_plans_a_cross_join(spark):
             assert_no_cross_join(df)
         except AssertionError as e:
             raise AssertionError(f"{name}: {e}") from e
+        assert "Exchange SinglePartition" not in formatted_plan(df), (
+            f"{name}: global single-partition exchange"
+        )
