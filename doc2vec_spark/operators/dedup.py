@@ -40,12 +40,13 @@ SIMHASH_BITS = 32  # 8 md5 nibbles x 4 bits
 HAMMING_THRESHOLD = 3
 SIMHASH_BANDS = HAMMING_THRESHOLD + 1  # pigeonhole: <=3 diff bits -> a shared band
 COSINE_DUP_THRESHOLD = 0.4
-# Pair-grid sharding bounds for the exact cosine pair join: the grid dim is
-# adaptive — ~1 salt per 1000 vectors, so small inputs don't pay 64x row
-# replication for parallelism they can't use, and large inputs shard O(n^2)
-# work into (n/salts)^2-cell tasks. Purely physical: the result set is
-# grid-invariant (proven by the unchanged oracle).
-GRID_SALTS_MIN = 2
+# Pair-grid sharding bounds for the exact cosine pair join: the grid dim
+# scales UP with input (~1 salt per 1000 vectors) so large inputs shard the
+# O(n^2) work into (n/salts)^2-cell tasks, but never below 8 — join
+# parallelism is bounded by distinct key combos (labels x grid^2), and a
+# 2x2 grid was measured to halve effective parallelism on a cold JVM.
+# Purely physical: the result set is grid-invariant (oracle unchanged).
+GRID_SALTS_MIN = 8
 GRID_SALTS_MAX = 64
 GRID_TARGET_PER_SALT = 1000
 # Hot-shingle document-frequency cap: a shingle present in d docs fans out

@@ -355,10 +355,13 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     """
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.cache()
+    # round 0 fused into init: label(u) = min(u, neighbors(u)) straight from
+    # the edge list — one groupBy instead of identity-init + a full
+    # propagate round (for near-clique dup clusters this IS convergence, so
+    # the loop's first pass is just the fixed-point confirmation)
     labels = (
-        sym.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        sym.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.min(F.least("u", "v")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
