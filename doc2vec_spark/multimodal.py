@@ -249,3 +249,34 @@ def mm_feature_extract(spark, sf_dir: str) -> DataFrame:
             "feature_sq_norm"
         ),
     )
+
+
+@_register(
+    "mm_feature_search",
+    None,  # probe features come from the stub decoder: rows-only check
+    "Multimodal similarity search: decode -> feature-extract -> exact cosine "
+    "top-k against a probe item, the image-dedup/search composition. The KNN "
+    "is the same native zip_with/aggregate dot product + "
+    "TakeOrderedAndProject as the text tier (no Python in the scoring path).",
+)
+def mm_feature_search(spark, sf_dir: str, k: int = 5) -> DataFrame:
+    from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
+    from doc2vec_spark.tables import load
+
+    # probe feature computed DRIVER-side from the probe item's bytes (the
+    # query-plane convention, same as embed_text for text KNN) and inlined
+    # as a literal — a 1-row join would plan a BroadcastNestedLoopJoin
+    probe_text = (
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") == 0).select("text").first()[0]
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _stub_feature(probe_text.encode("utf-8"))])
+    feats = extract_features(media_from_documents(spark, sf_dir)).select(
+        "media_id", "mime", as_double_array(F.col("feature")).alias("v")
+    )
+    sim = dot(F.col("v"), qv) / (l2_norm(F.col("v")) * l2_norm(qv))
+    return (
+        feats.filter(F.col("media_id") != 0)
+        .select("media_id", "mime", F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "media_id")
+        .limit(k)
+    )

@@ -105,3 +105,15 @@ def test_ops_api(spark):
 
     daily = ops.daily_run_stats(runs).collect()
     assert {(r["day"].day, r["status"]): r["n"] for r in daily} == {(1, "completed"): 1, (1, "failed"): 1, (2, "completed"): 1}
+
+
+def test_mm_feature_search_is_deterministic_topk(spark):
+    from doc2vec_spark.multimodal import mm_feature_search
+    from tests.conftest import SF_DIR
+
+    a = mm_feature_search(spark, SF_DIR).collect()
+    b = mm_feature_search(spark, SF_DIR).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 5
+    assert all(a[i].cosine_sim >= a[i + 1].cosine_sim for i in range(len(a) - 1))
+    assert all(r.media_id != 0 for r in a)  # probe item excluded
