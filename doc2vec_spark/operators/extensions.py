@@ -193,3 +193,19 @@ def ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
     )
+
+
+@_register(
+    "ext_approx_quantile",
+    None,  # KLL/GK sketches differ across engines -> rows-only; accuracy is
+    # asserted against the exact percentile in tests/test_extensions.py
+    "approx_percentile (GK sketch): mergeable constant-memory quantiles — the "
+    "scale path where exact percentile would sort each group; accuracy 100 "
+    "bounds rank error at 1%",
+)
+def ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(100)).alias("ap50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(100)).alias("ap95"),
+    )

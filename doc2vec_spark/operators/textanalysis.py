@@ -290,7 +290,9 @@ def ta_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # cached: tf feeds BOTH the join probe side and the df aggregate — an
+    # uncached plan recomputes the whole explode+agg subtree twice
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     score = F.col("tf") * 1.0 / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), "tok")
