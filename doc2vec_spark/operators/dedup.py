@@ -602,3 +602,95 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", pround("sim", 6).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup admission check
+# ---------------------------------------------------------------------------
+# The production shape: a new crawl batch is checked against the EXISTING
+# corpus before admission — an asymmetric band join (new x corpus), never
+# corpus x corpus. Cost scales with |new| x collision rate, not corpus^2:
+# at 100 TB the corpus side is a bucketed signature index and each new doc
+# probes only its band buckets. Batch membership is the deterministic md5
+# split from operators/pipeline.py (bucket >= 80 plays "new").
+
+_INC_NEW_BUCKET = 80  # >= -> "new batch"; < -> "existing corpus"
+_INC_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@_register(
+    "dedup_incremental_check",
+    f"""
+    WITH sig AS (SELECT *, {_INC_BUCKET_SQL} AS bucket FROM ({_MINHASH_SIG_SQL})),
+    newb AS (SELECT * FROM sig WHERE bucket >= {_INC_NEW_BUCKET}),
+    corpus AS (SELECT * FROM sig WHERE bucket < {_INC_NEW_BUCKET})
+    SELECT new_doc_id, corpus_doc_id,
+           floor((est_jaccard) * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+    FROM ({" UNION ".join(
+        "SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id, "
+        + _EST_SQL + " AS est_jaccard "
+        "FROM newb a JOIN corpus b ON a.lang = b.lang AND "
+        + " AND ".join(f"a.{c} = b.{c}" for c in band)
+        for band in _BANDS
+    )})
+    WHERE est_jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "Incremental near-dup admission: new-batch docs (md5 bucket >= {b}) "
+    "probed against the existing corpus via the MinHash band index — an "
+    "asymmetric band join whose cost scales with the new batch, not "
+    "corpus^2.".format(b=_INC_NEW_BUCKET),
+)
+def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sig = _minhash_sig(spark, sf_dir).withColumn("bucket", bucket)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key"),
+            )
+            for bi, band in enumerate(_BANDS)
+        ]
+    )
+    banded = (
+        sig.select(
+            "doc_id",
+            "lang",
+            "bucket",
+            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
+            F.explode(bands).alias("band"),
+        )
+        .select("doc_id", "lang", "bucket", "ms", "band.band_id", "band.band_key")
+        .cache()  # one signature pass feeds both asymmetric sides
+    )
+    newb = banded.filter(F.col("bucket") >= _INC_NEW_BUCKET).alias("a")
+    corpus = banded.filter(F.col("bucket") < _INC_NEW_BUCKET).alias("b")
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * 1.0
+        / NUM_MINHASH
+    )
+    return (
+        newb.join(
+            corpus,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc_id"),
+            F.col("b.doc_id").alias("corpus_doc_id"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("new_doc_id", "corpus_doc_id", pround("est_jaccard", 6).alias("est_jaccard"))
+    )
