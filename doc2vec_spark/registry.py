@@ -17,9 +17,36 @@ from __future__ import annotations
 
 from doc2vec_spark.spec import QuerySpec
 
-# Names with a green row in CORRECTNESS_r01.json (driver-verified round 1).
-# These rotate to the back so round 2's 50-slot window verifies the rest.
-_VERIFIED_PRIOR_ROUNDS: frozenset[str] = frozenset(
+def _driver_verified_names() -> frozenset[str]:
+    """Names with a fully-green row in any prior round's CORRECTNESS_r*.json
+    (read dynamically from the repo root, so each round's rotation reflects
+    everything the driver has ever stamped without manual list upkeep).
+    Falls back to the static round-1 list when the files aren't readable
+    (e.g. the package imported outside the repo checkout)."""
+    import json
+    from pathlib import Path
+
+    verified: set[str] = set()
+    try:
+        root = Path(__file__).resolve().parent.parent
+        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            data = json.loads(f.read_text())
+            for name, row in data.items():
+                if (
+                    isinstance(row, dict)
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") is not False  # rows-only checks lack it
+                    and not row.get("err")
+                ):
+                    verified.add(name)
+    except (OSError, ValueError):
+        pass
+    return frozenset(verified) if verified else _VERIFIED_R01_FALLBACK
+
+
+# Static fallback: green rows in CORRECTNESS_r01.json (driver-verified round 1).
+_VERIFIED_R01_FALLBACK: frozenset[str] = frozenset(
     {
         "p1_metadata_filter", "p2_url_prefix_filter", "p3_extension_filter",
         "p4_p6_content_guards", "j1_anti_join_cleanup", "j2_semi_join_allowlist",
@@ -86,6 +113,7 @@ def all_queries() -> dict[str, QuerySpec]:
             merged[name] = spec
 
     # Rotation: least-recently-verified first, prior-round greens at the back.
-    fresh = {n: s for n, s in merged.items() if n not in _VERIFIED_PRIOR_ROUNDS}
-    seen = {n: s for n, s in merged.items() if n in _VERIFIED_PRIOR_ROUNDS}
+    verified = _driver_verified_names()
+    fresh = {n: s for n, s in merged.items() if n not in verified}
+    seen = {n: s for n, s in merged.items() if n in verified}
     return {**fresh, **seen}
