@@ -224,32 +224,28 @@ _SHINGLES5_SQL = """
        unnest(generate_series(1, len(ws)-4)) t(i)
 """
 
-_CAPPED_SHINGLES5_SQL = f"""
-  SELECT sh0.doc_id, sh0.s FROM ({_SHINGLES5_SQL}) sh0
-  JOIN (SELECT s FROM ({_SHINGLES5_SQL}) GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE5_DF}) keep
-  USING (s)
-"""
+_HASHED_SHINGLES5_SQL = (
+    "SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h "
+    f"FROM ({_SHINGLES5_SQL})"
+)
 
 
-def _shingle5_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) distinct 5-gram shingles, uncapped."""
+def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) rows: 5-gram shingles hashed map-side to 60-bit md5-prefix
+    longs — 8-byte shuffle keys instead of ~30-char strings (same
+    engine-portable construction as the dedup ops; the oracle mirrors it)."""
     from doc2vec_spark.operators.dedup import word_shingles
     from doc2vec_spark.session import default_parallelism
 
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    return docs.select("doc_id", F.explode(word_shingles(SHINGLE_N)).alias("s"))
-
-
-def _shingle5_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) distinct 5-gram shingles, df-capped; cached (two consumers
-    in every caller: both sides of an inverted-index join)."""
-    sh0 = _shingle5_raw(spark, sf_dir)
-    dfw = Window.partitionBy("s")
-    return (
-        sh0.withColumn("df", F.count(F.lit(1)).over(dfw))
-        .filter(F.col("df") <= MAX_SHINGLE5_DF)
-        .drop("df")
-        .cache()
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_shingles(SHINGLE_N),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("h"),
     )
 
 
@@ -261,34 +257,52 @@ def _shingle5_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "pipe_contamination",
     f"""
-    WITH sh AS ({_CAPPED_SHINGLES5_SQL}),
-    shb AS (SELECT doc_id, s, {_BUCKET_SQL} AS b FROM sh),
-    tr AS (SELECT doc_id, s FROM shb WHERE b < {TRAIN_PCT}),
-    ev AS (SELECT doc_id, s FROM shb WHERE b >= {TRAIN_PCT})
+    WITH sh0 AS ({_HASHED_SHINGLES5_SQL}),
+    keep AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= {MAX_SHINGLE5_DF}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (h)),
+    shb AS (SELECT doc_id, h, {_BUCKET_SQL} AS b FROM sh),
+    tr AS (SELECT doc_id, h FROM shb WHERE b < {TRAIN_PCT}),
+    ev AS (SELECT doc_id, h FROM shb WHERE b >= {TRAIN_PCT})
     SELECT tr.doc_id AS doc_id,
-           COUNT(DISTINCT tr.s) AS n_shared_ngrams,
+           COUNT(DISTINCT tr.h) AS n_shared_ngrams,
            COUNT(DISTINCT ev.doc_id) AS n_eval_docs
-    FROM tr JOIN ev ON tr.s = ev.s
+    FROM tr JOIN ev ON tr.h = ev.h
     GROUP BY tr.doc_id
-    HAVING COUNT(DISTINCT tr.s) >= {MIN_SHARED_EDGE}
+    HAVING COUNT(DISTINCT tr.h) >= {MIN_SHARED_EDGE}
     """,
     f"Eval-leakage check: train docs sharing >= {MIN_SHARED_EDGE} distinct "
-    f"{SHINGLE_N}-gram shingles with the val/test split. Inverted-index join "
-    f"on the shingle (df <= {MAX_SHINGLE5_DF} cap bounds fanout) — never a "
-    "train x eval cross join.",
+    f"{SHINGLE_N}-gram shingles with the val/test split. Hashed posting "
+    "lists: shingles become 60-bit longs map-side, ONE groupBy builds the "
+    f"inverted index (df <= {MAX_SHINGLE5_DF} cap = posting-size filter), "
+    "train x eval pairs expand map-side per posting — never a cross join, "
+    "no second shuffle of the shingle table.",
 )
 def pipe_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle5_df(spark, sf_dir).withColumn("b", _bucket_col())
-    tr = sh.filter(F.col("b") < TRAIN_PCT).select("doc_id", "s")
-    ev = sh.filter(F.col("b") >= TRAIN_PCT).select(
-        F.col("doc_id").alias("eval_doc_id"), "s"
+    rows = _hashed_shingle5_rows(spark, sf_dir).withColumn("b", _bucket_col())
+    postings = (
+        rows.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "b")).alias("ids"))
+        .filter(F.size("ids").between(2, MAX_SHINGLE5_DF))
+    )
+    tr = F.filter(F.col("ids"), lambda x: x["b"] < TRAIN_PCT)
+    ev = F.filter(F.col("ids"), lambda x: x["b"] >= TRAIN_PCT)
+    pairs = F.flatten(
+        F.transform(
+            tr,
+            lambda t: F.transform(
+                ev,
+                lambda e: F.struct(
+                    t["doc_id"].alias("doc_id"), e["doc_id"].alias("eval_doc_id")
+                ),
+            ),
+        )
     )
     return (
-        tr.join(ev, "s")
-        .groupBy("doc_id")
+        postings.select("h", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_id").alias("doc_id"))
         .agg(
-            F.countDistinct("s").alias("n_shared_ngrams"),
-            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.countDistinct("h").alias("n_shared_ngrams"),
+            F.countDistinct("p.eval_doc_id").alias("n_eval_docs"),
         )
         .filter(F.col("n_shared_ngrams") >= MIN_SHARED_EDGE)
     )
@@ -316,17 +330,11 @@ def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from doc2vec_spark.session import default_parallelism
 
-    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    hashed = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                word_shingles(SHINGLE_N),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            )
-        ).alias("h"),
+    postings = (
+        _hashed_shingle5_rows(spark, sf_dir)
+        .groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ids"))
     )
-    postings = hashed.groupBy("h").agg(F.collect_list("doc_id").alias("ids"))
     return (
         postings.filter(F.size("ids").between(2, MAX_SHINGLE5_DF))
         .select(F.explode(pairs_in_posting(F.col("ids"))).alias("p"))
@@ -397,11 +405,6 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             break
     return labels.select("doc_id", F.col("label").alias("component"))
 
-
-_HASHED_SHINGLES5_SQL = (
-    "SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h "
-    f"FROM ({_SHINGLES5_SQL})"
-)
 
 @_register(
     "dedup_cc_clusters",
