@@ -61,6 +61,11 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        # per-query isolation: several operators cache intermediates for
+        # intra-query reuse; dropping them between queries keeps each timing
+        # self-contained and the block manager from accumulating 40 queries
+        # of leftovers
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
