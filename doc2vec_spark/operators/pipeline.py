@@ -356,10 +356,11 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     ~O(log diameter) rounds. Rounds run until a fixed point (sum of label
     changes == 0 — a cheap driver-side scalar per round). Near-dup clusters
     are near-cliques (diameter <= 2-3), so this converges in 2-3 rounds;
-    for adversarially deep graphs the same loop structure takes the
-    alternating large-star/small-star edge rewrite (Kiveris et al., "CC in
-    MapReduce and Beyond") without changing callers. Labels are
-    localCheckpoint()ed every round, so lineage stays O(1) across rounds.
+    for adversarially deep graphs use `connected_components_star` below
+    (alternating large-star/small-star, O(log^2 n) rounds on any shape —
+    same output contract, property-tested against the same union-find
+    reference). Labels are localCheckpoint()ed every round, so lineage
+    stays O(1) across rounds.
     """
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.cache()
@@ -404,6 +405,71 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Undirected edge set canonicalized to (u > v), self-loops dropped."""
+    return (
+        df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iters: int = 30
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    converges in O(log^2 n) rounds on ANY graph shape, where plain
+    min-label propagation needs O(diameter). Use this variant for deep/
+    chainy graphs; `connected_components` stays the default for near-dup
+    clusters (near-cliques, diameter 2-3, fewer shuffles per round).
+
+    large-star: every node connects its LARGER neighbors to its
+    neighborhood minimum; small-star: every node connects its smaller-or-
+    equal neighbors (and itself) to that minimum. Both are one groupBy +
+    one join per round, keyed on node id — no global structure. At the
+    fixed point the edge set is a union of stars centered at component
+    minima, so labels read off as min(self, neighbors)."""
+    cur = _canon(edges).localCheckpoint()
+    for _ in range(max_iters):
+        # large-star over the symmetric adjacency: emit (v, m(u)) for v > u
+        sym = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        large = _canon(
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star over larger->smaller oriented edges: connect all
+        # smaller neighbors and the node itself to the minimum
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = _canon(
+            large.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+        ).localCheckpoint()
+        changed = (
+            small.exceptAll(cur).count() + cur.exceptAll(small).count()
+        )
+        cur = small
+        if changed == 0:
+            break
+    sym = cur.select("u", "v").union(
+        cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        sym.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("component"))
+    )
 
 
 @_register(

@@ -163,3 +163,53 @@ def test_pairs_in_posting_matches_combinations(spark):
     )
     want = sorted(combinations(sorted(ids), 2))
     assert got == [tuple(p) for p in want]
+
+
+def test_cc_star_matches_union_find_on_random_graphs(spark):
+    """The alternating large-star/small-star variant must agree with
+    union-find on the same randomized graphs as the min-label version."""
+    import random
+
+    from doc2vec_spark.operators.pipeline import connected_components_star
+
+    def union_find_components(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in pairs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        comps = {}
+        for n in nodes:
+            comps.setdefault(find(n), []).append(n)
+        return {n: min(members) for members in comps.values() for n in members}
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n_nodes = rng.randint(8, 30)
+        nodes = rng.sample(range(500), n_nodes)
+        pairs = [tuple(rng.sample(nodes, 2)) for _ in range(rng.randint(4, n_nodes * 2))]
+        got = {
+            r.doc_id: r.component
+            for r in connected_components_star(_edges(spark, pairs)).collect()
+        }
+        touched = sorted({x for p in pairs for x in p})
+        want = union_find_components(pairs, touched)
+        assert got == {n: want[n] for n in touched}, f"trial {trial}: {pairs}"
+
+
+def test_cc_star_deep_path_converges_fast(spark):
+    # a 33-node path has diameter 32: min-label would need many rounds;
+    # star alternation must finish well inside its iteration budget
+    from doc2vec_spark.operators.pipeline import connected_components_star
+
+    n = 33
+    comp = connected_components_star(_edges(spark, [(i, i + 1) for i in range(1, n)]))
+    rows = {r.doc_id: r.component for r in comp.collect()}
+    assert rows == {i: 1 for i in range(1, n + 1)}
