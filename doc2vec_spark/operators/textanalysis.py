@@ -302,3 +302,97 @@ def ta_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KEYWORDS_PER_DOC)
         .select("doc_id", "tok", "tf", "df", pround(score, 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics + PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ta_repetition",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    toktop AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c FROM tf GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id,
+             len(ws) - 2 AS total_g,
+             len(list_distinct(list_transform(generate_series(1, len(ws)-2),
+                                              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS dist_g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents))
+    SELECT t.doc_id AS doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           floor((t.top_c * 1.0 / t.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS top_tok_frac,
+           floor(((g.total_g - g.dist_g) * 1.0 / g.total_g) * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac
+    FROM toktop t JOIN grams g ON t.doc_id = g.doc_id
+    """,
+    "Within-document repetition metrics (Gopher-style filters): most-common-"
+    "token fraction and duplicated-3-gram fraction. The gram side is pure "
+    "per-row array arithmetic (map-only); the token side is one tf shuffle.",
+)
+def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    toktop = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_c"))
+    )
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(ws) - 2)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        (F.size(ws) - 2).alias("total_g"),
+        F.size(F.array_distinct(gram)).alias("dist_g"),
+    )
+    return toktop.join(grams, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pround(F.col("top_c") * 1.0 / F.col("n_tokens"), 6).alias("top_tok_frac"),
+        pround(
+            (F.col("total_g") - F.col("dist_g")) * 1.0 / F.col("total_g"), 6
+        ).alias("dup_3gram_frac"),
+    )
+
+
+# PII scrubbing: the C4-style redaction pass. The driver corpus contains no
+# PII (registry query would be all-zero signal), so this ships as a library
+# operator with behavioral tests on synthetic fixtures instead of an oracle
+# row. Patterns stay in RE2-compatible syntax so the same strings work in
+# any engine.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\-\s()]{7,}\d",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/IPs/phone-shaped spans in ``text_col`` and count each
+    kind per row. Pure regexp_replace/regexp_extract_all column expressions:
+    map-only, whole-stage-codegen, no UDF."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed", scrubbed)

@@ -84,3 +84,23 @@ def test_approx_quantile_close_to_exact(spark):
         spread = max(abs(e95), 1.0)
         assert abs(a50 - e50) <= 0.05 * spread, (et, a50, e50)
         assert abs(a95 - e95) <= 0.05 * spread, (et, a95, e95)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from doc2vec_spark.operators.textanalysis import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.io, call +1 (555) 123-4567"),
+            (2, "server at 10.0.0.1 and 192.168.1.254 ok"),
+            (3, "clean text only"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in scrub_pii(df).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_phone == 1
+    assert "<EMAIL>" in rows[1].scrubbed and "<PHONE>" in rows[1].scrubbed
+    assert "a@b.co" not in rows[1].scrubbed
+    assert rows[2].n_ipv4 == 2 and rows[2].scrubbed.count("<IPV4>") == 2
+    assert rows[3].scrubbed == "clean text only"
+    assert rows[3].n_email == rows[3].n_ipv4 == rows[3].n_phone == 0
