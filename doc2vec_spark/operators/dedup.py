@@ -78,12 +78,20 @@ def _tokens() -> Column:
 
 
 def word_shingles_from(ws: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a (bound) token-array column."""
+    """Distinct word n-gram shingles from a (bound) token-array column.
+
+    Guarded for docs with < n tokens: F.sequence(1, size-n+1) would generate
+    a DESCENDING range there (e.g. [1, 0, -1]) and element_at(ws, 0) raises
+    at runtime — short docs emit an empty shingle array instead (matching the
+    oracle's generate_series, which is empty when start > stop)."""
     idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]),
-    )
+    gram = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(gram)
 
 
@@ -612,7 +620,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus x corpus. Cost scales with |new| x collision rate, not corpus^2:
 # at 100 TB the corpus side is a bucketed signature index and each new doc
 # probes only its band buckets. Batch membership is the deterministic md5
-# split from operators/pipeline.py (bucket >= 80 plays "new").
+# split from operators/pipeline.py (bucket >= _INC_NEW_BUCKET plays "new").
 
 _INC_NEW_BUCKET = 50  # >= -> "new batch"; < -> "existing corpus" (split point
 # is arbitrary for the demo; chosen so planted near-dup pairs straddle it at

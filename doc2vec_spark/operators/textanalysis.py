@@ -191,30 +191,37 @@ def ta_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ta_fingerprint",
     r"""
     SELECT doc_id,
-           MIN(h) AS fingerprint,
-           COUNT(DISTINCT h) AS n_shingles
+           list_min(grams) AS fingerprint,
+           len(list_distinct(grams)) AS n_shingles
     FROM (
-      SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS h
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-           unnest(generate_series(1, len(ws)-4)) t(i)
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(ws)-4, 0)),
+                            i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS grams
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
     )
-    GROUP BY doc_id
     """,
     "Document fingerprint: min-hash over rolling word-5-gram windows "
-    "(winnowing-style content signature, stable under small edits)",
+    "(winnowing-style content signature, stable under small edits). Docs "
+    "with < 5 tokens emit a NULL fingerprint / 0 shingles on both engines "
+    "(array-native in both, so the row is kept rather than dropped).",
 )
 def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_min/array_distinct over the in-row shingle array: a pure
     # projection — no explode, no shuffle. At 100 TB this is a map-only scan.
+    # Short docs (< 5 tokens) are guarded: an unguarded sequence(1, size-4)
+    # descends through 0 and element_at(ws, 0) raises.
     docs = load(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     idx = F.sequence(F.lit(1), F.size(ws) - 4)
-    grams = F.transform(
-        idx,
-        lambda i: F.md5(
-            F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(5)])
+    grams = F.when(
+        F.size(ws) >= 5,
+        F.transform(
+            idx,
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(5)])
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id",
         F.array_min(grams).alias("fingerprint"),
@@ -320,19 +327,23 @@ def ta_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toktop AS (SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c FROM tf GROUP BY doc_id),
     grams AS (
       SELECT doc_id,
-             len(ws) - 2 AS total_g,
-             len(list_distinct(list_transform(generate_series(1, len(ws)-2),
+             greatest(len(ws) - 2, 0) AS total_g,
+             len(list_distinct(list_transform(generate_series(1, greatest(len(ws)-2, 0)),
                                               i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS dist_g
       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents))
     SELECT t.doc_id AS doc_id,
            CAST(t.n_tokens AS BIGINT) AS n_tokens,
            floor((t.top_c * 1.0 / t.n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS top_tok_frac,
-           floor(((g.total_g - g.dist_g) * 1.0 / g.total_g) * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac
+           CASE WHEN g.total_g > 0
+                THEN floor(((g.total_g - g.dist_g) * 1.0 / g.total_g) * 1000000.0 + 0.5) / 1000000.0
+                ELSE NULL END AS dup_3gram_frac
     FROM toktop t JOIN grams g ON t.doc_id = g.doc_id
     """,
     "Within-document repetition metrics (Gopher-style filters): most-common-"
     "token fraction and duplicated-3-gram fraction. The gram side is pure "
-    "per-row array arithmetic (map-only); the token side is one tf shuffle.",
+    "per-row array arithmetic (map-only); the token side is one tf shuffle. "
+    "Docs with < 3 tokens emit total_g=0 and a NULL dup_3gram_frac on both "
+    "engines (guarded against the descending-sequence crash / 0-division).",
 )
 def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.session import default_parallelism
@@ -348,24 +359,30 @@ def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_c"))
     )
     ws = F.split(F.trim(F.col("text")), r"\s+")
+    # Guarded for < 3-token docs: sequence(1, size-2) descends through 0
+    # there (element_at(ws, 0) raises) and total_g=0 would divide by zero.
     idx = F.sequence(F.lit(1), F.size(ws) - 2)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+    gram = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     grams = docs.select(
         "doc_id",
-        (F.size(ws) - 2).alias("total_g"),
+        F.greatest(F.size(ws) - 2, F.lit(0)).alias("total_g"),
         F.size(F.array_distinct(gram)).alias("dist_g"),
     )
     return toktop.join(grams, "doc_id").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         pround(F.col("top_c") * 1.0 / F.col("n_tokens"), 6).alias("top_tok_frac"),
-        pround(
-            (F.col("total_g") - F.col("dist_g")) * 1.0 / F.col("total_g"), 6
+        F.when(
+            F.col("total_g") > 0,
+            pround((F.col("total_g") - F.col("dist_g")) * 1.0 / F.col("total_g"), 6),
         ).alias("dup_3gram_frac"),
     )
 
