@@ -6,25 +6,35 @@ driver's correctness gate runs.
 
 Ordering matters: the driver's correctness harness checks the FIRST 50
 entries of ``queries()`` (CORRECTNESS_r01.json stamped exactly registry
-positions 0-49). With 74 registered queries, a static order leaves the same
-tail forever unverified. We therefore rotate: queries already green in a
-prior round's driver file are moved to the back, so each round's 50-slot
-budget lands on the least-recently-verified queries first and the union of
-rounds covers the whole registry.
+positions 0-49). With more registered queries than slots, a static order
+leaves the same tail forever unverified. We therefore rotate: queries whose
+driver stamp is still VALID — green in a prior round AND the spec (oracle +
+implementation-module closure) unchanged since that stamp, per
+SPEC_HASHES.json (see spec_hashes.py, ADVICE r02) — move to the back, so
+each round's 50-slot budget lands on never-verified and stale-verified
+queries first and the union of rounds covers the whole registry at its
+current spec version.
 """
 
 from __future__ import annotations
 
 from doc2vec_spark.spec import QuerySpec
 
-def _driver_verified_names() -> frozenset[str]:
-    """Names with a fully-green row in any prior round's CORRECTNESS_r*.json
-    (read dynamically from the repo root, so each round's rotation reflects
-    everything the driver has ever stamped without manual list upkeep).
-    Falls back to the static round-1 list when the files aren't readable
+def _driver_verified_names(merged: dict[str, QuerySpec]) -> frozenset[str]:
+    """Names whose driver stamp is valid for the current spec version
+    (spec_hashes.verified_names). Falls back to name-only green rows, then to
+    the static round-1 list, when the stamp/CORRECTNESS files are unreadable
     (e.g. the package imported outside the repo checkout)."""
     import json
     from pathlib import Path
+
+    try:
+        from doc2vec_spark import spec_hashes
+
+        if spec_hashes.load_stamps():
+            return spec_hashes.verified_names(merged)
+    except Exception:
+        pass  # fall through to name-only rotation
 
     verified: set[str] = set()
     try:
@@ -69,7 +79,7 @@ _VERIFIED_R01_FALLBACK: frozenset[str] = frozenset(
 )
 
 
-def all_queries() -> dict[str, QuerySpec]:
+def merged_queries() -> dict[str, QuerySpec]:
     # Imports are deferred (so the driver's lightweight entry import stays
     # cheap) but UNCONDITIONAL: every module here is first-party, and a
     # swallowed ImportError would silently shrink queries()/oracle_sql() and
@@ -111,9 +121,29 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")
             merged[name] = spec
+    return merged
 
-    # Rotation: least-recently-verified first, prior-round greens at the back.
-    verified = _driver_verified_names()
-    fresh = {n: s for n, s in merged.items() if n not in verified}
-    seen = {n: s for n, s in merged.items() if n in verified}
-    return {**fresh, **seen}
+
+def all_queries() -> dict[str, QuerySpec]:
+    merged = merged_queries()
+
+    # Rotation: validly-verified queries at the back; the fresh front is
+    # ordered never-green-anywhere first (each needs its FIRST stamp), then
+    # stale-verified by oldest last-green round (most-outdated stamp first),
+    # so when fresh > 50 the window always prefers the least-covered specs.
+    verified = _driver_verified_names(merged)
+    try:
+        from doc2vec_spark.spec_hashes import _green_rounds
+
+        last_green = {n: max(rs) for n, rs in _green_rounds().items()}
+    except Exception:
+        last_green = {}
+    order = list(merged)
+    fresh = sorted(
+        (n for n in merged if n not in verified),
+        key=lambda n: (last_green.get(n, -1), order.index(n)),
+    )
+    # verified tail likewise oldest-stamp-first, so the window's spare slots
+    # (50 - |fresh|) re-stamp the longest-unchecked valid rows each round
+    seen = sorted(verified, key=lambda n: (last_green.get(n, -1), order.index(n)))
+    return {n: merged[n] for n in [*fresh, *seen]}

@@ -1,0 +1,225 @@
+"""Spec-version stamps for the driver correctness rotation (ADVICE r02).
+
+The driver's correctness gate checks the FIRST 50 entries of ``queries()``
+each round and stamps results into ``CORRECTNESS_r{N}.json``. The registry
+rotates prior-round greens to the back so the 50-slot window covers the
+least-recently-verified queries — but a green row keyed by NAME alone
+persists forever, so a query whose *implementation or oracle changed* after
+its stamp would never be re-checked by the external gate.
+
+Fix: ``SPEC_HASHES.json`` (repo root) records, per query, a content hash of
+its spec — the oracle SQL plus the ``ast.dump`` of the defining module and
+its transitive first-party import closure (comment/whitespace-insensitive,
+so cosmetic edits don't churn the rotation) — and the first round whose
+driver run reflects that spec version (``since``). The registry counts a
+name as driver-verified only if
+
+  * the stored hash equals the hash computed from the live code, AND
+  * a fully-green CORRECTNESS row exists in some round >= ``since``.
+
+Any mismatch (edited module, edited oracle, missing entry) makes the query
+"fresh" again and rotates it into the next driver window. ``python -m
+doc2vec_spark.spec_hashes`` refreshes the file after intentional changes;
+``tests/test_spec_hashes.py`` fails when the file is stale so the refresh
+can't be forgotten.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import json
+from pathlib import Path
+
+PKG_ROOT = Path(__file__).resolve().parent
+REPO_ROOT = PKG_ROOT.parent
+STAMPS_FILE = REPO_ROOT / "SPEC_HASHES.json"
+_PKG = "doc2vec_spark"
+
+
+def _module_path(dotted: str) -> Path | None:
+    """doc2vec_spark.operators.dedup -> <repo>/doc2vec_spark/operators/dedup.py
+    (or the package __init__.py). None for modules that don't resolve to a
+    first-party file."""
+    if dotted != _PKG and not dotted.startswith(_PKG + "."):
+        return None
+    rel = dotted.split(".")[1:]
+    base = PKG_ROOT.joinpath(*rel)
+    if base.with_suffix(".py").is_file():
+        return base.with_suffix(".py")
+    if (base / "__init__.py").is_file():
+        return base / "__init__.py"
+    return None
+
+
+def _first_party_imports(tree: ast.AST) -> set[str]:
+    """Every doc2vec_spark.* module imported ANYWHERE in the tree (this
+    codebase defers imports into function bodies, so walk the whole AST)."""
+    mods: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == _PKG or a.name.startswith(_PKG + "."):
+                    mods.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            m = node.module or ""
+            if m == _PKG or m.startswith(_PKG + "."):
+                mods.add(m)
+                # `from doc2vec_spark import multimodal` style: the imported
+                # names may themselves be submodules
+                for a in node.names:
+                    if _module_path(f"{m}.{a.name}") is not None:
+                        mods.add(f"{m}.{a.name}")
+    return mods
+
+
+def module_closures() -> tuple[dict[str, str], dict[str, list[str]]]:
+    """(ast-dump per module, transitive first-party import closure per
+    module) for every module file under the package. Cheap: ~40 files, pure
+    ast.parse."""
+    dumps: dict[str, str] = {}
+    imports: dict[str, set[str]] = {}
+    for py in sorted(PKG_ROOT.rglob("*.py")):
+        rel = py.relative_to(PKG_ROOT)
+        parts = list(rel.parts)
+        if parts[-1] == "__init__.py":
+            dotted = ".".join([_PKG] + parts[:-1])
+        else:
+            dotted = ".".join([_PKG] + parts[:-1] + [rel.stem])
+        tree = ast.parse(py.read_text())
+        dumps[dotted] = ast.dump(tree)
+        imports[dotted] = {m for m in _first_party_imports(tree) if _module_path(m)}
+
+    closures: dict[str, list[str]] = {}
+
+    def closure(mod: str) -> list[str]:
+        seen: set[str] = set()
+        stack = [mod]
+        while stack:
+            m = stack.pop()
+            if m in seen or m not in dumps:
+                continue
+            seen.add(m)
+            stack.extend(imports.get(m, ()))
+        return sorted(seen)
+
+    for mod in dumps:
+        closures[mod] = closure(mod)
+    return dumps, closures
+
+
+def _closure_digests() -> dict[str, str]:
+    dumps, closures = module_closures()
+    out: dict[str, str] = {}
+    for mod, members in closures.items():
+        h = hashlib.sha256()
+        for m in members:
+            h.update(m.encode())
+            h.update(dumps[m].encode())
+        out[mod] = h.hexdigest()
+    return out
+
+
+def current_spec_hashes(merged=None) -> dict[str, str]:
+    """name -> 16-hex spec hash for every registered query. ``merged`` (an
+    unrotated name->QuerySpec dict) avoids re-entering the registry when the
+    registry itself is the caller."""
+    if merged is None:
+        from doc2vec_spark.registry import merged_queries
+
+        merged = merged_queries()
+    mod_digest = _closure_digests()
+    out: dict[str, str] = {}
+    for name, spec in merged.items():
+        h = hashlib.sha256()
+        h.update((spec.oracle or "<rows-only>").encode())
+        h.update(mod_digest.get(spec.fn.__module__, spec.fn.__module__).encode())
+        out[name] = h.hexdigest()[:16]
+    return out
+
+
+def load_stamps() -> dict[str, dict]:
+    try:
+        return json.loads(STAMPS_FILE.read_text())["entries"]
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
+def _green_rounds() -> dict[str, list[int]]:
+    """name -> rounds with a fully-green driver row."""
+    greens: dict[str, list[int]] = {}
+    for f in sorted(REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(f.stem.split("_r")[1])
+            data = json.loads(f.read_text())
+        except (ValueError, OSError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                greens.setdefault(name, []).append(rnd)
+    return greens
+
+
+def next_round() -> int:
+    rounds = [0]
+    for f in REPO_ROOT.glob("CORRECTNESS_r*.json"):
+        try:
+            rounds.append(int(f.stem.split("_r")[1]))
+        except ValueError:
+            pass
+    return max(rounds) + 1
+
+
+def verified_names(merged=None) -> frozenset[str]:
+    """Names whose driver stamp is still valid for the CURRENT spec version:
+    stored hash matches live code AND a green row exists at/after ``since``."""
+    stamps = load_stamps()
+    if not stamps:
+        return frozenset()
+    greens = _green_rounds()
+    current = current_spec_hashes(merged)
+    ok: set[str] = set()
+    for name, entry in stamps.items():
+        if current.get(name) != entry.get("hash"):
+            continue
+        since = int(entry.get("since", 10**9))
+        if any(r >= since for r in greens.get(name, ())):
+            ok.add(name)
+    return frozenset(ok)
+
+
+def refresh(since_overrides: dict[str, int] | None = None) -> dict[str, dict]:
+    """Rewrite SPEC_HASHES.json: unchanged hashes keep their ``since``;
+    changed/new hashes get since=next_round() (their next possible stamp).
+    ``since_overrides`` lets the one-time bootstrap backdate entries whose
+    spec provably predates older stamps (git-verified)."""
+    old = load_stamps()
+    current = current_spec_hashes()
+    nxt = next_round()
+    entries: dict[str, dict] = {}
+    for name, h in sorted(current.items()):
+        prev = old.get(name)
+        if prev is not None and prev.get("hash") == h:
+            since = int(prev["since"])
+        else:
+            since = nxt
+        if since_overrides and name in since_overrides:
+            since = since_overrides[name]
+        entries[name] = {"hash": h, "since": since}
+    STAMPS_FILE.write_text(
+        json.dumps({"entries": entries}, indent=1, sort_keys=True) + "\n"
+    )
+    return entries
+
+
+if __name__ == "__main__":
+    entries = refresh()
+    fresh = [n for n, e in sorted(entries.items()) if e["since"] >= next_round()]
+    print(f"wrote {STAMPS_FILE.name}: {len(entries)} entries, "
+          f"{len(fresh)} pending next driver stamp: {fresh}")

@@ -1,0 +1,56 @@
+"""SPEC_HASHES.json must track the live code (ADVICE r02): a query whose
+implementation or oracle changed after its driver stamp must rotate back
+into the correctness window, which only happens when the stamp file is
+refreshed. This test fails on drift so the refresh can't be forgotten.
+"""
+
+from __future__ import annotations
+
+
+def test_spec_hashes_file_current():
+    from doc2vec_spark import spec_hashes
+
+    stored = spec_hashes.load_stamps()
+    assert stored, "SPEC_HASHES.json missing — run: python -m doc2vec_spark.spec_hashes"
+    current = spec_hashes.current_spec_hashes()
+    stale = sorted(
+        n for n, h in current.items()
+        if n not in stored or stored[n]["hash"] != h
+    )
+    extinct = sorted(n for n in stored if n not in current)
+    assert not stale and not extinct, (
+        f"spec hashes stale for {stale}, removed queries {extinct} — "
+        "run: python -m doc2vec_spark.spec_hashes"
+    )
+
+
+def test_rotation_prefers_unverified_then_stalest():
+    """all_queries() order: every non-verified name precedes every
+    validly-verified name, and the driver's 50-slot window covers all fresh
+    names whenever they fit."""
+    from doc2vec_spark import spec_hashes
+    from doc2vec_spark.registry import all_queries, merged_queries
+
+    merged = merged_queries()
+    valid = spec_hashes.verified_names(merged)
+    order = list(all_queries())
+    n_fresh = len(merged) - len(valid)
+    assert set(order[:n_fresh]) == set(merged) - valid
+    if n_fresh <= 50:
+        assert all(n in set(order[:50]) for n in set(merged) - valid)
+
+
+def test_spec_hash_changes_with_oracle():
+    """Sanity: the hash covers the oracle text and the defining module."""
+    from doc2vec_spark import spec_hashes
+    from doc2vec_spark.registry import merged_queries
+    from doc2vec_spark.spec import QuerySpec
+
+    merged = merged_queries()
+    name = next(n for n, s in merged.items() if s.oracle)
+    base = spec_hashes.current_spec_hashes(merged)[name]
+    mutated = dict(merged)
+    mutated[name] = QuerySpec(
+        fn=merged[name].fn, oracle=merged[name].oracle + " -- changed", doc=""
+    )
+    assert spec_hashes.current_spec_hashes(mutated)[name] != base
