@@ -85,13 +85,12 @@ def real_image_feature(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def _stub_feature(data: bytes) -> list[float]:
-    """Deterministic fake embedding from the bytes (same seeding scheme as
-    embedding.py, so tests are hermetic and stable)."""
-    digest = hashlib.sha256(data or b"").digest()
-    rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
-    v = rng.randn(FEATURE_DIM)
-    n = float(np.linalg.norm(v))
-    return (v / n if n else v).astype(np.float32).tolist()
+    """Deterministic fake embedding from the bytes (embedding.py's digest-
+    arithmetic scheme, so the DuckDB oracle can recompute identical float32
+    values — see embedding.components_sql/vector_sql)."""
+    from doc2vec_spark.embedding import digest_components, unit_vector
+
+    return unit_vector(digest_components(data or b"", FEATURE_DIM)).tolist()
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -231,33 +230,74 @@ def mm_frame_sample(spark, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000)
 
 
+# The binary payload IS encode(text), so md5 over the varchar in the oracles
+# below hashes the same bytes the executor-side stub hashes.
+from doc2vec_spark.embedding import components_sql as _comps_sql  # noqa: E402
+from doc2vec_spark.embedding import vector_sql as _vec_sql  # noqa: E402
+from doc2vec_spark.functions.rounding import pround, sql_round  # noqa: E402
+
 @_register(
     "mm_feature_extract",
-    None,  # mapInPandas stub decoder: not SQL-expressible, rows-only check
+    f"""
+    WITH m AS ({_MEDIA_SQL}),
+    c AS (SELECT media_id, mime, octet_length(data) AS n_bytes, sha256(text) AS content_hash,
+                 {_comps_sql('text', dim=FEATURE_DIM, truncate=False)} AS comps
+          FROM m),
+    f AS (SELECT media_id, mime, n_bytes, content_hash, {_vec_sql('comps')} AS feature FROM c)
+    SELECT media_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes, content_hash,
+           {sql_round("list_sum(list_transform(feature, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))", 4)} AS feature_sq_norm
+    FROM f
+    """,
     "Arrow-batched feature extraction over binary payloads (deterministic "
-    "stub decoder; real codec drop-in at decode_image_real).",
+    "digest-arithmetic stub decoder; real codec drop-in at decode_image_real). "
+    "The oracle replays the md5 integer-component scheme in SQL — norm^2 is "
+    "exact-integer, sqrt/divide/float32-cast are IEEE correctly-rounded — so "
+    "the mapInPandas stage gets a full value-hash row, not rows-only.",
 )
 def mm_feature_extract(spark, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.vectors import as_double_array, dot
+
     media = media_from_documents(spark, sf_dir)
     feats = extract_features(media)
+    v = as_double_array(F.col("feature"))
     return feats.select(
         "media_id",
         "mime",
         "n_bytes",
         "content_hash",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 4).alias(
-            "feature_sq_norm"
-        ),
+        pround(dot(v, v), 4).alias("feature_sq_norm"),
     )
+
+
+def _mm_search_oracle(k: int = 5) -> str:
+    sim = (
+        f"list_sum(list_transform(range(0, {FEATURE_DIM}), i -> "
+        f"CAST(f[i+1] AS DOUBLE) * CAST(v[i+1] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform(f, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH m AS ({_MEDIA_SQL}),
+    pc AS (SELECT {_comps_sql('text', dim=FEATURE_DIM, truncate=False)} AS comps FROM m WHERE media_id = 0),
+    pv AS (SELECT {_vec_sql('comps')} AS v FROM pc),
+    fc AS (SELECT media_id, mime, {_comps_sql('text', dim=FEATURE_DIM, truncate=False)} AS comps
+           FROM m WHERE media_id <> 0),
+    fv AS (SELECT media_id, mime, {_vec_sql('comps')} AS f FROM fc)
+    SELECT media_id, mime, {sql_round(sim, 6)} AS cosine_sim
+    FROM fv, pv
+    ORDER BY cosine_sim DESC, media_id
+    LIMIT {k}
+    """
 
 
 @_register(
     "mm_feature_search",
-    None,  # probe features come from the stub decoder: rows-only check
+    _mm_search_oracle(),
     "Multimodal similarity search: decode -> feature-extract -> exact cosine "
     "top-k against a probe item, the image-dedup/search composition. The KNN "
     "is the same native zip_with/aggregate dot product + "
-    "TakeOrderedAndProject as the text tier (no Python in the scoring path).",
+    "TakeOrderedAndProject as the text tier (no Python in the scoring path); "
+    "the oracle recomputes probe and corpus features from the digest scheme.",
 )
 def mm_feature_search(spark, sf_dir: str, k: int = 5) -> DataFrame:
     from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
@@ -276,7 +316,7 @@ def mm_feature_search(spark, sf_dir: str, k: int = 5) -> DataFrame:
     sim = dot(F.col("v"), qv) / (l2_norm(F.col("v")) * l2_norm(qv))
     return (
         feats.filter(F.col("media_id") != 0)
-        .select("media_id", "mime", F.round(sim, 6).alias("cosine_sim"))
+        .select("media_id", "mime", pround(sim, 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), "media_id")
         .limit(k)
     )

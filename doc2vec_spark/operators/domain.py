@@ -136,13 +136,42 @@ def doc_chunk_markdown_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_knn_oracle(k: int = 4) -> str:
+    from doc2vec_spark.embedding import components_sql, vector_sql
+    from doc2vec_spark.functions.rounding import sql_round
+
+    dist = (
+        "1.0 - list_sum(list_transform(range(0, 64), i -> "
+        "CAST(e[i+1] AS DOUBLE) * CAST(v[i+1] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH base AS (SELECT {_URL_SQL} AS url, sha256(trim(text)) AS chunk_id,
+                         trim(text) AS content, 0 AS chunk_index, doc_id
+                  FROM documents),
+    qc AS (SELECT {components_sql('text')} AS comps FROM documents WHERE doc_id = 7),
+    qv AS (SELECT {vector_sql('comps')} AS v FROM qc),
+    ec AS (SELECT url, chunk_id, chunk_index, {components_sql('content')} AS comps
+           FROM base WHERE trim(content) <> ''),
+    ev AS (SELECT url, chunk_id, chunk_index, {vector_sql('comps')} AS e FROM ec),
+    scored AS (SELECT url, chunk_id, chunk_index, {dist} AS dist FROM ev, qv)
+    SELECT url, chunk_id, chunk_index,
+           {sql_round('dist', 6)} AS distance
+    FROM scored ORDER BY dist, chunk_id LIMIT {k}
+    """
+
+
 @_register(
     "doc_knn_query_documentation",
-    None,  # embedding UDF is not SQL-expressible -> rows-only check
+    _doc_knn_oracle(),
     "Full query plane: chunk -> deterministic embed -> metadata filter -> "
     "exact cosine top-k (the reference's query_documentation, "
     "mcp/src/server.ts:117-151). Self-query: top-1 must be the planted doc "
-    "at distance 0 (asserted in tests/test_query_api.py)",
+    "at distance 0 (asserted in tests/test_query_api.py). The digest-"
+    "arithmetic embedding (embedding.py) is SQL-expressible, so the whole "
+    "chunk -> pandas-UDF embed -> KNN plane is value-hash-checked against "
+    "DuckDB recomputing identical float32 vectors.",
 )
 def doc_knn_query_documentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.chunking import chunk_documents
