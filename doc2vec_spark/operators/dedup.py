@@ -571,26 +571,77 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.vectors import as_double_array
+
+    # routed entry point: this threshold (< SRP_ROUTE_THRESHOLD) takes the
+    # exact adaptive salt-grid path — one cheap metadata count (parquet
+    # footers) sizes the shard grid, the result set is grid-invariant, and
+    # pair (a,b) meets exactly once in grid cell (a.salt, b.salt)
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    return embedding_near_dup_pairs(spark, e, COSINE_DUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# threshold-routed embedding near-dup (VERDICT r02 #3)
+# ---------------------------------------------------------------------------
+# The scale boundary of the exact salt-grid pair join is now OPERATIONAL, not
+# docstring advice: one entry point dispatches on the threshold. At >= 0.9
+# (true near-dup: < 26 degrees, SRP bit-agreement p ~ 0.86) an SRP band join
+# prunes candidates to colliding (label, band_id, band_val) buckets — cost
+# scales with collisions, not n^2 — at ~98% recall per planted pair (4 bands
+# x 4 bits, miss = (1 - p^4)^4). Below 0.9 qualifying pairs disagree on too
+# many SRP bits for any banding to retain them (measured in the
+# dedup_embedding_cosine docstring), so exact sharding IS the plan.
+
+SRP_ROUTE_THRESHOLD = 0.9
+PAIR_PLANES_N = 16  # 4 bands x 4 bits
+PAIR_BANDS = 4
+_pp_rng = _np.random.RandomState(1337)
+PAIR_PLANES: list[list[float]] = [
+    [float(x) for x in _pp_rng.randn(64)] for _ in range(PAIR_PLANES_N)
+]
+
+
+def _pair_sig_expr(vcol: Column) -> Column:
+    """16-bit SRP signature: bit i set iff dot(v, plane_i) > 0."""
+    from doc2vec_spark.functions.vectors import dot, lit_vector
+
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(PAIR_PLANES):
+        bit = F.when(dot(vcol, lit_vector(plane)) > 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + F.shiftleft(bit.cast("long"), i)
+    return sig
+
+
+def _sql_dvec(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+
+_PAIR_SIG_SQL = (
+    "("
+    + " + ".join(
+        f"((CASE WHEN list_dot_product(v, {_sql_dvec(p)}) > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i, p in enumerate(PAIR_PLANES)
+    )
+    + ")"
+)
+
+
+def _exact_grid_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine >= threshold inside each label, sharded on the
+    adaptive g x g salt grid (see dedup_embedding_cosine docstring)."""
     import math
 
-    from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
+    from doc2vec_spark.functions.vectors import dot, l2_norm
 
-    # adaptive grid dim: one cheap metadata count (parquet footers) sizes the
-    # shard grid to the input — the result set is grid-invariant
-    n_vecs = load(spark, sf_dir, "embeddings").count()
+    n_vecs = e.count()
     grid = max(GRID_SALTS_MIN, min(GRID_SALTS_MAX, math.ceil(n_vecs / GRID_TARGET_PER_SALT)))
-    # norms precomputed per VECTOR (not per pair): same arithmetic, ~3x less
-    # fold work inside the quadratic pair stage
     probes = F.array(*[F.lit(i) for i in range(grid)])
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
-        .withColumn("nrm", l2_norm(F.col("v")))
-        .withColumn("salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(grid)))
+    e = e.withColumn("nrm", l2_norm(F.col("v"))).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(grid))
     )
-    # pair (a,b) meets exactly once: in grid cell (a.salt, b.salt) — a is
-    # replicated across probe columns j, b across probe rows i, and the join
-    # key (label, a.salt==i, j==b.salt) matches one (i, j) combination
     a = e.withColumn("j", F.explode(probes)).alias("a")
     b = e.withColumn("i", F.explode(probes)).alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
@@ -607,8 +658,133 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             sim.alias("sim"),
         )
-        .filter(F.col("sim") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", pround("sim", 6).alias("cosine_sim"))
+    )
+
+
+def _srp_band_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> DataFrame:
+    """SRP-banded candidate join + exact cosine confirm — the >= 0.9 path.
+    One shuffle keyed (label, band_id, band_val); candidates are only bucket
+    collisions, so cost tracks collision rate, never n^2."""
+    from doc2vec_spark.functions.vectors import dot, l2_norm
+
+    mask = (1 << (PAIR_PLANES_N // PAIR_BANDS)) - 1
+    bits = PAIR_PLANES_N // PAIR_BANDS
+    banded = (
+        e.withColumn("sig", _pair_sig_expr(F.col("v")))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .withColumn(
+            "band",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band_id"),
+                            F.shiftright(F.col("sig"), bits * bi)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for bi in range(PAIR_BANDS)
+                    ]
+                )
+            ),
+        )
+        .select("vec_id", "label", "v", "nrm", "band.band_id", "band.band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", pround("sim", 6).alias("cosine_sim"))
+        .distinct()  # pairs colliding in multiple bands collapse to one row
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Routed entry point over (vec_id, label, v double-array) rows:
+    threshold >= SRP_ROUTE_THRESHOLD -> SRP band join (collision-bounded);
+    below -> exact salt-grid shard (O(n^2) FLOPs is the semantics there)."""
+    if threshold >= SRP_ROUTE_THRESHOLD:
+        return _srp_band_pairs(spark, e, threshold)
+    return _exact_grid_pairs(spark, e, threshold)
+
+
+# Planted near-identical vectors: the driver corpus has no pairs above
+# cos 0.52 (checked at sf0.001/sf0.01), so the >= 0.9 route would return an
+# empty — hence unfalsifiable — result. Every 20th vector gets a clone with
+# +0.25 on its first component (vec_id offset 10^6): double arithmetic both
+# engines replay exactly, cos(v, clone) ~ 0.95-0.99.
+_LSH_CORPUS_SQL = """
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         list_transform(range(1, 65), i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.25
+                                                ELSE embedding[i]::DOUBLE END) AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.vectors import as_double_array
+
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    planted = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x)
+        ).alias("v"),
+    )
+    return base.unionByName(planted)
+
+
+@_register(
+    "dedup_embedding_lsh",
+    f"""
+    WITH corpus AS ({_LSH_CORPUS_SQL}),
+    sig AS (SELECT vec_id, label, v, {_PAIR_SIG_SQL} AS sig FROM corpus),
+    banded AS (SELECT vec_id, label, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+               FROM sig, unnest([0, 1, 2, 3]) t(band_id)),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM banded a JOIN banded b
+        ON a.label = b.label AND a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+    FROM cand WHERE sim >= {SRP_ROUTE_THRESHOLD}
+    """,
+    "Embedding near-dup at threshold {t} through the ROUTED entry point -> "
+    "SRP band join: 16 deterministic hyperplanes, 4 bands x 4 bits, one "
+    "shuffle keyed (label, band_id, band_val), exact cosine confirm on "
+    "collisions only. Candidates scale with bucket collisions, not n^2 — "
+    "the 100 TB near-dup shape. Planted clone vectors (cos ~0.95+) make the "
+    "result falsifiable; the oracle replays planes, banding and planting "
+    "verbatim.".format(t=SRP_ROUTE_THRESHOLD),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        spark, _lsh_corpus(spark, sf_dir), SRP_ROUTE_THRESHOLD
     )
 
 

@@ -472,9 +472,11 @@ def connected_components_star(
     )
 
 
-@_register(
-    "dedup_cc_clusters",
-    f"""
+# Transitive-closure ground truth shared by BOTH CC implementations: the
+# output contract (doc_id, component=min reachable, is_canonical) is
+# algorithm-independent, so label propagation and the Kiveris star variant
+# are hash-checked against the identical recursive CTE.
+_CC_ORACLE = f"""
     WITH RECURSIVE sh0 AS ({_HASHED_SHINGLES5_SQL}),
     keep AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE5_DF}),
     sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (h)),
@@ -491,7 +493,12 @@ def connected_components_star(
     SELECT doc_id, component,
            CASE WHEN doc_id = component THEN 1 ELSE 0 END AS is_canonical
     FROM comp
-    """,
+    """
+
+
+@_register(
+    "dedup_cc_clusters",
+    _CC_ORACLE,
     "Dup-cluster assignment: connected components over the candidate graph "
     f"(>= {MIN_SHARED_EDGE} shared {SHINGLE_N}-grams) via iterative min-label "
     "propagation + path compression; canonical doc = component min. Oracle is "
@@ -500,6 +507,32 @@ def connected_components_star(
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(candidate_edges(spark, sf_dir))
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_canonical"),
+    )
+
+
+@_register(
+    "dedup_cc_star",
+    _CC_ORACLE,
+    "Same dup-cluster contract through the alternating large-star/small-star "
+    "algorithm (Kiveris et al., SoCC'14): O(log^2 n) rounds on ANY graph "
+    "shape where min-label propagation needs O(diameter) — the variant to "
+    "route deep/chainy graphs to at 100 TB. Driver-verified against the "
+    "identical recursive-CTE closure as dedup_cc_clusters (previously "
+    "property-tested only).",
+)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = candidate_edges(spark, sf_dir)
+    comp = connected_components_star(edges)
+    # star CC labels only nodes WITH edges (isolated docs have no candidate
+    # pairs and are their own component) — same as the propagation variant,
+    # whose seed groupBy also only sees edge endpoints; the oracle's
+    # reach CTE seeds from the edge list identically.
     return comp.select(
         "doc_id",
         "component",

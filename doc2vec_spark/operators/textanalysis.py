@@ -387,11 +387,8 @@ def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# PII scrubbing: the C4-style redaction pass. The driver corpus contains no
-# PII (registry query would be all-zero signal), so this ships as a library
-# operator with behavioral tests on synthetic fixtures instead of an oracle
-# row. Patterns stay in RE2-compatible syntax so the same strings work in
-# any engine.
+# PII scrubbing: the C4-style redaction pass. Patterns stay in RE2-
+# compatible syntax so the same strings work in any engine.
 
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
@@ -413,3 +410,60 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("scrubbed", scrubbed)
+
+
+# The driver corpus contains no PII (an oracle row over raw documents would
+# be all-zero signal), so the registered query PLANTS deterministic
+# emails/IPs/phone spans into a subset of docs — arithmetic string concats
+# both engines replay exactly — and redacts them (VERDICT r02 #6).
+_PII_PLANT_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@corp.example.com today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR) || ' zone'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call +1415555' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' now'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    planted = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact user"), s(d), F.lit("@corp.example.com today"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" from 10."), s(d % 200), F.lit(".3."), s(d % 250), F.lit(" zone"))).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(F.lit(" call +1415555"), s(1000 + d % 9000), F.lit(" now"))).otherwise(F.lit("")),
+    )
+    return load(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+
+
+@_register(
+    "ta_scrub_pii",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+           len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+             '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS scrubbed
+    FROM ({_PII_PLANT_SQL})
+    """,
+    "C4-style PII redaction over planted emails/IPv4s/phone spans: per-kind "
+    "match counts + chained global regexp_replace. Map-only whole-stage-"
+    "codegen column expressions (no UDF); the oracle replays the identical "
+    "RE2-compatible patterns and planting arithmetic.",
+)
+def ta_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_pii(_pii_planted(spark, sf_dir)).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "scrubbed"
+    )

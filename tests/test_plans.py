@@ -72,6 +72,33 @@ def test_pair_dedup_join_keys_are_not_block_only(spark):
     assert conds and all("salt" in c for c in conds), conds
 
 
+def test_embedding_near_dup_threshold_routing(spark):
+    """VERDICT r02 #3: one entry point, dispatched on threshold — >= 0.9
+    plans the SRP band-keyed join (collision-bounded), below plans the exact
+    salt grid. The registered dedup_embedding_lsh query takes the band path."""
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.functions.vectors import as_double_array
+    from doc2vec_spark.operators.dedup import embedding_near_dup_pairs
+    from doc2vec_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    def join_conds(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [l for l in plan.splitlines() if "Join Inner" in l]
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    banded = join_conds(embedding_near_dup_pairs(spark, e, 0.95))
+    assert banded and all("band_val" in c and "band_id" in c for c in banded), banded
+    exact = join_conds(embedding_near_dup_pairs(spark, e, 0.5))
+    assert exact and all("salt" in c for c in exact), exact
+
+    lsh = join_conds(_q("dedup_embedding_lsh", spark))
+    assert lsh and all("band_val" in c for c in lsh), lsh
+
+
 def test_split_assign_is_map_only(spark):
     # deterministic split must stay a pure projection: zero shuffles
     from doc2vec_spark.plans.checks import count_exchanges
