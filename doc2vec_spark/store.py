@@ -23,8 +23,11 @@ deployment this is exactly a Delta/Iceberg MERGE with partition overwrite
 proves Exchange-free for url-keyed joins. Within each version, files
 partition by product_name (the reference's per-product databases,
 mcp/src/server.ts:417-430) so metadata-filtered KNN prunes at the scan.
-Superseded version directories are garbage-collected after the flip (a
-deployment would instead retain them for a snapshot-isolation TTL).
+Commits serialize on an advisory flock (two unlocked commits would lose one
+set of bucket pointers); superseded version directories survive exactly one
+further commit before GC, so readers holding the previous manifest finish
+their scans (a deployment would widen that to a snapshot-isolation TTL).
+``rebucket`` migrates a store to a new bucket count in one rewrite.
 
 A small KV `sync_state` table mirrors vec_metadata (database.ts:121-126)
 for watermarks.
@@ -36,6 +39,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,10 +78,30 @@ class ChunkStore:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path())  # atomic flip = the "transaction"
 
+    @contextmanager
+    def _write_lock(self):
+        """Advisory inter-process lock serializing commits (ADVICE r02):
+        an unlocked read-modify-write of MANIFEST would silently drop one of
+        two concurrent commits' bucket pointers. Writers queue on flock;
+        readers never take the lock (they resolve a consistent snapshot from
+        whatever manifest they read, and deferred GC below keeps that
+        snapshot's files alive through the next commit)."""
+        import fcntl
+
+        with open(os.path.join(self.path, ".lock"), "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     def _gc(self, manifest: dict) -> None:
-        """Remove version dirs no longer referenced by any bucket — keeps
-        disk usage proportional to ONE copy of the data, not sync count."""
-        live = set(manifest["buckets"].values())
+        """Remove version dirs neither referenced by the new manifest nor
+        retired by THIS commit — superseded versions survive exactly one
+        more commit (``retired``), so a reader that resolved file paths from
+        the previous manifest finishes its scan before the files vanish. A
+        real deployment would widen this to a snapshot-isolation TTL."""
+        live = set(manifest["buckets"].values()) | set(manifest.get("retired", []))
         for name in os.listdir(self.path):
             if name.startswith("v") and name not in live:
                 full = os.path.join(self.path, name)
@@ -142,10 +166,8 @@ class ChunkStore:
         """ONE commit covering both mutation kinds of a sync: urls in
         ``new_chunks`` get their chunks replaced (delete-by-url-then-insert,
         database.ts:630-678 + doc2vec.ts:1957-1969), urls in ``delete_urls``
-        are purged. Only buckets containing a touched url are rewritten."""
-        manifest = self._manifest()
-        nb = manifest.get("num_buckets", self.num_buckets)
-
+        are purged. Only buckets containing a touched url are rewritten.
+        Commits serialize on the store's advisory write lock."""
         parts = []
         if new_chunks is not None:
             parts.append(new_chunks.select("url"))
@@ -158,35 +180,79 @@ class ChunkStore:
             touched = touched.unionByName(p)
         touched = touched.distinct()
 
-        affected = sorted(
-            r["b"] for r in touched.select(self._bucket_expr(nb).alias("b")).distinct().collect()
-        )
-        if not affected:
-            return
+        with self._write_lock():
+            manifest = self._manifest()
+            nb = manifest.get("num_buckets", self.num_buckets)
 
-        kept = self._read_buckets(manifest, affected).join(
-            F.broadcast(touched), "url", "left_anti"
-        )
-        out = kept if new_chunks is None else kept.unionByName(new_chunks)
+            affected = sorted(
+                r["b"] for r in touched.select(self._bucket_expr(nb).alias("b")).distinct().collect()
+            )
+            if not affected:
+                return
 
-        manifest["counter"] += 1
-        name = f"v{manifest['counter']:08d}-{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.path, name)
-        (
-            out.withColumn("bucket", self._bucket_expr(nb))
-            .repartition(len(affected), F.col("bucket"))
-            .write.partitionBy("bucket", "product_name")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
-        # a bucket left empty by deletes has no bucket=K dir -> drop its entry
-        for b in affected:
-            if os.path.isdir(os.path.join(out_dir, f"bucket={b}")):
-                manifest["buckets"][str(b)] = name
-            else:
-                manifest["buckets"].pop(str(b), None)
-        self._flip(manifest)
-        self._gc(manifest)
+            kept = self._read_buckets(manifest, affected).join(
+                F.broadcast(touched), "url", "left_anti"
+            )
+            out = kept if new_chunks is None else kept.unionByName(new_chunks)
+
+            old_versions = set(manifest["buckets"].values())
+            manifest["counter"] += 1
+            name = f"v{manifest['counter']:08d}-{uuid.uuid4().hex[:8]}"
+            out_dir = os.path.join(self.path, name)
+            (
+                out.withColumn("bucket", self._bucket_expr(nb))
+                .repartition(len(affected), F.col("bucket"))
+                .write.partitionBy("bucket", "product_name")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            # a bucket left empty by deletes has no bucket=K dir -> drop its entry
+            for b in affected:
+                if os.path.isdir(os.path.join(out_dir, f"bucket={b}")):
+                    manifest["buckets"][str(b)] = name
+                else:
+                    manifest["buckets"].pop(str(b), None)
+            live = set(manifest["buckets"].values())
+            manifest["retired"] = sorted(old_versions - live)
+            self._flip(manifest)
+            self._gc(manifest)
+
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Migration (VERDICT r02 #7): rewrite the store ONCE under a new
+        url-bucket count and flip — a store created small (16 buckets) can
+        grow toward the 100 TB layout (thousands of buckets) without losing
+        commit-counter continuity or changing read() contents. One full
+        rewrite is the honest cost: the bucket id is pmod(hash(url), nb), so
+        every row can move. Subsequent commits rewrite only touched buckets
+        of the new layout."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        with self._write_lock():
+            manifest = self._manifest()
+            old_nb = manifest.get("num_buckets", self.num_buckets)
+            all_rows = self._read_buckets(manifest, list(range(old_nb)))
+
+            old_versions = set(manifest["buckets"].values())
+            manifest["counter"] += 1
+            name = f"v{manifest['counter']:08d}-{uuid.uuid4().hex[:8]}"
+            out_dir = os.path.join(self.path, name)
+            (
+                all_rows.withColumn("bucket", self._bucket_expr(new_num_buckets))
+                .repartition(new_num_buckets, F.col("bucket"))
+                .write.partitionBy("bucket", "product_name")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            manifest["buckets"] = {
+                str(b): name
+                for b in range(new_num_buckets)
+                if os.path.isdir(os.path.join(out_dir, f"bucket={b}"))
+            }
+            manifest["num_buckets"] = new_num_buckets
+            manifest["retired"] = sorted(old_versions)
+            self.num_buckets = new_num_buckets
+            self._flip(manifest)
+            self._gc(manifest)
 
     def upsert_documents(self, chunks: DataFrame) -> None:
         """K1/K2: replace all chunks of every url present in ``chunks``,
