@@ -54,18 +54,31 @@ def main() -> None:
     # the query, not session startup
     registry["tpch_q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
 
+    # median-of-N (VERDICT r02 #4): single-shot timings swung +/- 40% on
+    # unchanged queries between rounds, making regressions undetectable.
+    # Each rep is cache-isolated (clearCache drops intra-query cached
+    # intermediates), reps run back-to-back, and the reported figure is the
+    # per-query MEDIAN with the min-max spread alongside.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-        # per-query isolation: several operators cache intermediates for
-        # intra-query reuse; dropping them between queries keeps each timing
-        # self-contained and the block manager from accumulating 40 queries
-        # of leftovers
-        spark.catalog.clearCache()
+        times = []
+        n = -1
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            n = df.count()
+            times.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 3)
+        spreads[name] = round(times[-1] - times[0], 3)
+        print(
+            f"# {name}: median={timings[name]:.3f}s spread={spreads[name]:.3f}s "
+            f"rows={n} reps={[round(t, 3) for t in times]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -76,6 +89,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -434,7 +434,22 @@ def connected_components_star(
     one join per round, keyed on node id — no global structure. At the
     fixed point the edge set is a union of stars centered at component
     minima, so labels read off as min(self, neighbors)."""
+    def _sig(df: DataFrame) -> tuple:
+        # O(1)-driver convergence signature: (row count, XOR of row hashes)
+        # — ONE partial-aggregate job per round, replacing two exceptAll
+        # set-difference jobs (each a full shuffle) per round. bit_xor is
+        # order-independent and can't overflow (ANSI-safe, unlike SUM of
+        # longs); on canonical DISTINCT edge sets equal signatures differ
+        # only with a ~2^-64 xxhash64 collision, and identical sets always
+        # produce identical signatures (no spurious extra rounds).
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     cur = _canon(edges).localCheckpoint()
+    prev_sig = _sig(cur)
     for _ in range(max_iters):
         # large-star over the symmetric adjacency: emit (v, m(u)) for v > u
         sym = cur.select("u", "v").union(
@@ -457,12 +472,11 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
         ).localCheckpoint()
-        changed = (
-            small.exceptAll(cur).count() + cur.exceptAll(small).count()
-        )
+        sig = _sig(small)
         cur = small
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     sym = cur.select("u", "v").union(
         cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
