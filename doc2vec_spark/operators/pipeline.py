@@ -639,3 +639,177 @@ def pipe_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain-level quality signals (C4/RefinedWeb-style domain triage)
+# ---------------------------------------------------------------------------
+# Real corpus curation decides keep/drop per DOMAIN, not per document:
+# a domain with a high exact-dup rate or low quality-pass rate is boilerplate
+# or spam and gets dropped wholesale. `source` plays the registrable-domain
+# role in the driver corpus. All ratios are single integer-over-integer IEEE
+# divisions (bit-identical across engines); the flag compares the RAW ratios
+# so no rounding sits inside the decision.
+
+DOMAIN_DUP_FLAG = 0.2  # dup_frac above -> flagged
+DOMAIN_PASS_FLAG = 0.5  # quality pass_rate below -> flagged
+
+_QUALITY_Q_SQL = r"""
+             (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 1.0
+                        / len(regexp_split_to_array(trim(text), '\s+')) >= 0.3 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / n_chars <= 0.1
+                   THEN 0.3 ELSE 0.0 END)
+"""
+
+
+def _quality_q() -> Column:
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    unique_ratio = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+        * 1.0
+        / F.col("n_chars")
+    )
+    return (
+        F.when(F.col("n_chars").between(100, 20000), 0.4).otherwise(0.0)
+        + F.when(unique_ratio >= 0.3, 0.3).otherwise(0.0)
+        + F.when(punct_ratio <= 0.1, 0.3).otherwise(0.0)
+    )
+
+
+@_register(
+    "pipe_domain_quality",
+    f"""
+    WITH scored AS (
+      SELECT source, lang, n_chars, sha256(text) AS h,
+             CASE WHEN ({_QUALITY_Q_SQL}) >= {QUALITY_CUTOFF} THEN 1 ELSE 0 END AS pass
+      FROM documents),
+    agg AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT lang) AS n_langs,
+             (COUNT(*) - COUNT(DISTINCT h)) * 1.0 / COUNT(*) AS dup_raw,
+             SUM(pass) * 1.0 / COUNT(*) AS pass_raw,
+             CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*) AS chars_raw
+      FROM scored GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_langs AS BIGINT) AS n_langs,
+           floor(dup_raw * 1000000.0 + 0.5) / 1000000.0 AS dup_frac,
+           floor(pass_raw * 1000000.0 + 0.5) / 1000000.0 AS pass_rate,
+           floor(chars_raw * 1000000.0 + 0.5) / 1000000.0 AS mean_chars,
+           CASE WHEN dup_raw > {DOMAIN_DUP_FLAG} OR pass_raw < {DOMAIN_PASS_FLAG}
+                THEN 1 ELSE 0 END AS flagged
+    FROM agg
+    """,
+    "Domain-level corpus triage: per-source doc counts, language spread, "
+    "exact-dup fraction, quality-pass rate, mean chars, and the keep/drop "
+    "flag (dup_frac > {d} or pass_rate < {p}). One shuffle keyed on the "
+    "domain; every ratio is one integer/integer division so the flag is "
+    "bit-identical across engines. At 100 TB this is THE decision table a "
+    "crawl curator materializes nightly.".format(d=DOMAIN_DUP_FLAG, p=DOMAIN_PASS_FLAG),
+)
+def pipe_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions import sha256_hex
+    from doc2vec_spark.functions.rounding import pround
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        sha256_hex(F.col("text")).alias("h"),
+        F.when(_quality_q() >= QUALITY_CUTOFF, F.lit(1)).otherwise(F.lit(0)).alias("pass"),
+    )
+    n = F.count(F.lit(1))
+    dup_raw = (n - F.count_distinct(F.col("h"))) * 1.0 / n
+    pass_raw = F.sum("pass") * 1.0 / n
+    chars_raw = F.sum("n_chars").cast("long") * 1.0 / n
+    return scored.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.count_distinct(F.col("lang")).cast("long").alias("n_langs"),
+        pround(dup_raw, 6).alias("dup_frac"),
+        pround(pass_raw, 6).alias("pass_rate"),
+        pround(chars_raw, 6).alias("mean_chars"),
+        F.when((dup_raw > DOMAIN_DUP_FLAG) | (pass_raw < DOMAIN_PASS_FLAG), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-balanced language mixture sampling
+# ---------------------------------------------------------------------------
+# Multilingual pretraining doesn't sample languages proportionally (English
+# would drown everything) — it allocates token budgets ~ T_l^alpha
+# (temperature resampling, alpha=0.5 here) and fills each language's budget
+# in a deterministic pseudo-random order. Every arithmetic step is
+# cross-engine exact: per-language token totals are integers, the weight is
+# floor(sqrt(T)) (sqrt is IEEE correctly-rounded, floor of it identical),
+# budgets are integer floor-division, and the fill is an integer window
+# cumsum in (md5(doc_id), doc_id) order.
+
+MIXTURE_ALPHA_NOTE = "alpha = 0.5 via floor(sqrt(tokens))"
+MIXTURE_BUDGET_FRAC = 0.4  # of total corpus tokens
+
+_MIX_TOK_SQL = r"""
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+"""
+
+
+@_register(
+    "pipe_mixture_sample",
+    f"""
+    WITH tok AS ({_MIX_TOK_SQL}),
+    lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t FROM tok GROUP BY lang),
+    w AS (SELECT lang, CAST(floor(sqrt(t)) AS BIGINT) AS w FROM lt),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM w),
+    budget AS (SELECT CAST(floor({MIXTURE_BUDGET_FRAC} * (SELECT SUM(n_tok) FROM tok)) AS BIGINT) AS b),
+    lb AS (SELECT lang, CAST((b * w) // sw AS BIGINT) AS lang_budget FROM w, tot, budget),
+    r AS (SELECT doc_id, lang, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY lang
+                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM tok)
+    SELECT r.doc_id, r.lang, r.n_tok FROM r JOIN lb ON r.lang = lb.lang
+    WHERE r.cum <= lb.lang_budget
+    """,
+    "Language-mixture sampler: per-language token budgets ~ sqrt(T_l) "
+    "(temperature resampling), filled in deterministic md5 order by an "
+    "integer window cumsum until the budget. The per-language totals are a "
+    "bounded driver-side literal map (#languages rows, same convention as "
+    "KNN probe literals) re-joined via broadcast HASH join; the fill is one "
+    "shuffle keyed on lang.",
+)
+def pipe_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    # per-language totals: bounded collect (#languages rows) -> budgets
+    # computed in exact integer arithmetic driver-side, inlined as a
+    # broadcast dimension. Identical math to the oracle's CTEs.
+    lt = {r["lang"]: r["t"] for r in tok.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()}
+    total = sum(lt.values())
+    weights = {lang: int(math.floor(math.sqrt(t))) for lang, t in lt.items()}
+    sw = sum(weights.values())
+    b = int(math.floor(MIXTURE_BUDGET_FRAC * total))
+    budgets = [(lang, (b * w) // sw) for lang, w in sorted(weights.items())]
+    lb = spark.createDataFrame(budgets, "lang string, lang_budget long")
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = tok.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        r.join(F.broadcast(lb), "lang")
+        .filter(F.col("cum") <= F.col("lang_budget"))
+        .select("doc_id", "lang", "n_tok")
+    )
