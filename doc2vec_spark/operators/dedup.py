@@ -584,6 +584,136 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# common-span dedup (word-level exact-substring sharing)
+# ---------------------------------------------------------------------------
+# Jaccard/minhash measure BAG overlap; boilerplate detection needs CONTIGUOUS
+# overlap — the word-level analog of suffix-array substring dedup (Lee et
+# al., "Deduplicating Training Data Makes Language Models Better", ACL'22),
+# re-expressed relationally: positioned 5-gram shingles -> df-capped inverted
+# index -> map-side (u, pu, v, pv) match expansion -> matches on one DIAGONAL
+# (pu - pv constant) with consecutive pu form a run, found with the classic
+# pos - row_number() grouping. A run of R shingles = R + 4 identical
+# consecutive words. Shuffles: the index groupBy, the per-(pair, diagonal)
+# window, the per-pair max — all keyed, no global order; posting lists are
+# double-capped (distinct docs AND total positions) so one boilerplate
+# shingle cannot quadratically dominate the expansion.
+
+MIN_RUN_SHINGLES = 8  # run of 8 shingles -> >= 12 identical consecutive words
+SPAN_SHINGLE_DF = 50  # max distinct docs per shingle (boilerplate cap)
+SPAN_POSTING_CAP = 200  # max total positions per shingle (within-doc repeats)
+
+
+def _positioned_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, h): every word-5-gram WITH its 1-based position (not
+    distinct — positions are the signal here), hashed to 60-bit md5-prefix
+    longs map-side."""
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    ws = _tokens()
+    idx = F.sequence(F.lit(1), F.size(ws) - 4)
+    entries = F.when(
+        F.size(ws) >= 5,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", *[F.element_at(ws, i + k) for k in range(5)])),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+    return docs.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
+    )
+
+
+@_register(
+    "dedup_common_spans",
+    rf"""
+    WITH sh AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+           unnest(generate_series(1, greatest(len(ws)-4, 0))) t(i)),
+    keep AS (SELECT h FROM sh GROUP BY h
+             HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {SPAN_SHINGLE_DF}
+                AND COUNT(*) <= {SPAN_POSTING_CAP}),
+    m AS (SELECT a.doc_id AS u, b.doc_id AS v, a.pos - b.pos AS diag, a.pos AS pu
+          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+          WHERE a.h IN (SELECT h FROM keep)),
+    runs AS (SELECT u, v, diag,
+                    pu - ROW_NUMBER() OVER (PARTITION BY u, v, diag ORDER BY pu) AS grp
+             FROM m),
+    rl AS (SELECT u, v, COUNT(*) AS run FROM runs GROUP BY u, v, diag, grp)
+    SELECT u AS doc_a, v AS doc_b,
+           CAST(MAX(run) AS BIGINT) AS max_run,
+           CAST(MAX(run) + 4 AS BIGINT) AS span_words
+    FROM rl GROUP BY u, v HAVING MAX(run) >= {MIN_RUN_SHINGLES}
+    """,
+    "Common-span dedup: doc pairs sharing >= {r} CONSECUTIVE word-5-grams "
+    "(>= {w} identical consecutive words) — contiguous-overlap boilerplate "
+    "detection, the relational re-expression of suffix-array substring "
+    "dedup. Positioned shingles -> double-capped inverted index -> map-side "
+    "match expansion -> diagonal run grouping (pos - row_number).".format(
+        r=MIN_RUN_SHINGLES, w=MIN_RUN_SHINGLES + 4
+    ),
+)
+def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = _positioned_shingle_rows(spark, sf_dir)
+    inv = sh.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("entries")
+    )
+    ndocs = F.size(F.array_distinct(F.transform(F.col("entries"), lambda e: e.doc_id)))
+    inv = inv.filter(
+        (ndocs >= 2) & (ndocs <= SPAN_SHINGLE_DF) & (F.size("entries") <= SPAN_POSTING_CAP)
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("entries"),
+            lambda a: F.transform(
+                F.filter(F.col("entries"), lambda b: a.doc_id < b.doc_id),
+                lambda b: F.struct(
+                    a.doc_id.alias("u"),
+                    b.doc_id.alias("v"),
+                    (a.pos - b.pos).alias("diag"),
+                    a.pos.alias("pu"),
+                ),
+            ),
+        )
+    )
+    m = inv.select(F.explode(cross).alias("p")).select("p.u", "p.v", "p.diag", "p.pu")
+    w = Window.partitionBy("u", "v", "diag").orderBy("pu")
+    runs = (
+        m.withColumn("grp", F.col("pu") - F.row_number().over(w))
+        .groupBy("u", "v", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return (
+        runs.groupBy("u", "v")
+        .agg(F.max("run").alias("max_run"))
+        .filter(F.col("max_run") >= MIN_RUN_SHINGLES)
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            F.col("max_run").cast("long").alias("max_run"),
+            (F.col("max_run") + 4).cast("long").alias("span_words"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # threshold-routed embedding near-dup (VERDICT r02 #3)
 # ---------------------------------------------------------------------------
 # The scale boundary of the exact salt-grid pair join is now OPERATIONAL, not
