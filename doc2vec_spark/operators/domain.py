@@ -186,3 +186,135 @@ def doc_knn_query_documentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "chunk_id", "chunk_index",
         (F.floor(F.col("distance") * 1e6 + 0.5) / 1e6).alias("distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid keyword + vector search (reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+# The reference exposes keyword search (F16, database.ts LIKE path) and
+# vector search (T1) as SEPARATE tools; production retrieval fuses them.
+# RRF (Cormack et al., SIGIR'09): score = sum over modalities of
+# 1/(K + rank). Everything is cross-engine exact: ranks are integers, each
+# contribution is one IEEE division, the fusion is one two-term add.
+# Plan shape: each modality's candidate set comes from orderBy().limit()
+# (TakeOrderedAndProject — distributed partial top-k, no global sort, no
+# single-partition exchange); ranks are then assigned on the tiny candidate
+# sets only, the same pattern as ann_srp_search.
+
+RRF_K = 60
+HYBRID_CAND = 20  # per-modality candidate pool
+HYBRID_TOP = 5
+
+
+def _hybrid_oracle() -> str:
+    from doc2vec_spark.embedding import components_sql, vector_sql
+
+    qtoks = (
+        "(SELECT regexp_split_to_array(trim(text), '\\s+')[1:8] "
+        "FROM documents WHERE doc_id = 7)"
+    )
+    dist = (
+        "1.0 - list_sum(list_transform(range(0, 64), i -> "
+        "CAST(e[i+1] AS DOUBLE) * CAST(v[i+1] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH q AS (SELECT array_to_string({qtoks}, ' ') AS qtext, {qtoks} AS qtoks),
+    qc AS (SELECT {components_sql('qtext')} AS comps FROM q),
+    qv AS (SELECT {vector_sql('comps')} AS v FROM qc),
+    base AS (SELECT doc_id, trim(text) AS content,
+                    list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+             FROM documents WHERE trim(text) <> ''),
+    kw AS (SELECT doc_id,
+                  len(list_filter(toks, x -> list_contains(qtoks, x))) AS kw_score
+           FROM base, q),
+    kw_top AS (SELECT doc_id, kw_score,
+                      ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS rank_kw
+               FROM kw ORDER BY kw_score DESC, doc_id LIMIT {HYBRID_CAND}),
+    ec AS (SELECT doc_id, {components_sql('content')} AS comps FROM base),
+    ev AS (SELECT doc_id, {vector_sql('comps')} AS e FROM ec),
+    vs AS (SELECT doc_id, {dist} AS dist FROM ev, qv),
+    vec_top AS (SELECT doc_id, dist,
+                       ROW_NUMBER() OVER (ORDER BY dist, doc_id) AS rank_vec
+                FROM vs ORDER BY dist, doc_id LIMIT {HYBRID_CAND}),
+    fused AS (
+      SELECT COALESCE(k.doc_id, t.doc_id) AS doc_id,
+             k.rank_kw AS rank_kw, t.rank_vec AS rank_vec,
+             COALESCE(1.0 / ({RRF_K} + k.rank_kw), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + t.rank_vec), 0.0) AS rrf
+      FROM kw_top k FULL OUTER JOIN vec_top t ON k.doc_id = t.doc_id)
+    SELECT doc_id, rank_kw, rank_vec,
+           floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
+    """
+
+
+@_register(
+    "doc_hybrid_search_rrf",
+    _hybrid_oracle(),
+    "Hybrid retrieval: keyword-overlap top-{c} and embedding-cosine top-{c} "
+    "candidate pools fused by reciprocal-rank fusion (1/({k}+rank) summed "
+    "over modalities). Each pool is a TakeOrderedAndProject partial top-k "
+    "(no global sort); ranks attach to the tiny pools only; the fusion is "
+    "a {c}x{c}-row full-outer join. Integer ranks + single IEEE divisions "
+    "keep the fused score bit-identical across engines.".format(
+        c=HYBRID_CAND, k=RRF_K
+    ),
+)
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql import Window
+
+    from doc2vec_spark.embedding import embed_text, with_embeddings
+    from doc2vec_spark.functions.rounding import pround
+    from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
+
+    docs = load(spark, sf_dir, "documents")
+    text7 = docs.filter(F.col("doc_id") == 7).select("text").first()["text"]
+    q_tokens = re.split(r"\s+", text7.strip())[:8]
+    q_text = " ".join(q_tokens)
+
+    base = docs.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.trim(F.col("text")).alias("content"),
+        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    )
+
+    kw_score = F.size(
+        F.array_intersect(F.col("toks"), F.array(*[F.lit(t) for t in q_tokens]))
+    )
+    kw_top = (
+        base.select("doc_id", kw_score.alias("kw_score"))
+        .orderBy(F.desc("kw_score"), "doc_id")
+        .limit(HYBRID_CAND)
+        .withColumn(
+            "rank_kw",
+            F.row_number().over(Window.orderBy(F.desc("kw_score"), "doc_id")),
+        )
+    )
+
+    qvec = [float(x) for x in embed_text(q_text)]
+    scored = with_embeddings(base, text_col="content").select(
+        "doc_id",
+        cosine_distance(as_double_array(F.col("embedding")), lit_vector(qvec)).alias("dist"),
+    )
+    vec_top = (
+        scored.orderBy(F.asc("dist"), "doc_id")
+        .limit(HYBRID_CAND)
+        .withColumn("rank_vec", F.row_number().over(Window.orderBy(F.asc("dist"), "doc_id")))
+    )
+
+    fused = kw_top.select("doc_id", "rank_kw").join(
+        vec_top.select("doc_id", "rank_vec"), "doc_id", "full_outer"
+    )
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("rank_kw")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("rank_vec")), F.lit(0.0)
+    )
+    return (
+        fused.withColumn("rrf", rrf)
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(HYBRID_TOP)
+        .select("doc_id", "rank_kw", "rank_vec", pround("rrf", 6).alias("rrf_score"))
+    )
