@@ -813,3 +813,84 @@ def pipe_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") <= F.col("lang_budget"))
         .select("doc_id", "lang", "n_tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-exact sequence packing (fixed-length training sequences)
+# ---------------------------------------------------------------------------
+# pipe_shard_pack bins whole documents under a token budget; actual
+# pretraining packs the token STREAM into fixed-length sequences, splitting
+# documents across sequence boundaries. Relationally: a windowed cumsum
+# gives each doc its half-open token interval [start, end) inside
+# (lang, pack_group); the doc then explodes into one row per overlapped
+# sequence floor(start/L)..floor((end-1)/L) with exact in-sequence offsets.
+# Pure integer arithmetic end to end; the window partitions on
+# (lang, pack_group) so packing stays parallel at 100 TB.
+
+SEQ_LEN = 512
+
+
+@_register(
+    "pipe_sequence_pack",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_PACK_GROUP_SQL} AS pack_group,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    iv AS (
+      SELECT doc_id, lang, pack_group, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang, pack_group ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tok AS BIGINT) AS start,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang, pack_group ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fin
+      FROM tok)
+    SELECT doc_id, lang, pack_group, CAST(s AS BIGINT) AS seq_id,
+           CAST(greatest(start, s * {SEQ_LEN}) - s * {SEQ_LEN} AS BIGINT) AS tok_offset,
+           CAST(least(fin, (s + 1) * {SEQ_LEN}) - greatest(start, s * {SEQ_LEN}) AS BIGINT) AS n_tok_in_seq
+    FROM iv, unnest(generate_series(start // {SEQ_LEN}, (fin - 1) // {SEQ_LEN})) t(s)
+    """,
+    "Token-exact sequence packing: windowed cumsum assigns each doc the "
+    f"token interval [start, end) inside (lang, pack_group); docs explode "
+    f"into one row per overlapped {SEQ_LEN}-token training sequence with "
+    "exact in-sequence offset and length — the concat-and-chunk layout "
+    "pretraining dataloaders consume. Integer arithmetic end to end; one "
+    "shuffle (the window partition).",
+)
+def pipe_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        _pack_group_col().alias("pack_group"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    iv = tok.select(
+        "doc_id",
+        "lang",
+        "pack_group",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
+        F.sum("n_tok").over(w).alias("fin"),
+    )
+    L = F.lit(SEQ_LEN)
+    s = F.explode(
+        F.sequence(F.floor(F.col("start") / L), F.floor((F.col("fin") - 1) / L))
+    ).alias("s")
+    seg = iv.select("doc_id", "lang", "pack_group", "start", "fin", s)
+    seg_start = F.greatest(F.col("start"), F.col("s") * L)
+    return seg.select(
+        "doc_id",
+        "lang",
+        "pack_group",
+        F.col("s").cast("long").alias("seq_id"),
+        (seg_start - F.col("s") * L).cast("long").alias("tok_offset"),
+        (F.least(F.col("fin"), (F.col("s") + 1) * L) - seg_start)
+        .cast("long")
+        .alias("n_tok_in_seq"),
+    )

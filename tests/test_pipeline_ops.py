@@ -213,3 +213,27 @@ def test_cc_star_deep_path_converges_fast(spark):
     comp = connected_components_star(_edges(spark, [(i, i + 1) for i in range(1, n)]))
     rows = {r.doc_id: r.component for r in comp.collect()}
     assert rows == {i: 1 for i in range(1, n + 1)}
+
+
+def test_sequence_pack_partitions_every_token_exactly_once(spark):
+    """Each doc's segments tile its token interval: per-doc segment lengths
+    sum to n_tok, offsets stay inside [0, SEQ_LEN), and every segment is
+    nonempty — the invariants a dataloader depends on."""
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.operators.pipeline import SEQ_LEN, QUERIES
+    from tests.conftest import SF_DIR
+
+    seg = QUERIES["pipe_sequence_pack"].fn(spark, SF_DIR).cache()
+    assert seg.filter((F.col("n_tok_in_seq") < 1) | (F.col("tok_offset") < 0)
+                      | (F.col("tok_offset") >= SEQ_LEN)).count() == 0
+    # sum of segment lengths per doc == whitespace token count of the doc
+    from doc2vec_spark.tables import load
+
+    truth = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok")
+    )
+    got = seg.groupBy("doc_id").agg(F.sum("n_tok_in_seq").alias("packed"))
+    bad = got.join(truth, "doc_id").filter(F.col("packed") != F.col("n_tok")).count()
+    assert bad == 0
+    seg.unpersist()
