@@ -894,3 +894,79 @@ def pipe_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tok_in_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical-document selection (dedup survivor policy)
+# ---------------------------------------------------------------------------
+# Clustering tells you WHICH docs are near-dups; a corpus build must then
+# pick each cluster's survivor. Policy here: highest quality score, doc_id
+# as the tie-break — not "lowest id", which silently prefers crawl order.
+# Docs outside any candidate cluster are their own singleton component
+# (left join + coalesce). One window keyed on the component id.
+
+
+@_register(
+    "pipe_canonical_select",
+    rf"""
+    WITH RECURSIVE sh0 AS ({_HASHED_SHINGLES5_SQL}),
+    keep AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE5_DF}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SHARED_EDGE}),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+    scored AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             ({_QUALITY_Q_SQL}) AS q
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    ranked AS (
+      SELECT component, doc_id, q,
+             ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM scored)
+    SELECT component, doc_id AS survivor_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped,
+           floor(q * 1000000.0 + 0.5) / 1000000.0 AS best_q
+    FROM ranked WHERE rn = 1
+    """,
+    "Dedup survivor selection: every doc joins its near-dup component "
+    "(singletons stay their own), and each component keeps its highest-"
+    "quality member (doc_id tie-break) — the keep/drop decision a corpus "
+    "build executes after clustering. One component-keyed window; quality "
+    "is the same three-term score pipe_corpus_build gates on.",
+)
+def pipe_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    comp = connected_components(candidate_edges(spark, sf_dir))
+    scored = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            _quality_q().alias("q"),
+        )
+    )
+    wrank = Window.partitionBy("component").orderBy(F.desc("q"), "doc_id")
+    wall = Window.partitionBy("component")
+    from doc2vec_spark.functions.rounding import pround
+
+    return (
+        scored.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n_members", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+            pround("q", 6).alias("best_q"),
+        )
+    )
