@@ -72,7 +72,9 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
         times.sort()
-        timings[name] = round(times[len(times) // 2], 3)
+        mid = len(times) // 2
+        med = times[mid] if len(times) % 2 else (times[mid - 1] + times[mid]) / 2
+        timings[name] = round(med, 3)
         spreads[name] = round(times[-1] - times[0], 3)
         print(
             f"# {name}: median={timings[name]:.3f}s spread={spreads[name]:.3f}s "

@@ -574,9 +574,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.functions.vectors import as_double_array
 
     # routed entry point: this threshold (< SRP_ROUTE_THRESHOLD) takes the
-    # exact adaptive salt-grid path — one cheap metadata count (parquet
-    # footers) sizes the shard grid, the result set is grid-invariant, and
-    # pair (a,b) meets exactly once in grid cell (a.salt, b.salt)
+    # exact adaptive salt-grid path — sizing the grid counts the raw table
+    # scan (a parquet-footer metadata read here; derived inputs would pay a
+    # real job), the result set is grid-invariant, and pair (a,b) meets
+    # exactly once in grid cell (a.salt, b.salt)
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     )
@@ -724,6 +725,14 @@ def dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x 4 bits, miss = (1 - p^4)^4). Below 0.9 qualifying pairs disagree on too
 # many SRP bits for any banding to retain them (measured in the
 # dedup_embedding_cosine docstring), so exact sharding IS the plan.
+#
+# Cross-engine exactness caveat: the embedding COMPONENTS are bitwise
+# reproducible, but dot products are multi-term float sums whose
+# accumulation order differs between Spark's sequential fold and DuckDB's
+# pairwise list_sum (measured ~1e-15 relative). A hyperplane dot within
+# ~1e-15 of zero could therefore band differently per engine; with O(1)-
+# scale dots that is a ~1e-15-per-test event, deterministic per dataset, and
+# the parity suite + driver gate would surface it as a plain mismatch.
 
 SRP_ROUTE_THRESHOLD = 0.9
 PAIR_PLANES_N = 16  # 4 bands x 4 bits
@@ -761,7 +770,12 @@ _PAIR_SIG_SQL = (
 
 def _exact_grid_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> DataFrame:
     """Exact all-pairs cosine >= threshold inside each label, sharded on the
-    adaptive g x g salt grid (see dedup_embedding_cosine docstring)."""
+    adaptive g x g salt grid (see dedup_embedding_cosine docstring).
+
+    Sizing the grid costs ``e.count()`` — a parquet-footer metadata read
+    when ``e`` is a plain table scan, but a full materialization job for a
+    derived input (unions, filters, planted rows): pass raw scans where
+    possible."""
     import math
 
     from doc2vec_spark.functions.vectors import dot, l2_norm

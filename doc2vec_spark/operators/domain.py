@@ -263,8 +263,6 @@ def _hybrid_oracle() -> str:
     ),
 )
 def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-
     from pyspark.sql import Window
 
     from doc2vec_spark.embedding import embed_text, with_embeddings
@@ -272,8 +270,15 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
 
     docs = load(spark, sf_dir, "documents")
-    text7 = docs.filter(F.col("doc_id") == 7).select("text").first()["text"]
-    q_tokens = re.split(r"\s+", text7.strip())[:8]
+    # query tokens derived through the ENGINE's split (Java regex \s is
+    # ASCII-only, matching DuckDB's RE2 \s) — a Python re.split here would
+    # disagree on unicode whitespace (NBSP etc.) and embed a different query
+    # string than the oracle
+    q_tokens = (
+        docs.filter(F.col("doc_id") == 7)
+        .select(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8).alias("t"))
+        .first()["t"]
+    )
     q_text = " ".join(q_tokens)
 
     base = docs.filter(F.trim(F.col("text")) != "").select(

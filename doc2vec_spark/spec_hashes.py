@@ -8,11 +8,12 @@ persists forever, so a query whose *implementation or oracle changed* after
 its stamp would never be re-checked by the external gate.
 
 Fix: ``SPEC_HASHES.json`` (repo root) records, per query, a content hash of
-its spec — the oracle SQL plus the ``ast.dump`` of the defining module and
-its transitive first-party import closure (comment/whitespace-insensitive,
-so cosmetic edits don't churn the rotation) — and the first round whose
-driver run reflects that spec version (``since``). The registry counts a
-name as driver-verified only if
+its spec — the oracle SQL plus the comment-stripped token stream of the
+defining module and its transitive first-party import closure (so comment
+edits don't churn the rotation, and the hash is stable across Python minor
+versions, unlike ``ast.dump``) — and the first round whose driver run
+reflects that spec version (``since``). The registry counts a name as
+driver-verified only if
 
   * the stored hash equals the hash computed from the live code, AND
   * a fully-green CORRECTNESS row exists in some round >= ``since``.
@@ -28,7 +29,10 @@ from __future__ import annotations
 
 import ast
 import hashlib
+import io
 import json
+import tokenize
+from functools import lru_cache
 from pathlib import Path
 
 PKG_ROOT = Path(__file__).resolve().parent
@@ -73,10 +77,26 @@ def _first_party_imports(tree: ast.AST) -> set[str]:
     return mods
 
 
+def _normalized_source(text: str) -> str:
+    """Comment-insensitive normal form of a module's source: the token
+    stream minus COMMENT/NL tokens, keyed by token NAME (not number).
+    Unlike ast.dump — whose node/field format changes between Python minor
+    versions and would spuriously invalidate every stored hash on an
+    interpreter upgrade — the token stream of unchanged source is stable."""
+    out = []
+    for tok in tokenize.generate_tokens(io.StringIO(text).readline):
+        if tok.type in (tokenize.COMMENT, tokenize.NL):
+            continue
+        out.append((tokenize.tok_name[tok.type], tok.string))
+    return repr(out)
+
+
+@lru_cache(maxsize=1)
 def module_closures() -> tuple[dict[str, str], dict[str, list[str]]]:
-    """(ast-dump per module, transitive first-party import closure per
-    module) for every module file under the package. Cheap: ~40 files, pure
-    ast.parse."""
+    """(normalized source per module, transitive first-party import closure
+    per module) for every module file under the package. Cached per process
+    (~40 files of tokenize + ast.parse otherwise re-run on every
+    all_queries() call)."""
     dumps: dict[str, str] = {}
     imports: dict[str, set[str]] = {}
     for py in sorted(PKG_ROOT.rglob("*.py")):
@@ -86,9 +106,9 @@ def module_closures() -> tuple[dict[str, str], dict[str, list[str]]]:
             dotted = ".".join([_PKG] + parts[:-1])
         else:
             dotted = ".".join([_PKG] + parts[:-1] + [rel.stem])
-        tree = ast.parse(py.read_text())
-        dumps[dotted] = ast.dump(tree)
-        imports[dotted] = {m for m in _first_party_imports(tree) if _module_path(m)}
+        src = py.read_text()
+        dumps[dotted] = _normalized_source(src)
+        imports[dotted] = {m for m in _first_party_imports(ast.parse(src)) if _module_path(m)}
 
     closures: dict[str, list[str]] = {}
 
@@ -145,6 +165,7 @@ def load_stamps() -> dict[str, dict]:
         return {}
 
 
+@lru_cache(maxsize=1)
 def _green_rounds() -> dict[str, list[int]]:
     """name -> rounds with a fully-green driver row."""
     greens: dict[str, list[int]] = {}
