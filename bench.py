@@ -33,6 +33,7 @@ HEADLINE = [
     "ext_cube_orders",
     "doc_chunk_pipeline",
     "doc_knn_query_documentation",
+    "doc_hybrid_search_rrf",
 ]
 
 
