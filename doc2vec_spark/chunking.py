@@ -273,6 +273,16 @@ def chunk_documents(
                     out["hash"].append(c.chunk_id)
                     out["chunk_index"].append(c.chunk_index)
                     out["total_chunks"].append(c.total_chunks)
-            yield pd.DataFrame(out)
+            if out["url"]:
+                yield pd.DataFrame(out)
+            else:
+                # a batch whose every doc chunks to zero rows (blank/
+                # whitespace markdown) must yield an EMPTY frame with object
+                # dtype: pd.DataFrame over empty lists infers float64, and
+                # Arrow cannot convert a float64 ndarray to the
+                # heading_hierarchy list<string> field
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype="object") for k, v in out.items()}
+                )
 
     return docs.select(*cols).mapInPandas(process, CHUNK_SCHEMA)

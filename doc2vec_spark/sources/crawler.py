@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-LINK_RE = re.compile(r'href="([^"#]+)"')
+# capture the whole href; the FRAGMENT is stripped after the match (a
+# [^"#]+ pattern would refuse to match fragment-bearing hrefs entirely,
+# losing pages reachable only via "guide.html#install"-style links — the
+# reference resolves the url and drops only the fragment, utils.ts:37-46)
+LINK_RE = re.compile(r'href="([^"]+)"')
 
 FETCH_SCHEMA = T.StructType(
     [
@@ -70,8 +74,16 @@ def crawl(
     for _ in range(max_waves):
         if frontier.limit(1).count() == 0 or total >= max_pages:
             break
-        fetched = frontier.mapInPandas(fetch_partition, FETCH_SCHEMA).cache()
-        total += fetched.count()  # materialize once per wave
+        # localCheckpoint, not cache(): the fetch is non-idempotent (live
+        # HTTP/browser calls), and cached partitions can be EVICTED under
+        # memory pressure — any later action on the results union would then
+        # silently re-issue whole waves of fetches. The checkpoint pins the
+        # materialized rows and cuts the fetch stage out of the lineage, so
+        # downstream recomputation can never reach it.
+        fetched = frontier.mapInPandas(fetch_partition, FETCH_SCHEMA).localCheckpoint(
+            eager=True
+        )
+        total += fetched.count()
         wave_results = fetched.select("url", "markdown", "ok")
         results = wave_results if results is None else results.unionByName(wave_results)
         # localCheckpoint truncates the visited set's lineage each wave:
@@ -97,8 +109,12 @@ def extract_links(html: str, base_url: str) -> list[str]:
 
     out = []
     for href in LINK_RE.findall(html):
+        if href.startswith("#"):
+            continue  # pure fragment: resolves to the page itself
         try:
-            out.append(urljoin(base_url, href))
+            resolved = urljoin(base_url, href).split("#", 1)[0]
         except ValueError:
             continue
+        if resolved:
+            out.append(resolved)
     return out

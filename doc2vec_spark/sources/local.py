@@ -56,24 +56,50 @@ CODE_LANGUAGES = {
 }
 
 
+def _ci_glob(ext: str) -> str:
+    """Case-insensitive glob for one extension: '.md' -> '*.[mM][dD]' — a
+    listing-time prune with the SAME admission semantics as the
+    case-insensitive endswith filter below (a case-sensitive '*.md' glob
+    would silently drop README.MD only when exactly one extension is
+    configured)."""
+    return "*" + "".join(
+        f"[{c.lower()}{c.upper()}]" if c.isalpha() else c for c in ext
+    )
+
+
+def _url_col():
+    """Scan path -> source url. Local paths ('file:/abs' or bare) normalize
+    to file:///abs; paths already carrying another scheme (s3a://, hdfs://)
+    pass through verbatim — wrapping them in file:// would corrupt every
+    downstream url key and metadata lookup."""
+    other_scheme = F.col("path").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:") & ~F.col(
+        "path"
+    ).startswith("file:")
+    return F.when(other_scheme, F.col("path")).otherwise(
+        F.concat(F.lit("file://"), F.regexp_replace("path", "^file:", ""))
+    )
+
+
 def read_local_directory(
     spark: SparkSession,
     path: str,
     include_extensions: list[str] | None = None,
     max_size_chars: int | None = None,
 ) -> DataFrame:
-    """S5: (url, markdown, mtime, size) rows for every admitted file."""
+    """S5: (url, markdown, mtime, size) rows for every admitted file.
+    Extension admission is case-insensitive regardless of how many
+    extensions are configured."""
     reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
     if include_extensions and len(include_extensions) == 1:
-        reader = reader.option("pathGlobFilter", f"*{include_extensions[0]}")
+        reader = reader.option("pathGlobFilter", _ci_glob(include_extensions[0]))
     df = reader.load(path)
-    if include_extensions and len(include_extensions) > 1:
+    if include_extensions:
         pred = F.lit(False)
         for ext in include_extensions:
             pred = pred | F.lower(F.col("path")).endswith(ext.lower())
         df = df.filter(pred)
     out = df.select(
-        F.concat(F.lit("file://"), F.regexp_replace("path", "^file:", "")).alias("url"),
+        _url_col().alias("url"),
         F.decode(F.col("content"), "utf-8").alias("markdown"),
         F.col("modificationTime").alias("mtime"),
         F.col("length").alias("size"),
@@ -113,7 +139,21 @@ def read_code_directory(
     if mtime_cutoff is not None:
         df = df.filter(F.col("mtime") > mtime_cutoff)  # W5
     if allowed_files is not None:
-        df = df.join(F.broadcast(allowed_files.select("path")), "path", "left_semi")  # J2
+        # J2 allow-list gate. The scan's path column is ABSOLUTE (scheme
+        # stripped); git-diff sets (sources/git.py) are repo-RELATIVE —
+        # joining them raw matches nothing and an incremental scan silently
+        # returns zero files. Normalize the (tiny) allow-list side: relative
+        # entries are anchored at the scan root.
+        root = path.removeprefix("file:").rstrip("/")
+        allowed_abs = allowed_files.select(
+            F.when(
+                F.col("path").rlike("^([a-zA-Z][a-zA-Z0-9+.-]*:)?/"),
+                F.regexp_replace("path", "^file:", ""),
+            )
+            .otherwise(F.concat(F.lit(root + "/"), F.col("path")))
+            .alias("path")
+        )
+        df = df.join(F.broadcast(allowed_abs), "path", "left_semi")
     return df.select(
         "path",
         F.lit(repo).alias("repo"),

@@ -83,6 +83,12 @@ def with_s3_user_metadata(
                     head = client.head_object(Bucket=bucket, Key=key)
                     metas.append(dict(head.get("Metadata") or {}))
                 except Exception:
+                    # per-object fallback only: a failed/denied HEAD resolves
+                    # to empty metadata, the same as the reference's
+                    # missing-key -> '' rule (doc2vec.ts:1111-1118). The url
+                    # column preserves real s3a:// addresses verbatim
+                    # (sources/local.py::_url_col), so this branch is the
+                    # per-object exception, not a silent bucket-wide default.
                     metas.append({})
             pdf = pdf.copy()
             pdf["s3_metadata"] = metas

@@ -13,7 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+def _local(tag: str) -> str:
+    """'{any-namespace}loc' -> 'loc'. Real-world sitemaps appear with the
+    canonical sitemaps.org xmlns, an https:// variant, or none at all —
+    matching on the exact namespace would silently parse all of those
+    variants to zero pages, so elements are matched by LOCAL name."""
+    return tag.rsplit("}", 1)[-1]
 
 
 def parse_sitemap_xml(xml_text: str) -> tuple[list[tuple[str, str | None]], list[str]]:
@@ -21,10 +26,15 @@ def parse_sitemap_xml(xml_text: str) -> tuple[list[tuple[str, str | None]], list
     root = ET.fromstring(xml_text)
     pages: list[tuple[str, str | None]] = []
     nested: list[str] = []
-    tag = root.tag.removeprefix(_NS)
+    tag = _local(root.tag)
     for el in root:
-        loc = el.find(f"{_NS}loc")
-        lastmod = el.find(f"{_NS}lastmod")
+        loc = None
+        lastmod = None
+        for child in el:
+            if _local(child.tag) == "loc":
+                loc = child
+            elif _local(child.tag) == "lastmod":
+                lastmod = child
         if loc is None or not (loc.text or "").strip():
             continue
         url = loc.text.strip()

@@ -59,16 +59,29 @@ def sync_documents(
     docs: DataFrame,
     dim: int = DEFAULT_DIM,
     cleanup_prefix: str | None = None,
+    full_listing: bool = True,
 ) -> SyncCounters:
     """One ingestion run: chunk -> diff -> embed only changed -> commit.
 
-    ``docs`` carries (url, markdown, product_name, version). If
-    ``cleanup_prefix`` is given, stored urls under it that are absent from
-    ``docs`` are purged (K4 anti-join; gated on success like W9 — any failure
+    ``docs`` carries (url, markdown, product_name, version). The diff (and
+    therefore every deletion and counter) is SCOPED to the store rows whose
+    product_name appears in ``docs`` — the reference's per-product-database
+    granularity (mcp/src/server.ts:417-430). Without that scope, syncing one
+    source of a shared store would see every other product's urls as
+    "absent from docs" and purge them.
+
+    ``full_listing=True`` (the default; engine sources list their complete
+    current set) deletes scoped urls absent from ``docs``. Pass False for a
+    PARTIAL batch (e.g. a git-diff changed-file set): absences then mean
+    "not in this batch", not "gone", so nothing is deleted implicitly —
+    deletions must arrive explicitly (store.delete_by_urls / cleanup).
+    ``cleanup_prefix`` additionally purges stored urls under the prefix that
+    were not visited (K4 anti-join; gated on success like W9 — any failure
     raises before the commit, so watermarks/state never advance past one).
     """
     new_chunks = chunk_documents(docs).cache()
-    stored = store.read().cache()
+    products = docs.select("product_name").distinct()
+    stored = store.read().join(F.broadcast(products), "product_name", "left_semi").cache()
     statuses = diff_status(new_chunks, stored.select("url", "hash")).cache()
     embedded = None
     try:
@@ -98,16 +111,33 @@ def sync_documents(
 
         # ONE commit for the whole sync: upserts + deletions flip together,
         # so a reader never sees the half-applied intermediate state and the
-        # store rewrites each affected url-bucket at most once per run
+        # store rewrites each affected url-bucket at most once per run.
+        # Deletion territory (everything already product-scoped):
+        #  - cleanup_prefix given: the caller declared its url territory —
+        #    delete unvisited urls UNDER THE PREFIX plus docs whose new
+        #    content chunked to zero rows (their stale chunks must go);
+        #    never product-wide, or two same-product sources would purge
+        #    each other.
+        #  - no prefix + full listing: docs is the product's complete set,
+        #    so every scoped url with status 'deleted' goes (that set also
+        #    contains the zero-chunk docs).
+        #  - no prefix + partial batch: absence just means "not in this
+        #    batch" — only zero-chunk docs are deleted.
+        deleted_status = statuses.filter(F.col("status") == "deleted").select("url")
+        docs_urls = docs.select("url").distinct()
+        zero_chunk = deleted_status.join(F.broadcast(docs_urls), "url", "left_semi")
         if cleanup_prefix is not None:
             in_scope = stored.filter(F.col("url").startswith(cleanup_prefix))
-            delete_urls = (
+            prefix_deletes = (
                 in_scope.select("url")
                 .distinct()
-                .join(F.broadcast(docs.select("url").distinct()), "url", "left_anti")
+                .join(F.broadcast(docs_urls), "url", "left_anti")
             )
+            delete_urls = zero_chunk.unionByName(prefix_deletes).distinct()
+        elif full_listing:
+            delete_urls = deleted_status
         else:
-            delete_urls = statuses.filter(F.col("status") == "deleted").select("url")
+            delete_urls = zero_chunk
 
         has_deletes = delete_urls.limit(1).count() > 0
         if chunks_added or has_deletes:

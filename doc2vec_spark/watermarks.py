@@ -59,6 +59,20 @@ def plan_fetches(
     )
 
 
+def record_start(state: SyncStateStore, url_prefix: str) -> None:
+    """Mark the sync in-flight by CLEARING ``sync_complete:<prefix>``.
+
+    Call between planning and fetching. Without this step the W8 gate is
+    dead: the flag written by the last success stays 'true' forever, so a
+    sync that crashes mid-run leaves no dirty marker and the NEXT run would
+    happily lastmod-skip pages the crashed run half-processed. Protocol:
+    plan_fetches (reads flag) -> record_start (clears) -> fetch/process ->
+    record_success (sets). A crash anywhere in the middle leaves the flag
+    absent, forcing the next run full (doc2vec.ts:682-687 reads its
+    sync_complete flag under exactly this discipline)."""
+    state.delete(f"sync_complete:{url_prefix}")
+
+
 def record_success(
     state: SyncStateStore, fetched: list[tuple[str, str | None]], url_prefix: str
 ) -> None:
