@@ -52,12 +52,15 @@ _LEVEL_RE = re.compile(r"^(#+)")
 # lone-surrogate stripping (utils.ts:119-126); Python strings can carry
 # surrogate code points via surrogatepass decoding of dirty input
 _LONE_HIGH_RE = re.compile(r"[\ud800-\udbff](?![\udc00-\udfff])")
-_LONE_LOW_RE = re.compile(r"(^|[^\ud800-\udbff])([\udc00-\udfff])")
+# lookbehind, NOT a consuming group: a capturing-group form eats the char
+# before each match, so re.sub's non-overlapping scan skips every second
+# surrogate in a run like '\udc00\udc00'
+_LONE_LOW_RE = re.compile(r"(?<![\ud800-\udbff])[\udc00-\udfff]")
 
 
 def strip_lone_surrogates(text: str) -> str:
     text = _LONE_HIGH_RE.sub("", text)
-    return _LONE_LOW_RE.sub(r"\1", text)  # keep group 1, drop the lone low
+    return _LONE_LOW_RE.sub("", text)
 
 
 def sha256_hex(text: str) -> str:

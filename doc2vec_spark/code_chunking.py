@@ -98,12 +98,19 @@ def _python_ast_tree(text: str) -> _Node | None:
         mod = ast.parse(text)
     except SyntaxError:
         return None
+    lines = text.split("\n")
     line_starts = [0]
-    for line in text.split("\n")[:-1]:
+    for line in lines[:-1]:
         line_starts.append(line_starts[-1] + len(line) + 1)
+    line_bytes = [ln.encode("utf-8") for ln in lines]
 
     def pos(lineno: int, col: int) -> int:
-        return line_starts[lineno - 1] + col
+        # ast col_offset/end_col_offset are UTF-8 BYTE offsets; our spans
+        # index the CHARACTER string. On any non-ASCII line the two diverge
+        # and raw byte columns bleed chunk boundaries into neighboring text.
+        lb = line_bytes[lineno - 1]
+        ccol = col if len(lb) == len(lines[lineno - 1]) else len(lb[:col].decode("utf-8"))
+        return line_starts[lineno - 1] + ccol
 
     def convert(node) -> _Node | None:
         if not hasattr(node, "lineno") or node.end_lineno is None:
@@ -146,6 +153,9 @@ def _brace_tree(text: str, start: int, end: int) -> list[_Node]:
         if c == "{":
             depth = 1
             j = i + 1
+            # the depth scan must skip comments exactly like the outer scan:
+            # a '}' (or an apostrophe starting a phantom string) inside a
+            # comment within the block would otherwise terminate it early
             while j < end and depth:
                 cj = text[j]
                 if cj in "\"'`":
@@ -153,7 +163,17 @@ def _brace_tree(text: str, start: int, end: int) -> list[_Node]:
                     j += 1
                     while j < end and text[j] != q:
                         j += 2 if text[j] == "\\" else 1
-                elif cj == "{":
+                    j += 1
+                    continue
+                if cj == "/" and j + 1 < end and text[j + 1] == "/":
+                    while j < end and text[j] != "\n":
+                        j += 1
+                    continue
+                if cj == "/" and j + 1 < end and text[j + 1] == "*":
+                    nxt = text.find("*/", j + 2, end)
+                    j = end if nxt < 0 else nxt + 2
+                    continue
+                if cj == "{":
                     depth += 1
                 elif cj == "}":
                     depth -= 1
@@ -401,8 +421,21 @@ def _recursive_chunk(
             chunks.append(CodeChunk(node_text, tokens))
         return
     before = len(chunks)
+    # emit the GAPS between children too: tree-sitter trees carry comments
+    # as nodes, but the Python AST (and pruned family trees) do not — an
+    # oversized node split into child spans alone would drop every
+    # inter-statement comment from the index. Gap text is emitted as leaf
+    # chunks; the greedy merge attaches small ones to their neighbors.
+    prev = node.start
     for child in node.children:
+        gap = source[prev : child.start]
+        if gap.strip():
+            chunks.append(CodeChunk(gap, count(gap)))
         _recursive_chunk(child, source, chunks, budget, count)
+        prev = max(prev, child.end)
+    tail = source[prev : node.end]
+    if tail.strip():
+        chunks.append(CodeChunk(tail, count(tail)))
     if len(chunks) == before and node_text.strip():
         chunks.append(CodeChunk(node_text, tokens))
 
@@ -527,13 +560,21 @@ def chunk_code_files(df, budget: int = DEFAULT_CHUNK_SIZE):
 
     ensure_shipped(df.sparkSession)
 
+    import re as _re
+
     def process(batches):
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in CHUNK_SCHEMA.fields}
             for path, repo, branch, language, content in zip(
                 pdf["path"], pdf["repo"], pdf["branch"], pdf["language"], pdf["content"]
             ):
-                url = f"file://{path}"
+                # scheme-bearing paths (s3a://, hdfs://) pass through; only
+                # bare local paths gain the file:// prefix
+                url = (
+                    path
+                    if _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", str(path))
+                    else f"file://{path}"
+                )
                 for c in chunk_code_file(content or "", url, path, language, budget):
                     out["url"].append(url)
                     out["product_name"].append("")
@@ -547,7 +588,15 @@ def chunk_code_files(df, budget: int = DEFAULT_CHUNK_SIZE):
                     out["hash"].append(c.chunk_id)
                     out["chunk_index"].append(c.chunk_index)
                     out["total_chunks"].append(c.total_chunks)
-            yield pd.DataFrame(out)
+            if out["url"]:
+                yield pd.DataFrame(out)
+            else:
+                # all-empty batch: object dtype, or Arrow cannot convert the
+                # float64-inferred empty column to list<string> (same fix as
+                # chunking.chunk_documents)
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype="object") for k, v in out.items()}
+                )
 
     return df.select("path", "repo", "branch", "language", "content").mapInPandas(
         process, CHUNK_SCHEMA

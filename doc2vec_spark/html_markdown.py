@@ -251,7 +251,13 @@ def _render_table(el: _El) -> str:
             f" {t} |" if (t := _cell_text(c)) else " |" for c in cells
         )
         out.append(line)
-        in_thead = any(tr in th.children or tr in th.iter() for th in el.find_all("thead"))
+        # IDENTITY containment, not ==: _El is a dataclass with recursive
+        # structural equality, so a tbody row structurally identical to a
+        # thead row would match `in` and emit a spurious mid-table separator
+        # (and each check would deep-compare whole subtrees)
+        in_thead = any(
+            any(node is tr for node in th.iter()) for th in el.find_all("thead")
+        )
         if in_thead:
             out.append("|" + " | ".join("---" for _ in cells) + "|")
     return "\n" + "\n".join(out).strip() + "\n"

@@ -190,8 +190,12 @@ class ChunkStore:
             if not affected:
                 return
 
+            # no broadcast hint: a full-listing sync routes EVERY source url
+            # through `touched`, far beyond broadcast scale at the store's
+            # target size — AQE picks broadcast itself whenever the set is
+            # actually small
             kept = self._read_buckets(manifest, affected).join(
-                F.broadcast(touched), "url", "left_anti"
+                touched, "url", "left_anti"
             )
             out = kept if new_chunks is None else kept.unionByName(new_chunks)
 
@@ -267,12 +271,14 @@ class ChunkStore:
         one left-anti join (database.ts:522-619)."""
         stored = self.read()
         in_scope = stored.filter(F.col("url").startswith(url_prefix))
+        # visited/obsolete sets scale with the crawl, not with a dimension
+        # table — leave join strategy to AQE rather than forcing broadcast
         obsolete_urls = (
             in_scope.select("url")
             .distinct()
-            .join(F.broadcast(visited_urls.select("url").distinct()), "url", "left_anti")
+            .join(visited_urls.select("url").distinct(), "url", "left_anti")
         )
-        n = stored.join(F.broadcast(obsolete_urls), "url", "left_semi").count()
+        n = stored.join(obsolete_urls, "url", "left_semi").count()
         if n:
             self.apply(None, obsolete_urls)
         return n

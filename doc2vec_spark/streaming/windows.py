@@ -46,11 +46,17 @@ def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
 
 def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
     """Drain the source with AvailableNow into a memory sink; returns the
-    finished StreamingQuery (read results from table ``query_name``)."""
+    finished StreamingQuery (read results from table ``query_name``).
+    Output mode follows the PLAN, not isStreaming (always True here):
+    aggregated streams need 'complete' on a memory sink, raw streams need
+    'append' — the old isStreaming test picked 'complete' unconditionally
+    and threw on any non-aggregated stream."""
+    analyzed = stream_df._jdf.queryExecution().analyzed().toString()
+    mode = "complete" if "Aggregate" in analyzed else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("append" if not stream_df.isStreaming else "complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -62,7 +68,13 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
 def tumbling_counts(
     spark: SparkSession, events_parquet: str, checkpoint: str, name: str = "tumbling"
 ) -> DataFrame:
-    """Watermarked tumbling-window counts; late rows beyond 1h are dropped."""
+    """Watermarked tumbling-window counts. The 1h watermark declares the
+    state-eviction contract a production append/update sink runs under; this
+    one-shot drain uses a COMPLETE-mode memory sink, where Spark documents
+    that late rows still merge into their window (no dropping) — which is
+    exactly what the batch-twin oracle asserts. The late-row DROP behavior
+    is proven on the append-mode streams (streaming_dedup,
+    attribution_stream) in tests/test_streaming.py."""
     ev = read_events_stream(spark, events_parquet)
     agg = (
         ev.withWatermark("ts", "1 hour")

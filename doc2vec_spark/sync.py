@@ -91,7 +91,9 @@ def sync_documents(
         }
 
         changed_urls = statuses.filter(F.col("status").isin("new", "updated")).select("url")
-        to_embed = new_chunks.join(F.broadcast(changed_urls), "url", "left_semi")
+        # url sets scale with the corpus (a first sync routes EVERY url through
+        # them) — no broadcast hints; AQE broadcasts when actually small
+        to_embed = new_chunks.join(changed_urls, "url", "left_semi")
         # persist BEFORE counting: the count materializes every embedding, and
         # without the persist the store write below would recompute them all —
         # 2x provider cost on the most expensive stage, the exact thing W3
@@ -101,9 +103,7 @@ def sync_documents(
         chunks_added = embedded.count()
         chunks_deleted = (
             stored.join(
-                F.broadcast(
-                    statuses.filter(F.col("status").isin("updated", "deleted")).select("url")
-                ),
+                statuses.filter(F.col("status").isin("updated", "deleted")).select("url"),
                 "url",
                 "left_semi",
             ).count()
@@ -125,13 +125,13 @@ def sync_documents(
         #    batch" — only zero-chunk docs are deleted.
         deleted_status = statuses.filter(F.col("status") == "deleted").select("url")
         docs_urls = docs.select("url").distinct()
-        zero_chunk = deleted_status.join(F.broadcast(docs_urls), "url", "left_semi")
+        zero_chunk = deleted_status.join(docs_urls, "url", "left_semi")
         if cleanup_prefix is not None:
             in_scope = stored.filter(F.col("url").startswith(cleanup_prefix))
             prefix_deletes = (
                 in_scope.select("url")
                 .distinct()
-                .join(F.broadcast(docs_urls), "url", "left_anti")
+                .join(docs_urls, "url", "left_anti")
             )
             delete_urls = zero_chunk.unionByName(prefix_deletes).distinct()
         elif full_listing:

@@ -126,3 +126,12 @@ def test_astral_chars_use_utf16_lengths():
     chunks = chunk_markdown(md)
     # 150 emoji -> 300 units + heading; buffer still < MIN -> merges with B
     assert len(chunks) == 1
+
+
+def test_strip_lone_surrogates_handles_runs():
+    from doc2vec_spark.chunking import strip_lone_surrogates
+
+    assert strip_lone_surrogates("x\udc00\udc00y") == "xy"
+    assert strip_lone_surrogates("\udc00\udc00\udc00") == ""
+    # a valid surrogate PAIR is preserved
+    assert strip_lone_surrogates("a😀b") == "a😀b"

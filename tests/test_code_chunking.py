@@ -277,3 +277,36 @@ def test_html_elements_stay_whole():
     for i in range(12):
         hits = [c for c in chunks if f'id="s{i}"' in c.text]
         assert len(hits) == 1 and f"</h2>\n  <p>Body text {i}</p>" in hits[0].text
+
+
+def test_python_non_ascii_offsets_do_not_bleed():
+    """ast col offsets are UTF-8 bytes; spans index characters — non-ASCII
+    lines previously shifted every boundary after them."""
+    from doc2vec_spark.code_chunking import _python_ast_tree
+
+    src = 's = "ααααα"\ndef f():\n    return 1\n'
+    tree = _python_ast_tree(src)
+    spans = [src[c.start : c.end] for c in tree.children]
+    assert spans == ['s = "ααααα"', "def f():\n    return 1"], spans
+
+
+def test_brace_tree_ignores_braces_in_comments():
+    from doc2vec_spark.code_chunking import chunk_code_text
+
+    src = (
+        "function f() {\n  // unmatched } in comment\n  let a = 1;\n"
+        "  /* also { here */\n  let b = 2;\n}\n"
+        "function g() { return 3; }\n"
+    )
+    chunks = chunk_code_text(src, "javascript", budget=10_000)
+    whole = "\n".join(c.text for c in chunks)
+    # f's whole body stays in one construct; nothing splits at comment braces
+    assert any("let a = 1;" in c.text and "let b = 2;" in c.text for c in chunks), whole
+
+
+def test_python_module_comments_survive_chunking():
+    from doc2vec_spark.code_chunking import chunk_code_text
+
+    src = "def a():\n    return 1\n\n# important standalone comment\n\ndef b():\n    return 2\n"
+    chunks = chunk_code_text(src, "python", budget=6)  # force per-def splitting
+    assert any("# important standalone comment" in c.text for c in chunks)

@@ -176,3 +176,14 @@ def test_tabs_positional_fallback_and_duplicate_panels():
     # DupGroupTab points at an already-labeled panel -> skipped
     assert "**TabOne:**" in md and "**TabTwo:**" in md
     assert "DupGroupTab" not in md
+
+
+def test_table_body_row_identical_to_header_row_no_extra_separator():
+    from doc2vec_spark.html_markdown import convert_html_to_markdown
+
+    html = (
+        "<table><thead><tr><td>a</td></tr></thead>"
+        "<tbody><tr><td>a</td></tr><tr><td>b</td></tr></tbody></table>"
+    )
+    md = convert_html_to_markdown(html)
+    assert md.count("|---|") == 1, md
