@@ -50,6 +50,11 @@ def main() -> None:
     for extra in sorted(registry):
         if extra.startswith(("dedup_", "ta_", "ann_", "stream_", "pipe_")) and extra not in names:
             names.append(extra)
+    # scaling rehearsals time a hand-picked subset (comma-separated names)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        names = [n for n in wanted if n in registry]
 
     # warm the JVM/codegen path once on the smallest SF so timings measure
     # the query, not session startup
@@ -85,19 +90,49 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full detail (medians + spread + reps) goes to a side file; the stdout
+    # contract line must stay compact — the driver tail-captures ~2000 chars
+    # and a front-truncated line is unparseable (BENCH_r03 lesson).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spreads,
+        "reps": reps,
+        "sf": sf_val,
+    }
+    try:
+        (Path(_REPO) / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    except OSError as exc:  # never let the side file kill the contract line
+        print(f"# BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
+
+    def contract_line(q: dict[str, float]) -> str:
+        return json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": q,
+                "sf": sf_val,
             }
         )
-    )
+
+    line = contract_line(timings)
+    if len(line) > 1900:  # 2-decimal precision, then headline-only fallback
+        line = contract_line({k: round(v, 2) for k, v in timings.items()})
+    if len(line) > 1900:
+        line = contract_line(
+            {k: round(v, 2) for k, v in timings.items() if k in HEADLINE}
+        )
+        print(
+            "# stdout queries dict truncated to HEADLINE set; full timings in "
+            "BENCH_DETAIL.json",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":
