@@ -345,6 +345,22 @@ def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Checkpoint hygiene (VERDICT r03 #2): every round's localCheckpoint used to
+# pin blocks forever — consecutive CC invocations degraded 2.8s -> 14.9s.
+# Superseded rounds are freed as soon as the next round is materialized; the
+# final result's blocks are parked and freed at the NEXT CC entry (a freed
+# local checkpoint is unrecoverable, so they must outlive the returned
+# frame's consumption — every registry caller consumes before re-entering).
+_CC_FAMILY = "connected_components"
+
+
+def free_cc_checkpoints() -> None:
+    """Free checkpoint blocks parked by previous CC invocations."""
+    from doc2vec_spark.checkpoints import free_parked
+
+    free_parked(_CC_FAMILY)
+
+
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Min-label propagation with path compression over an undirected edge
     list (u, v) -> (doc_id, component) where component = min doc_id reachable.
@@ -362,16 +378,18 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     reference). Labels are localCheckpoint()ed every round, so lineage
     stays O(1) across rounds.
     """
+    from doc2vec_spark.checkpoints import ckpt_tracked, free_blocks, park_blocks
+
+    free_cc_checkpoints()
     sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.cache()
     # round 0 fused into init: label(u) = min(u, neighbors(u)) straight from
     # the edge list — one groupBy instead of identity-init + a full
     # propagate round (for near-clique dup clusters this IS convergence, so
     # the loop's first pass is just the fixed-point confirmation)
-    labels = (
+    labels, labels_blocks = ckpt_tracked(
         sym.groupBy(F.col("u").alias("doc_id"))
         .agg(F.min(F.least("u", "v")).alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         nbr_min = (
@@ -399,11 +417,19 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 "old_label",
             )
         )
-        new_labels = compressed.select("doc_id", "label", "old_label").localCheckpoint()
+        new_labels, new_blocks = ckpt_tracked(
+            compressed.select("doc_id", "label", "old_label")
+        )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        # new_labels is materialized (eager checkpoint), so the round it was
+        # derived from is dead weight — free it now, not at session end
+        free_blocks(labels_blocks)
+        labels_blocks = new_blocks
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
+    sym.unpersist(False)  # plain cache: lineage survives, recompute possible
+    park_blocks(_CC_FAMILY, labels_blocks)  # freed at next CC entry
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
@@ -448,7 +474,10 @@ def connected_components_star(
         ).first()
         return (row["n"], row["h"])
 
-    cur = _canon(edges).localCheckpoint()
+    from doc2vec_spark.checkpoints import ckpt_tracked, free_blocks, park_blocks
+
+    free_cc_checkpoints()
+    cur, cur_blocks = ckpt_tracked(_canon(edges))
     prev_sig = _sig(cur)
     for _ in range(max_iters):
         # large-star over the symmetric adjacency: emit (v, m(u)) for v > u
@@ -467,16 +496,20 @@ def connected_components_star(
         # small-star over larger->smaller oriented edges: connect all
         # smaller neighbors and the node itself to the minimum
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = _canon(
-            large.join(m2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m2.select("u", F.col("m").alias("v")))
-        ).localCheckpoint()
+        small, small_blocks = ckpt_tracked(
+            _canon(
+                large.join(m2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m2.select("u", F.col("m").alias("v")))
+            )
+        )
         sig = _sig(small)
-        cur = small
+        free_blocks(cur_blocks)  # small is materialized; last round is dead
+        cur, cur_blocks = small, small_blocks
         if sig == prev_sig:
             break
         prev_sig = sig
+    park_blocks(_CC_FAMILY, cur_blocks)  # freed at next CC entry
     sym = cur.select("u", "v").union(
         cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

@@ -54,7 +54,19 @@ def crawl(
 ) -> DataFrame:
     """BFS from seeds, admitting only urls under ``url_prefix`` (the
     reference's same-site guard). Returns (url, markdown, ok)."""
+    from doc2vec_spark.checkpoints import (
+        ckpt_tracked,
+        free_blocks,
+        free_parked,
+        park_blocks,
+    )
+
+    # previous crawl's wave checkpoints (fetched pages + final visited set)
+    # are dead once a new crawl starts — defer-one-generation free, same as
+    # connected_components; see checkpoints.py for the lifetime contract
+    free_parked("crawl")
     visited = spark.createDataFrame([(u,) for u in seeds], "url string").limit(0)
+    visited_blocks: list = []
     frontier = spark.createDataFrame([(u,) for u in seeds], "url string").distinct()
     results: DataFrame | None = None
 
@@ -80,9 +92,12 @@ def crawl(
         # silently re-issue whole waves of fetches. The checkpoint pins the
         # materialized rows and cuts the fetch stage out of the lineage, so
         # downstream recomputation can never reach it.
-        fetched = frontier.mapInPandas(fetch_partition, FETCH_SCHEMA).localCheckpoint(
-            eager=True
+        fetched, fetched_blocks = ckpt_tracked(
+            frontier.mapInPandas(fetch_partition, FETCH_SCHEMA)
         )
+        # the returned results union references every wave's fetched blocks:
+        # they must outlive this crawl, so park them for the NEXT crawl's entry
+        park_blocks("crawl", fetched_blocks)
         total += fetched.count()
         wave_results = fetched.select("url", "markdown", "ok")
         results = wave_results if results is None else results.unionByName(wave_results)
@@ -91,13 +106,23 @@ def crawl(
         # with crawl depth — a deep crawl would re-walk every prior wave's
         # union/distinct on any recompute. The checkpoint pins only the
         # materialized partitions, O(|visited|), independent of depth.
-        visited = visited.unionByName(frontier).distinct().localCheckpoint(eager=True)
+        visited, new_visited_blocks = ckpt_tracked(
+            visited.unionByName(frontier).distinct()
+        )
+        # the new visited set is materialized and every consumer of the old
+        # one (this wave's fetch + the union above) has run — free it now so
+        # pinned storage stays O(|visited|), not O(sum of wave snapshots)
+        free_blocks(visited_blocks)
+        visited_blocks = new_visited_blocks
         discovered = (
             fetched.select(F.explode("links").alias("url"))
             .filter(F.col("url").startswith(url_prefix))
             .distinct()
         )
         frontier = discovered.join(visited, "url", "left_anti").distinct()  # U1
+    # results never references the visited set — only the fetched waves —
+    # so the last visited snapshot can be freed eagerly
+    free_blocks(visited_blocks)
     if results is None:
         return spark.createDataFrame([], "url string, markdown string, ok boolean")
     return results
