@@ -873,12 +873,15 @@ def embedding_near_dup_pairs(
 # Planted near-identical vectors: the driver corpus has no pairs above
 # cos 0.52 (checked at sf0.001/sf0.01), so the >= 0.9 route would return an
 # empty — hence unfalsifiable — result. Every 20th vector gets a clone with
-# +0.25 on its first component (vec_id offset 10^6): double arithmetic both
-# engines replay exactly, cos(v, clone) ~ 0.95-0.99.
+# +0.25 on its first component: double arithmetic both engines replay
+# exactly, cos(v, clone) ~ 0.95-0.99. Clone ids offset by max(vec_id)+1 —
+# derived from the data, not a constant, so planted ids can never collide
+# with real ids at a larger scale factor (ADVICE r03); exact integer
+# arithmetic both engines replay.
 _LSH_CORPUS_SQL = """
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, label,
+  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, label,
          list_transform(range(1, 65), i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.25
                                                 ELSE embedding[i]::DOUBLE END) AS v
   FROM embeddings WHERE vec_id % 20 = 0
@@ -891,8 +894,9 @@ def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     )
+    offset = base.agg(F.max("vec_id")).first()[0] + 1  # bounded: 1-row job
     planted = base.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
         "label",
         F.transform(
             "v", lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x)

@@ -133,17 +133,21 @@ def all_queries() -> dict[str, QuerySpec]:
     # so when fresh > 50 the window always prefers the least-covered specs.
     verified = _driver_verified_names(merged)
     try:
+        # _green_rounds is lru_cached for the process lifetime: CORRECTNESS
+        # files only change between driver rounds (new processes), never
+        # mid-process, so intra-process staleness cannot occur in practice —
+        # call _green_rounds.cache_clear() if that assumption ever breaks
         from doc2vec_spark.spec_hashes import _green_rounds
 
         last_green = {n: max(rs) for n, rs in _green_rounds().items()}
     except Exception:
         last_green = {}
-    order = list(merged)
+    position = {n: i for i, n in enumerate(merged)}  # O(1) tiebreak lookups
     fresh = sorted(
         (n for n in merged if n not in verified),
-        key=lambda n: (last_green.get(n, -1), order.index(n)),
+        key=lambda n: (last_green.get(n, -1), position[n]),
     )
     # verified tail likewise oldest-stamp-first, so the window's spare slots
     # (50 - |fresh|) re-stamp the longest-unchecked valid rows each round
-    seen = sorted(verified, key=lambda n: (last_green.get(n, -1), order.index(n)))
+    seen = sorted(verified, key=lambda n: (last_green.get(n, -1), position[n]))
     return {n: merged[n] for n in [*fresh, *seen]}

@@ -12,6 +12,8 @@ the listing-parallelized scan you want — no driver-side os.walk.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,11 +146,15 @@ def read_code_directory(
         # joining them raw matches nothing and an incremental scan silently
         # returns zero files. Normalize the (tiny) allow-list side: relative
         # entries are anchored at the scan root.
-        root = path.removeprefix("file:").rstrip("/")
+        # collapse the scheme's slashes the same way the scan column was
+        # normalized: both 'file:/abs' and 'file:///abs' inputs must anchor
+        # at '/abs' — a bare removeprefix('file:') left '///abs', which never
+        # matched and silently emptied incremental scans (ADVICE r03)
+        root = re.sub(r"^file:/+", "/", path).rstrip("/")
         allowed_abs = allowed_files.select(
             F.when(
                 F.col("path").rlike("^([a-zA-Z][a-zA-Z0-9+.-]*:)?/"),
-                F.regexp_replace("path", "^file:", ""),
+                F.regexp_replace("path", "^file:/+", "/"),
             )
             .otherwise(F.concat(F.lit(root + "/"), F.col("path")))
             .alias("path")

@@ -44,23 +44,51 @@ def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
     return raw
 
 
+def _plan_has_aggregate(stream_df: DataFrame) -> bool:
+    """True if the analyzed logical plan contains an Aggregate node.
+
+    Walks the JVM plan tree and checks node CLASS names — a substring test
+    on the plan's toString would also match a column or alias literally
+    named 'Aggregate' (ADVICE r03). Deduplicate / stateful-map nodes are
+    not Aggregates and correctly stay in append mode."""
+    stack = [stream_df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Aggregate":
+            return True
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return False
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
     """Drain the source with AvailableNow into a memory sink; returns the
     finished StreamingQuery (read results from table ``query_name``).
     Output mode follows the PLAN, not isStreaming (always True here):
     aggregated streams need 'complete' on a memory sink, raw streams need
     'append' — the old isStreaming test picked 'complete' unconditionally
-    and threw on any non-aggregated stream."""
-    analyzed = stream_df._jdf.queryExecution().analyzed().toString()
-    mode = "complete" if "Aggregate" in analyzed else "append"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    and threw on any non-aggregated stream. If a Spark upgrade renames the
+    plan node out from under the walk, the start() still self-corrects:
+    the wrong mode raises AnalysisException and we flip once."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    mode = "complete" if _plan_has_aggregate(stream_df) else "append"
+
+    def _start(m: str):
+        return (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(m)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    try:
+        q = _start(mode)
+    except AnalysisException:
+        q = _start("append" if mode == "complete" else "complete")
     q.awaitTermination()
     return q
 

@@ -101,13 +101,6 @@ def sync_documents(
         embedded = with_embeddings(to_embed, text_col="content", dim=dim).persist()
 
         chunks_added = embedded.count()
-        chunks_deleted = (
-            stored.join(
-                statuses.filter(F.col("status").isin("updated", "deleted")).select("url"),
-                "url",
-                "left_semi",
-            ).count()
-        )
 
         # ONE commit for the whole sync: upserts + deletions flip together,
         # so a reader never sees the half-applied intermediate state and the
@@ -139,18 +132,31 @@ def sync_documents(
         else:
             delete_urls = zero_chunk
 
-        has_deletes = delete_urls.limit(1).count() > 0
-        if chunks_added or has_deletes:
+        # counters must describe what the COMMIT removes, not the raw diff:
+        # under full_listing=False or cleanup_prefix scoping, many
+        # 'deleted'-status urls are intentionally kept, so counting statuses
+        # would overstate deletions. Stored chunks disappear for exactly
+        # (a) urls in delete_urls and (b) 'updated' urls (their old chunks
+        # are replaced by the upsert).
+        delete_urls = delete_urls.distinct().cache()
+        items_deleted = delete_urls.count()
+        removed_urls = delete_urls.unionByName(
+            statuses.filter(F.col("status") == "updated").select("url")
+        ).distinct()
+        chunks_deleted = stored.join(removed_urls, "url", "left_semi").count()
+
+        if chunks_added or items_deleted:
             store.apply(
                 embedded if chunks_added else None,
-                delete_urls if has_deletes else None,
+                delete_urls if items_deleted else None,
             )
+        delete_urls.unpersist()
 
         return SyncCounters(
             items_new=by_status.get("new", 0),
             items_updated=by_status.get("updated", 0),
             items_unchanged=by_status.get("unchanged", 0),
-            items_deleted=by_status.get("deleted", 0),
+            items_deleted=items_deleted,
             chunks_added=chunks_added,
             chunks_deleted=chunks_deleted,
         )

@@ -99,6 +99,30 @@ def test_code_allowlist_matches_git_relative_paths(spark, tmp_path):
     assert [r["path"].endswith("src/a.py") for r in got] == [True]
 
 
+def test_code_allowlist_handles_file_uri_root(spark, tmp_path):
+    """ADVICE r03: a 'file:///abs' input must anchor relative allow-list
+    entries at '/abs' — 'file:'-stripping alone left '///abs/...', which
+    matched nothing and silently emptied the incremental scan."""
+    from doc2vec_spark.sources.local import read_code_directory
+
+    d = tmp_path / "repo" / "src"
+    d.mkdir(parents=True)
+    (d / "a.py").write_text("print('a')\n")
+    (d / "b.py").write_text("print('b')\n")
+    allowed = spark.createDataFrame([("src/a.py",)], "path string")
+    for uri in (f"file://{tmp_path}/repo", f"file:{tmp_path}/repo"):
+        got = read_code_directory(spark, uri, allowed_files=allowed).collect()
+        assert [r["path"].endswith("src/a.py") for r in got] == [True], uri
+    # absolute allow-list entries in file-URI form normalize the same way
+    allowed_abs = spark.createDataFrame(
+        [(f"file://{tmp_path}/repo/src/a.py",)], "path string"
+    )
+    got = read_code_directory(
+        spark, str(tmp_path / "repo"), allowed_files=allowed_abs
+    ).collect()
+    assert [r["path"].endswith("src/a.py") for r in got] == [True]
+
+
 def test_extension_admission_case_insensitive_single_ext(spark, tmp_path):
     from doc2vec_spark.sources.local import read_local_directory
 

@@ -133,3 +133,15 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     rows = {r.wstart: r.n for r in spark.table("t_late").collect()}
     ten = dt.datetime(2024, 1, 1, 10, 0)
     assert rows.get(ten) == 3, f"late event leaked into closed window: {rows}"
+
+
+def test_plan_has_aggregate_checks_node_classes_not_names(spark):
+    """ADVICE r03: a column literally named 'Aggregate' must not flip the
+    memory-sink output mode — detection walks plan node classes."""
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.streaming.windows import _plan_has_aggregate
+
+    df = spark.range(5).select(F.col("id").alias("Aggregate"))
+    assert not _plan_has_aggregate(df)
+    assert _plan_has_aggregate(df.groupBy("Aggregate").count())

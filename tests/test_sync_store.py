@@ -106,6 +106,34 @@ def test_unchanged_sync_writes_nothing(spark, store):
     assert store.version_token() == token
 
 
+def test_partial_batch_counters_match_commit(spark, store):
+    """ADVICE r03: under full_listing=False a stored url absent from the
+    batch gets status 'deleted' but is intentionally KEPT — the deletion
+    counters must report what the commit removed (nothing), not the raw
+    diff statuses."""
+    from doc2vec_spark.sync import sync_documents
+
+    v1 = _docs(
+        spark,
+        [
+            ("https://d/a", f"# A\n{BODY_A}", "prod", "1.0"),
+            ("https://d/b", f"# B\n{BODY_B}", "prod", "1.0"),
+        ],
+    )
+    sync_documents(spark, store, v1)
+    n_before = store.read().count()
+
+    # partial batch: only b, edited; a is absent but must survive
+    v2 = _docs(spark, [("https://d/b", f"# B\n{BODY_B} edited.", "prod", "1.0")])
+    c = sync_documents(spark, store, v2, full_listing=False)
+    assert c.items_deleted == 0 and c.items_updated == 1
+    a_chunks = store.read().filter(F.col("url") == "https://d/a").count()
+    assert a_chunks > 0  # absent-from-batch url survived
+    # chunks_deleted = b's replaced chunks only; store = a's kept + b's new
+    assert n_before == a_chunks + c.chunks_deleted
+    assert store.read().count() == a_chunks + c.chunks_added
+
+
 def test_sync_state_watermarks(tmp_path):
     from doc2vec_spark.store import SyncStateStore
 
