@@ -147,9 +147,13 @@ class ChunkStore:
     # -- reads ---------------------------------------------------------------
 
     def read(self) -> DataFrame:
+        # resolve every key present in the manifest rather than range(nb):
+        # during an incremental rebucket the key space is MIXED — un-migrated
+        # old-layout buckets plus migrated new-layout buckets — and the two
+        # are disjoint by construction (see rebucket_start), so the union of
+        # all keys is always exactly one copy of every row
         manifest = self._manifest()
-        nb = manifest.get("num_buckets", self.num_buckets)
-        return self._read_buckets(manifest, list(range(nb)))
+        return self._read_buckets(manifest, sorted(int(k) for k in manifest["buckets"]))
 
     def count(self) -> int:
         return self.read().count()
@@ -183,12 +187,47 @@ class ChunkStore:
         with self._write_lock():
             manifest = self._manifest()
             nb = manifest.get("num_buckets", self.num_buckets)
+            mig = manifest.get("migration")
 
-            affected = sorted(
-                r["b"] for r in touched.select(self._bucket_expr(nb).alias("b")).distinct().collect()
-            )
-            if not affected:
-                return
+            if mig is None:
+                affected = sorted(
+                    r["b"]
+                    for r in touched.select(self._bucket_expr(nb).alias("b")).distinct().collect()
+                )
+                if not affected:
+                    return
+                write_nb = nb
+                drop_keys: list[int] = []
+                expect = list(affected)
+            else:
+                # mid-migration commit: a touched url lives either in an
+                # un-migrated OLD bucket or in a migrated NEW bucket. Old
+                # buckets this commit touches are migrated opportunistically
+                # (their full contents rewritten in the new layout), so
+                # writes never extend the old layout's lifetime.
+                new_nb, migrated = mig["target"], set(mig["migrated"])
+                tb = (
+                    touched.select(
+                        self._bucket_expr(nb).alias("ob"),
+                        self._bucket_expr(new_nb).alias("nbk"),
+                    )
+                    .distinct()
+                    .collect()
+                )
+                old_aff = sorted({r["ob"] for r in tb} - migrated)
+                new_aff = sorted({r["nbk"] for r in tb if r["ob"] in migrated})
+                if not old_aff and not new_aff:
+                    return
+                write_nb = new_nb
+                drop_keys = old_aff
+                # every new-layout bucket this commit can produce: the image
+                # sets of the old buckets being migrated plus the already-
+                # migrated buckets being edited (disjoint; nb divides new_nb)
+                expect = sorted(
+                    set(new_aff)
+                    | {b + k * nb for b in old_aff for k in range(new_nb // nb)}
+                )
+                affected = old_aff + new_aff
 
             # no broadcast hint: a full-listing sync routes EVERY source url
             # through `touched`, far beyond broadcast scale at the store's
@@ -204,18 +243,23 @@ class ChunkStore:
             name = f"v{manifest['counter']:08d}-{uuid.uuid4().hex[:8]}"
             out_dir = os.path.join(self.path, name)
             (
-                out.withColumn("bucket", self._bucket_expr(nb))
-                .repartition(len(affected), F.col("bucket"))
+                out.withColumn("bucket", self._bucket_expr(write_nb))
+                .repartition(max(len(expect), 1), F.col("bucket"))
                 .write.partitionBy("bucket", "product_name")
                 .mode("overwrite")
                 .parquet(out_dir)
             )
+            for b in drop_keys:  # old-layout keys superseded by migration
+                manifest["buckets"].pop(str(b), None)
             # a bucket left empty by deletes has no bucket=K dir -> drop its entry
-            for b in affected:
+            for b in expect:
                 if os.path.isdir(os.path.join(out_dir, f"bucket={b}")):
                     manifest["buckets"][str(b)] = name
                 else:
                     manifest["buckets"].pop(str(b), None)
+            if mig is not None:
+                mig["migrated"] = sorted(set(mig["migrated"]) | set(drop_keys))
+                self._maybe_finalize_migration(manifest)
             live = set(manifest["buckets"].values())
             manifest["retired"] = sorted(old_versions - live)
             self._flip(manifest)
@@ -253,10 +297,96 @@ class ChunkStore:
                 if os.path.isdir(os.path.join(out_dir, f"bucket={b}"))
             }
             manifest["num_buckets"] = new_num_buckets
+            manifest.pop("migration", None)  # a full rewrite subsumes any
             manifest["retired"] = sorted(old_versions)
             self.num_buckets = new_num_buckets
             self._flip(manifest)
             self._gc(manifest)
+
+    # -- incremental rebucket (VERDICT r03 #8) -------------------------------
+    # The full rebucket above rewrites the whole store in ONE commit — at the
+    # 100 TB layout that is a single giant job and a long write outage for
+    # the commit lock. The incremental path migrates N old buckets per
+    # commit behind the same lock. Correctness hinges on one invariant:
+    # new_num_buckets is a MULTIPLE of the old count, so old bucket b's rows
+    # land exactly in the new-layout image set {b + k*old_nb} — image sets of
+    # distinct old buckets are disjoint, and a manifest key is unambiguous
+    # (key K is new-layout iff K % old_nb is in migration.migrated, which
+    # read() never needs to know: it just resolves every key). Readers stay
+    # green throughout: each commit atomically swaps one batch of old keys
+    # for their images, and deferred GC keeps the prior snapshot's files
+    # alive through the next commit.
+
+    def _maybe_finalize_migration(self, manifest: dict) -> None:
+        mig = manifest.get("migration")
+        old_nb = manifest.get("num_buckets", self.num_buckets)
+        if mig is not None and len(mig["migrated"]) == old_nb:
+            manifest["num_buckets"] = mig["target"]
+            self.num_buckets = mig["target"]
+            manifest.pop("migration", None)
+
+    def rebucket_start(self, new_num_buckets: int) -> None:
+        """Begin an incremental migration to ``new_num_buckets`` (must be a
+        proper multiple of the current count). Manifest-only commit; data
+        moves in subsequent ``rebucket_step`` / ``apply`` commits (apply
+        migrates the old buckets it touches opportunistically)."""
+        with self._write_lock():
+            manifest = self._manifest()
+            old_nb = manifest.get("num_buckets", self.num_buckets)
+            if manifest.get("migration") is not None:
+                raise ValueError("a rebucket migration is already in progress")
+            if new_num_buckets <= old_nb or new_num_buckets % old_nb != 0:
+                raise ValueError(
+                    f"incremental rebucket needs a proper multiple of {old_nb} "
+                    f"(got {new_num_buckets}); use rebucket() for arbitrary counts"
+                )
+            manifest["migration"] = {"target": new_num_buckets, "migrated": []}
+            manifest["counter"] += 1
+            manifest["retired"] = []
+            self._flip(manifest)
+
+    def rebucket_step(self, max_buckets: int = 4) -> int:
+        """Migrate up to ``max_buckets`` not-yet-migrated old buckets in one
+        commit; returns how many old buckets remain. Finalizes (flips
+        num_buckets to the target) when the last batch lands."""
+        with self._write_lock():
+            manifest = self._manifest()
+            mig = manifest.get("migration")
+            if mig is None:
+                return 0
+            old_nb = manifest.get("num_buckets", self.num_buckets)
+            new_nb, migrated = mig["target"], set(mig["migrated"])
+            batch = [b for b in range(old_nb) if b not in migrated][:max_buckets]
+
+            old_versions = set(manifest["buckets"].values())
+            manifest["counter"] += 1
+            if batch:
+                name = f"v{manifest['counter']:08d}-{uuid.uuid4().hex[:8]}"
+                out_dir = os.path.join(self.path, name)
+                images = sorted(
+                    b + k * old_nb for b in batch for k in range(new_nb // old_nb)
+                )
+                (
+                    self._read_buckets(manifest, batch)
+                    .withColumn("bucket", self._bucket_expr(new_nb))
+                    .repartition(len(images), F.col("bucket"))
+                    .write.partitionBy("bucket", "product_name")
+                    .mode("overwrite")
+                    .parquet(out_dir)
+                )
+                for b in batch:
+                    manifest["buckets"].pop(str(b), None)
+                for b in images:
+                    if os.path.isdir(os.path.join(out_dir, f"bucket={b}")):
+                        manifest["buckets"][str(b)] = name
+                mig["migrated"] = sorted(migrated | set(batch))
+            remaining = old_nb - len(mig["migrated"])
+            self._maybe_finalize_migration(manifest)
+            live = set(manifest["buckets"].values())
+            manifest["retired"] = sorted(old_versions - live)
+            self._flip(manifest)
+            self._gc(manifest)
+            return remaining
 
     def upsert_documents(self, chunks: DataFrame) -> None:
         """K1/K2: replace all chunks of every url present in ``chunks``,
