@@ -1,0 +1,64 @@
+"""Build a 10x replica of the sf0.1 documents/embeddings tables for the
+scale rehearsal (VERDICT r03 #6) — the driver ships no sf1.
+
+Replication preserves per-replica structure so linear scaling is the
+CORRECT expectation:
+- documents: replica k namespaces every word with 'r{k}_' — intra-replica
+  shingle/dup structure is byte-for-byte isomorphic to the original (each
+  replica contributes exactly the original's candidate pairs), while
+  cross-replica n-gram overlap is zero. A 10x corpus therefore carries 10x
+  the dup pairs, not 45x (which naive copy-with-suffix would produce, every
+  copy near-dupping its siblings).
+- embeddings: replica k cyclically rotates the 64 components by 6*k — norms
+  and intra-replica angles are preserved exactly; cross-replica cosines
+  fall back to the corpus background level.
+Other tables are copied through unchanged (the scaling subset only reads
+documents/embeddings). Output: /root/repo/.scale10/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import duckdb
+
+SRC = Path("/root/testdata/sf0.1")
+DST = Path(__file__).resolve().parent.parent / ".scale10"
+REPLICAS = 10
+
+def main() -> None:
+    DST.mkdir(exist_ok=True)
+    con = duckdb.connect()
+    n_docs = con.sql(f"SELECT MAX(doc_id)+1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+    n_vecs = con.sql(f"SELECT MAX(vec_id)+1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+
+    con.sql(f"""
+      COPY (
+        SELECT doc_id + k * {n_docs} AS doc_id,
+               CASE WHEN k = 0 THEN text
+                    ELSE array_to_string(
+                           list_transform(string_split(text, ' '),
+                                          w -> 'r' || k || '_' || w), ' ')
+               END AS text,
+               lang, source, n_chars
+        FROM '{SRC}/documents.parquet', (SELECT unnest(range({REPLICAS})) AS k)
+      ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+      COPY (
+        SELECT vec_id + k * {n_vecs} AS vec_id, label,
+               list_transform(range(1, 65),
+                 i -> embedding[((i - 1 + 6 * k) % 64) + 1]) AS embedding
+        FROM '{SRC}/embeddings.parquet', (SELECT unnest(range({REPLICAS})) AS k)
+      ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+    for t in ("documents", "embeddings"):
+        n = con.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(t, n)
+
+if __name__ == "__main__":
+    main()
