@@ -34,6 +34,14 @@ HEADLINE = [
     "doc_chunk_pipeline",
     "doc_knn_query_documentation",
     "doc_hybrid_search_rrf",
+    "doc_bm25_topk",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 

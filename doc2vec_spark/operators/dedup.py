@@ -1028,3 +1028,85 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .select("new_doc_id", "corpus_doc_id", pround("est_jaccard", 6).alias("est_jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside coarse embedding clusters (round 4)
+# ---------------------------------------------------------------------------
+# Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication" (arXiv:2303.09540): k-means the embedding space,
+# then drop all but one member of every within-cluster near-duplicate group.
+# The clustering bounds the pairwise work — cosine is only evaluated between
+# vectors sharing a cell, so the join is equi-keyed on the cell id and the
+# cost is sum(|cell| choose 2), not (n choose 2). Here the cells are the
+# same fixed IVF centroids ann_ivf_cells uses (at 100 TB: k grows with n to
+# hold |cell| bounded, and the cell id doubles as the partition key);
+# survivor choice is the SemDeDup convention of a deterministic
+# representative — lowest vec_id — per duplicate group.
+
+SEMDEDUP_THRESHOLD = 0.4  # same planted-near-dup level as COSINE_DUP_THRESHOLD
+
+
+def _semdedup_oracle() -> str:
+    from doc2vec_spark.operators.similarity import _nearest_centroid_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, ({_nearest_centroid_sql()}) AS cell FROM e),
+    p AS (
+      SELECT a.cell AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT drop_id, cell, MIN(keep_id) AS kept_id, COUNT(*) AS n_closer,
+           floor((MAX(sim)) * 1000000.0 + 0.5) / 1000000.0 AS max_sim
+    FROM p WHERE sim >= {SEMDEDUP_THRESHOLD}
+    GROUP BY drop_id, cell
+    """
+
+
+@_register(
+    "dedup_semdedup",
+    _semdedup_oracle(),
+    "SemDeDup (arXiv:2303.09540): IVF-cell-bounded within-cluster cosine "
+    ">= {t}; each duplicate keeps its lowest-id representative. The pair "
+    "join is equi-keyed on the cell id — cost sum(|cell|^2), never global "
+    "all-pairs — and the same centroid assignment is the partition key at "
+    "scale.".format(t=SEMDEDUP_THRESHOLD),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.rounding import pround
+    from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
+    from doc2vec_spark.operators.similarity import _nearest_centroid_expr
+    from doc2vec_spark.tables import load as _load
+
+    e = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    c = e.select(
+        "vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell")
+    ).cache()  # both join sides read the assigned cells once
+    a, b = c.alias("a"), c.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("drop_id"),
+            F.col("a.cell").alias("cell"),
+            F.col("a.vec_id").alias("keep_id"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+    )
+    return pairs.groupBy("drop_id", "cell").agg(
+        F.min("keep_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("n_closer"),
+        pround(F.max("sim"), 6).alias("max_sim"),
+    )

@@ -388,3 +388,126 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(HYBRID_TOP)
         .select("doc_id", "rank_kw", "rank_vec", pround("rrf", 6).alias("rrf_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword ranking (round 4)
+# ---------------------------------------------------------------------------
+# Full-text relevance ranking over the documents table. The reference's
+# keyword search is a LIKE-contains filter (F16); production retrieval (and
+# the keyword leg every hybrid stack wants) ranks by BM25. Cross-engine
+# determinism rule: Robertson's idf is ln((N-df+0.5)/(df+0.5)) — ln is
+# libm-dependent, so we rank by the *rational* idf (N-df+0.5)/(df+0.5)
+# (the exp-transform of Robertson's, strictly monotone in df: every
+# threshold/ordering decision is preserved) — the same log-free rule as
+# ta_distinctive_tokens. All remaining arithmetic is IEEE +,*,/ on exact
+# integers and identical decimal literals, evaluated in the same order in
+# both engines, so raw scores are bit-identical and the top-k needs no
+# rounding tolerance.
+#
+# Plan shape: per-term tf via size(filter(tokens)) — a pure projection, no
+# explode, no shuffle; corpus stats (N, Σlen, per-term df) are ONE aggregate
+# row fetched by a bounded .first(); scoring is map-only and the top-k
+# compiles to TakeOrderedAndProject. At 100 TB this is one scan + one
+# O(k)-row result — the cheapest possible BM25 without a prebuilt index.
+
+BM25_TERMS = ("query", "join", "dup", "spark")
+BM25_K1 = "1.2"  # decimal literals, parsed identically by both engines —
+BM25_B_1M = "0.25"  # (1 - b) with b = 0.75
+BM25_B = "0.75"
+BM25_K1P1 = "2.2"  # k1 + 1, written as a literal (1.2+1.0 rounds differently)
+BM25_TOP = 10
+
+
+def _bm25_oracle() -> str:
+    tfs = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    dfs = ",\n             ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(((n - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * {BM25_K1P1}))"
+        f" / (tf{i} + {BM25_K1} * ({BM25_B_1M} + {BM25_B} * (dl / (sl / n))))"
+        for i in range(len(BM25_TERMS))
+    )
+    out_tfs = ", ".join(f"tf{i} AS tf_{t}" for i, t in enumerate(BM25_TERMS))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+    ),
+    b AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+             {tfs}
+          FROM d),
+    s AS (SELECT COUNT(*)::BIGINT AS n, CAST(SUM(dl) AS DOUBLE) AS sl,
+             {dfs}
+          FROM b)
+    SELECT doc_id, {out_tfs},
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS bm25
+    FROM (SELECT doc_id, {', '.join(f'tf{i}' for i in range(len(BM25_TERMS)))},
+                 {score} AS score
+          FROM b, s)
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOP}
+    """
+
+
+@_register(
+    "doc_bm25_topk",
+    _bm25_oracle(),
+    "BM25 top-{k} over documents for terms {ts} (k1=1.2, b=0.75, rational "
+    "idf — the log-free monotone form). Map-only scoring (per-term tf via "
+    "array filter, no explode), one bounded stats row, TakeOrderedAndProject "
+    "top-k; raw scores bit-identical across engines.".format(
+        k=BM25_TOP, ts="/".join(BM25_TERMS)
+    ),
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.rounding import pround
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def tf(term: str):
+        # single-arg lambda: a second parameter would make F.filter pass the
+        # element INDEX into it, silently comparing tokens against positions
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    ).first()  # bounded: exactly one row of corpus constants
+    n, avgdl = stats["n"], stats["sl"] / stats["n"]
+    k1, b1m, b, k1p1 = (float(BM25_K1), float(BM25_B_1M), float(BM25_B), float(BM25_K1P1))
+
+    def term_score(i: int):
+        df = stats[f"df{i}"]
+        idf = (n - df + 0.5) / (df + 0.5)  # same int/0.5 ops as the SQL
+        tf = F.col(f"tf{i}")
+        return (F.lit(idf) * (tf * F.lit(k1p1))) / (
+            tf + F.lit(k1) * (F.lit(b1m) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+        )
+
+    score = term_score(0)
+    for i in range(1, len(BM25_TERMS)):
+        score = score + term_score(i)
+    return (
+        base.withColumn("score", score)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+        .select(
+            "doc_id",
+            *[F.col(f"tf{i}").alias(f"tf_{t}") for i, t in enumerate(BM25_TERMS)],
+            pround(F.col("score"), 6).alias("bm25"),
+        )
+    )

@@ -93,18 +93,22 @@ def merged_queries() -> dict[str, QuerySpec]:
         domain,
         extensions,
         pipeline,
+        lm,
         reference_parity,
         relational,
         similarity,
         textanalysis,
+        tpch_extra,
         windows,
     )
 
     modules = [
         relational,
         analytics,
+        tpch_extra,
         dedup,
         textanalysis,
+        lm,
         similarity,
         windows,
         domain,

@@ -168,3 +168,43 @@ def test_no_registry_query_plans_a_cross_join_or_global_serialization(spark):
         assert "Exchange SinglePartition" not in formatted_plan(df), (
             f"{name}: global single-partition exchange"
         )
+
+
+def test_bm25_is_take_ordered_and_map_only(spark):
+    """doc_bm25_topk: scoring must stay a pure projection (zero shuffle
+    exchanges — tf comes from array filters, not an explode+agg) with the
+    top-k compiled to TakeOrderedAndProject."""
+    from doc2vec_spark.plans.checks import assert_top_k, count_exchanges
+
+    df = _q("doc_bm25_topk", spark)
+    assert_top_k(df)
+    assert count_exchanges(df) == 0
+
+
+def test_semdedup_join_keyed_on_cell(spark):
+    """dedup_semdedup: the pair join must be equi-keyed on the IVF cell id —
+    never a cross join — so pairwise cosine cost stays sum(|cell|^2)."""
+    df = _q("dedup_semdedup", spark)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    conds = [l for l in plan.splitlines() if "Join Inner" in l]
+    assert conds and all("cell" in c for c in conds), conds
+
+
+def test_tpch_extra_dims_broadcast(spark):
+    from doc2vec_spark.plans.checks import assert_broadcast_join
+
+    for name in ("tpch_q10_returned_items", "tpch_q14_promo_effect",
+                 "tpch_q19_disjunctive_revenue", "tpch_q22_global_sales_opportunity"):
+        assert_broadcast_join(_q(name, spark))
+
+
+def test_q19_pushes_derivable_conjuncts(spark):
+    """The OR-of-ANDs must not defeat pushdown entirely: Catalyst derives
+    the per-side disjunctions (brand/size on part, quantity on lineitem)
+    and pushes them below the join into the scans."""
+    from doc2vec_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(_q("tpch_q19_disjunctive_revenue", spark))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_brand" in l for l in pushed), pushed
+    assert any("l_quantity" in l for l in pushed), pushed
