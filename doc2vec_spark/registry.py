@@ -94,8 +94,10 @@ def merged_queries() -> dict[str, QuerySpec]:
         extensions,
         pipeline,
         lm,
+        quality,
         reference_parity,
         relational,
+        sessions,
         similarity,
         textanalysis,
         tpch_extra,
@@ -109,6 +111,8 @@ def merged_queries() -> dict[str, QuerySpec]:
         dedup,
         textanalysis,
         lm,
+        quality,
+        sessions,
         similarity,
         windows,
         domain,

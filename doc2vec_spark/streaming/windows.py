@@ -39,8 +39,13 @@ def read_events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
         )
     else:
         raw = spark.readStream.schema(schema).parquet(events_parquet)
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (ltz); session tz is UTC so the cast
+        # is value-faithful to the NTZ micros the file stores
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

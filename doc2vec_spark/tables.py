@@ -56,13 +56,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_shipped(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-        # default; read nanos as long and truncate to microseconds (matching
-        # DuckDB's micro-precision read of the same file). Integer division —
+        # events.parquet has carried TIMESTAMP(NANOS) in some testdata
+        # generations (Spark rejects nanos by default; nanosAsLong surfaces
+        # them as int64) and plain TIMESTAMP(MICROS) in others. Convert only
+        # when the column actually reads back as long — integer division,
         # double division would lose precision on int64 nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # normalize to TIMESTAMP (ltz): unix_micros/watermarks reject NTZ,
+            # and the session tz is pinned UTC so the cast is value-faithful
+            # (and identical to what the nanos path above produces)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
