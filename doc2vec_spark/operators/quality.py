@@ -64,8 +64,12 @@ MAX_TOP_WORD_PCT = 20  # top word must be <= 20% of tokens: 5*top <= n
       FROM toks GROUP BY doc_id, tok
     ),
     stats AS (
-      SELECT doc_id, SUM(cnt) AS n_words, SUM(sum_len) AS sum_chars,
-             MAX(cnt) AS top_word_cnt, SUM(stop_cnt) AS n_stopwords
+      -- CAST(SUM(..) AS BIGINT): DuckDB SUM(int) is HUGEINT -> pandas
+      -- float64, Spark yields int64; the driver hash is dtype-sensitive.
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(SUM(sum_len) AS BIGINT) AS sum_chars,
+             MAX(cnt) AS top_word_cnt,
+             CAST(SUM(stop_cnt) AS BIGINT) AS n_stopwords
       FROM per_tok GROUP BY doc_id
     )
     SELECT doc_id, n_words, sum_chars, top_word_cnt, n_stopwords,
@@ -139,7 +143,7 @@ TFIDF_K = 5
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT doc_id, tok, tf.tf, df.df,
-             {sql_round("tf.tf * (SELECT n_docs FROM n) * 1.0 / df.df", 6)} AS tfidf
+             {sql_round("tf.tf * 1.0 * (SELECT n_docs FROM n) / df.df", 6)} AS tfidf
       FROM tf JOIN df USING (tok)
     ),
     ranked AS (
@@ -168,7 +172,9 @@ def ta_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         "tf",
         "df",
-        pround(F.col("tf") * F.lit(n_docs) * F.lit(1.0) / F.col("df"), 6).alias(
+        # tf * 1.0 first: promote to double before the scalar multiply so
+        # tf * n_docs can never overflow int64 under ANSI at real scale.
+        pround(F.col("tf") * F.lit(1.0) * F.lit(n_docs) / F.col("df"), 6).alias(
             "tfidf"
         ),
     )
@@ -203,7 +209,7 @@ PMI_TOP = 50
     uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
     tot AS (SELECT SUM(c) AS t FROM uni)
     SELECT w1, w2, c_ab, u1.c AS c_a, u2.c AS c_b,
-           {sql_round("c_ab * (SELECT t FROM tot) * 1.0 / (u1.c * u2.c)", 6)}
+           {sql_round("c_ab * 1.0 * (SELECT t FROM tot) / (u1.c * 1.0 * u2.c)", 6)}
              AS pmi_ratio
     FROM pair_cnt
     JOIN uni u1 ON w1 = u1.tok
@@ -218,7 +224,11 @@ PMI_TOP = 50
 )
 def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    arrs = docs.select(F.split(F.trim("text"), r"\s+").alias("l"))
+    # size >= 2 guard: a 1-token doc makes sequence(0, size-2) = [0, -1]
+    # and l[-1] throws under ANSI mode; the oracle's range() is just empty.
+    arrs = docs.select(F.split(F.trim("text"), r"\s+").alias("l")).filter(
+        F.size("l") >= 2
+    )
     bigrams = arrs.select(
         F.explode(
             F.expr(
@@ -229,7 +239,9 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bg.w1", "bg.w2")
     pair_cnt = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
+    # no cache: uni is read once per join side at most, and an unmatched
+    # cache() leaks storage for the life of a long-running session.
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = uni.agg(F.sum("c").alias("t")).first()["t"]  # bounded scalar
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
@@ -243,8 +255,12 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_ab",
             "c_a",
             "c_b",
+            # promote to double before each multiply (c_ab * 1.0 * T and
+            # c_a * 1.0 * c_b) so neither product can overflow int64 under
+            # ANSI at real corpus sizes; identical op order in the oracle.
             pround(
-                F.col("c_ab") * F.lit(total) * F.lit(1.0) / (F.col("c_a") * F.col("c_b")),
+                F.col("c_ab") * F.lit(1.0) * F.lit(total)
+                / (F.col("c_a") * F.lit(1.0) * F.col("c_b")),
                 6,
             ).alias("pmi_ratio"),
         )

@@ -53,19 +53,24 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in micros
       FROM events
     ),
     m AS (
+      -- CAST .. AS BIGINT: DuckDB SUM(int) (window or grouped) is HUGEINT
+      -- -> pandas float64; Spark yields int64 and the driver hash is
+      -- dtype-sensitive.
       SELECT user_id, event_type, us,
-             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+             CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY us, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_seq
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM e
     )
     SELECT user_id, session_seq,
            COUNT(*) AS n_events,
            MIN(us) AS start_us,
            (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
     FROM m GROUP BY user_id, session_seq
     """,
     "Gap-based sessionization (30-min inactivity): lag + running-sum "
@@ -121,9 +126,12 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (SELECT DISTINCT user_id, first_us, v_us, c_us, p_us FROM w3)
     SELECT strftime(make_timestamp(first_us), '%Y-%m-%d') AS cohort_day,
            COUNT(*) AS n_users,
-           SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END) AS users_viewed,
-           SUM(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END) AS users_clicked,
-           SUM(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END) AS users_purchased
+           CAST(SUM(CASE WHEN v_us IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_viewed,
+           CAST(SUM(CASE WHEN c_us IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_clicked,
+           CAST(SUM(CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_purchased
     FROM u GROUP BY cohort_day
     """,
     "Strictly-ordered view->click->purchase funnel, grouped by first-seen "

@@ -55,6 +55,18 @@ def queries_with_oracles():
     return [(n, s) for n, s in sorted(all_queries().items()) if s.oracle is not None]
 
 
+def _dtype_kind(dtype):
+    """Collapse numpy dtype to the kind the driver's hash distinguishes.
+
+    The driver hashes pandas values dtype-sensitively: int64 vs float64
+    differ even when every cell is numerically equal (DuckDB SUM(int) ->
+    HUGEINT -> float64 while Spark yields int64). Signedness and width do
+    not matter to it, so i/u collapse together.
+    """
+    k = dtype.kind
+    return "i" if k in "iu" else k
+
+
 @pytest.mark.parametrize("name,spec", queries_with_oracles(), ids=lambda p: p if isinstance(p, str) else "")
 def test_oracle_parity(name, spec, spark, duck):
     spark_pdf = spec.fn(spark, SF_DIR).toPandas()
@@ -64,6 +76,14 @@ def test_oracle_parity(name, spec, spark, duck):
     d_rows, d_cols = _normalize(duck_pdf)
 
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    for col in s_cols:
+        sk = _dtype_kind(spark_pdf.dtypes[col])
+        dk = _dtype_kind(duck_pdf.dtypes[col])
+        assert sk == dk, (
+            f"{name}: column {col} dtype kind spark={spark_pdf.dtypes[col]} "
+            f"duck={duck_pdf.dtypes[col]} — the driver hash is "
+            f"dtype-sensitive; CAST the oracle (usually SUM -> BIGINT)"
+        )
     assert len(s_rows) == len(d_rows), f"{name}: rowcount {len(s_rows)} vs {len(d_rows)}"
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
         for c, (sv, dv) in enumerate(zip(sr, dr)):
