@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc2vec_spark.functions import sha256_hex
+from doc2vec_spark.caching import scoped_cache
 from doc2vec_spark.functions.rounding import pround
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
@@ -210,8 +211,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.groupBy("lang", "h")
         .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") <= MAX_SHINGLE_DF)
-        .cache()
     )
+    postings = scoped_cache(postings)
     sizes = (
         postings.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
@@ -358,8 +359,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(bands).alias("band"),
         )
         .select("doc_id", "lang", "ms", "band.band_id", "band.band_key")
-        .cache()  # both join sides read the materialized signatures once
     )
+    banded = scoped_cache(banded)  # both join sides read the signatures once
 
     a, b = banded.alias("a"), banded.alias("b")
     est = (
@@ -511,8 +512,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         )
         .select("doc_id", "lang", "simhash", "band.band_id", "band.band_val")
-        .cache()  # both join sides read the materialized signatures once
     )
+    banded = scoped_cache(banded)  # both join sides read the signatures once
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -999,8 +1000,8 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(bands).alias("band"),
         )
         .select("doc_id", "lang", "bucket", "ms", "band.band_id", "band.band_key")
-        .cache()  # one signature pass feeds both asymmetric sides
     )
+    banded = scoped_cache(banded)  # one signature pass feeds both sides
     newb = banded.filter(F.col("bucket") >= _INC_NEW_BUCKET).alias("a")
     corpus = banded.filter(F.col("bucket") < _INC_NEW_BUCKET).alias("b")
     est = (
@@ -1084,9 +1085,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    c = e.select(
-        "vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell")
-    ).cache()  # both join sides read the assigned cells once
+    c = scoped_cache(
+        e.select("vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell"))
+    )  # both join sides read the assigned cells once
     a, b = c.alias("a"), c.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (
         l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from doc2vec_spark.caching import scoped_cache
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
 
@@ -80,7 +81,7 @@ def ta_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
     # corpus unigram table: one keyed shuffle, reused by vocab AND the total
-    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    cnts = scoped_cache(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
     total = cnts.agg(F.sum("cnt").alias("t")).first()["t"]  # bounded 1-row scalar
     vocab = cnts.orderBy(F.desc("cnt"), F.asc("tok")).limit(VOCAB_K)
     scored = (

@@ -299,7 +299,11 @@ def ta_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cached: tf feeds BOTH the join probe side and the df aggregate — an
     # uncached plan recomputes the whole explode+agg subtree twice
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    from doc2vec_spark.caching import scoped_cache
+
+    tf = scoped_cache(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     score = F.col("tf") * 1.0 / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), "tok")

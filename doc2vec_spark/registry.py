@@ -18,7 +18,23 @@ current spec version.
 
 from __future__ import annotations
 
+import functools
+
 from doc2vec_spark.spec import QuerySpec
+
+
+def _scoped(fn):
+    """Release the previous invocation's scoped caches on entry, so storage
+    stays flat across any sequence of registry queries (caching.py)."""
+
+    @functools.wraps(fn)  # preserves __module__ for spec_hashes closures
+    def run(spark, sf_dir):
+        from doc2vec_spark.caching import release_scoped_caches
+
+        release_scoped_caches()
+        return fn(spark, sf_dir)
+
+    return run
 
 def _driver_verified_names(merged: dict[str, QuerySpec]) -> frozenset[str]:
     """Names whose driver stamp is valid for the current spec version
@@ -128,7 +144,9 @@ def merged_queries() -> dict[str, QuerySpec]:
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")
-            merged[name] = spec
+            merged[name] = QuerySpec(
+                fn=_scoped(spec.fn), oracle=spec.oracle, doc=spec.doc
+            )
     return merged
 
 
