@@ -24,6 +24,23 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_dir() -> str | None:
+    """Shuffle/spill scratch space for LOCAL mode only.
+
+    Profiling (round 5) traced multi-second stochastic stalls in aged
+    sessions to writeback storms on disk-backed /tmp: shuffle and sort-agg
+    spill files accumulate (the ContextCleaner frees them only after a JVM
+    GC), and dirty-page flushes then stall concurrent shuffle writers for
+    seconds at a time. A tmpfs scratch dir removes the disk from the loop.
+    On a real cluster the resource manager provisions spark.local.dir on
+    fast local disks — this override applies only to the single-node rig.
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    return "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else None
+
+
 def get_spark(app_name: str = "doc2vec-spark") -> SparkSession:
     cpus = default_parallelism()
     builder = (
@@ -43,5 +60,24 @@ def get_spark(app_name: str = "doc2vec-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # collect_list/collect_set aggregations (posting lists, LSH bands)
+        # fall back from hash to sort-based aggregation — spilling every
+        # task — at Spark's default 128-entry threshold. Postings are
+        # df-capped (bounded entries), so a 1M-entry in-memory map is safe
+        # at 4-8 GiB/core and avoids the per-task sort+spill entirely
+        # (measured: whole-bench aging pass 80 s -> 58 s).
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            str(1 << 20),
+        )
+        # long-lived engine sessions: clean shuffle/broadcast garbage
+        # steadily (periodic GC) and without blocking the cleaner thread on
+        # every block-manager round trip, instead of in bursts that stall
+        # whichever query is running when the backlog drains.
+        .config("spark.cleaner.referenceTracking.blocking", "false")
+        .config("spark.cleaner.periodicGC.interval", "120s")
     )
+    local_dir = _local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
