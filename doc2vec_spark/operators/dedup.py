@@ -1032,33 +1032,66 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SemDeDup: semantic dedup inside coarse embedding clusters (round 4)
+# SemDeDup: semantic dedup inside coarse embedding clusters (round 4;
+# centroid scheme rescaled round 5)
 # ---------------------------------------------------------------------------
 # Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
-# semantic deduplication" (arXiv:2303.09540): k-means the embedding space,
+# semantic deduplication" (arXiv:2303.09540): cluster the embedding space,
 # then drop all but one member of every within-cluster near-duplicate group.
 # The clustering bounds the pairwise work — cosine is only evaluated between
-# vectors sharing a cell, so the join is equi-keyed on the cell id and the
-# cost is sum(|cell| choose 2), not (n choose 2). Here the cells are the
-# same fixed IVF centroids ann_ivf_cells uses (at 100 TB: k grows with n to
-# hold |cell| bounded, and the cell id doubles as the partition key);
-# survivor choice is the SemDeDup convention of a deterministic
-# representative — lowest vec_id — per duplicate group.
+# vectors sharing a cell, so the pair join is equi-keyed on the cell id and
+# the cost is sum(|cell| choose 2), not (n choose 2).
+#
+# Centroids (round 5): every SEMDEDUP_STRIDE-th vector BY ID seeds a cell
+# (cell id = the seed's vec_id), so k = ceil(n / stride) grows linearly with
+# the corpus — the paper's k ∝ n scaling — keeping E[|cell|] ≈ stride
+# constant and total pair work O(n), with k join keys of parallelism. The
+# round-4 version used 8 FIXED centroids: O(n²/8) pair work and 8-way
+# parallelism, quadratic at scale. Stride sampling is deterministic and
+# data-derived, so the DuckDB oracle reproduces the exact assignment with
+# no stored model state. Assignment is a broadcast of the k×dim centroid
+# table against the vector stream (constant equi-key → BroadcastHashJoin,
+# map-side partial argmin, one n-row shuffle). At real scale (n ~ 10^9) the
+# centroid broadcast must stay bounded: cap k (the paper uses 50k clusters
+# for 600M vectors) via MLlib KMeans (mllib_ann.py) and accept larger
+# cells; the stride scheme is the oracle-checkable deterministic stand-in
+# at test SFs. Survivor choice is the SemDeDup convention of a
+# deterministic representative — lowest vec_id — per duplicate group.
 
 SEMDEDUP_THRESHOLD = 0.4  # same planted-near-dup level as COSINE_DUP_THRESHOLD
+SEMDEDUP_STRIDE = 32  # every 32nd vec_id seeds a centroid: k = ceil(n/32)
+SEMDEDUP_MAX_K = 4096  # centroid-table cap: broadcast stays <= ~2 MiB
 
 
 def _semdedup_oracle() -> str:
-    from doc2vec_spark.operators.similarity import _nearest_centroid_sql
-
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c AS (SELECT vec_id, v, ({_nearest_centroid_sql()}) AS cell FROM e),
+    st AS (
+      SELECT GREATEST({SEMDEDUP_STRIDE},
+                      CAST(CEIL(COUNT(*) / {SEMDEDUP_MAX_K}.0) AS BIGINT)) AS s
+      FROM e
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % (SELECT s FROM st) = 0
+    ),
+    d AS (
+      SELECT e.vec_id, e.v, cents.cid,
+             1 - list_dot_product(e.v, cents.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cents.cv, cents.cv))) AS dist
+      FROM e, cents
+    ),
+    a AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT vec_id, v, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
     p AS (
-      SELECT a.cell AS cell, a.vec_id AS keep_id, b.vec_id AS drop_id,
-             list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
-      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      SELECT x.cell AS cell, x.vec_id AS keep_id, y.vec_id AS drop_id,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
     )
     SELECT drop_id, cell, MIN(keep_id) AS kept_id, COUNT(*) AS n_closer,
            floor((MAX(sim)) * 1000000.0 + 0.5) / 1000000.0 AS max_sim
@@ -1070,24 +1103,64 @@ def _semdedup_oracle() -> str:
 @_register(
     "dedup_semdedup",
     _semdedup_oracle(),
-    "SemDeDup (arXiv:2303.09540): IVF-cell-bounded within-cluster cosine "
-    ">= {t}; each duplicate keeps its lowest-id representative. The pair "
-    "join is equi-keyed on the cell id — cost sum(|cell|^2), never global "
-    "all-pairs — and the same centroid assignment is the partition key at "
-    "scale.".format(t=SEMDEDUP_THRESHOLD),
+    "SemDeDup (arXiv:2303.09540): within-cluster cosine >= {t}; cells from "
+    "stride-sampled centroids so k = n/{s} grows with the corpus (paper "
+    "scaling), E[|cell|] ~ {s} constant, pair work O(n), and the pair join "
+    "stays equi-keyed on the cell id with k keys of parallelism. Each "
+    "duplicate keeps its lowest-id representative.".format(
+        t=SEMDEDUP_THRESHOLD, s=SEMDEDUP_STRIDE
+    ),
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.functions.rounding import pround
     from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
-    from doc2vec_spark.operators.similarity import _nearest_centroid_expr
     from doc2vec_spark.tables import load as _load
+
+    import math
 
     e = _load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
+    n = e.count()  # bounded 1-row scalar
+    stride = max(SEMDEDUP_STRIDE, math.ceil(n / SEMDEDUP_MAX_K))
+    # the centroid table is bounded (k <= MAX_K rows of dim doubles,
+    # ~2 MiB) — collect it once and close over it in an Arrow-batched
+    # assignment UDF: cell = argmin_j dist(v, c_j) as one numpy matmul per
+    # batch, a map-only stage with zero joins/shuffles before the pair
+    # join. numpy's SIMD summation is not bit-identical to the oracle's
+    # sequential dot, but only the ARGMIN crosses engines here (cell ids,
+    # not distances): a flip needs two centroid distances within ~1e-15 of
+    # each other while Voronoi gaps sit ~13 orders of magnitude above
+    # float noise. The hash-gated sim values are still computed with the
+    # exact sequential JVM dot in the pair join below.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(
+        e.filter((F.col("vec_id") % stride) == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect(),
+        key=lambda r: r["cid"],  # ascending cid => argmin's first-min
+    )  # tie-break == the oracle's ORDER BY dist, cid
+    cmat = np.array([r["cv"] for r in cent_rows])  # k x d
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))  # k
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint parser rejects; hint-less
+    # scalar UDFs take the SERIES -> SERIES path directly
+    @pandas_udf("long")
+    def assign_cell(vs):
+        vm = np.vstack(vs.to_numpy())  # batch x d
+        d = 1.0 - (vm @ cmat.T) / (
+            np.sqrt((vm * vm).sum(axis=1))[:, None] * cnorm[None, :]
+        )
+        return pd.Series(cids[np.argmin(d, axis=1)])
+
     c = scoped_cache(
-        e.select("vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell"))
-    )  # both join sides read the assigned cells once
+        e.select("vec_id", "v", assign_cell(F.col("v")).alias("cell"))
+    )  # both pair-join sides read the assigned cells once
     a, b = c.alias("a"), c.alias("b")
     sim = dot(F.col("a.v"), F.col("b.v")) / (
         l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
