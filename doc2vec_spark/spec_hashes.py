@@ -128,12 +128,32 @@ def module_closures() -> tuple[dict[str, str], dict[str, list[str]]]:
     return dumps, closures
 
 
+# Universal plumbing in EVERY query's import closure. Excluded from spec
+# digests (VERDICT r04 #2): an edit to one of these — the round-4 lesson was
+# a tables.py loader tweak — used to invalidate all ~110 stamps at once and
+# void the rotation's union-coverage guarantee for ~3 rounds. The trade-off
+# is explicit: a semantic change to a universal module no longer forces
+# re-verification by itself; such changes are rare, reviewed as global
+# events, and still covered by the local parity suite which always runs
+# against live code.
+UNIVERSAL_MODULES = frozenset(
+    {
+        f"{_PKG}.tables",
+        f"{_PKG}.session",
+        f"{_PKG}.spec",
+        f"{_PKG}.caching",
+    }
+)
+
+
 def _closure_digests() -> dict[str, str]:
     dumps, closures = module_closures()
     out: dict[str, str] = {}
     for mod, members in closures.items():
         h = hashlib.sha256()
         for m in members:
+            if m in UNIVERSAL_MODULES:
+                continue
             h.update(m.encode())
             h.update(dumps[m].encode())
         out[mod] = h.hexdigest()
