@@ -400,6 +400,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 32-bit simhash over (non-distinct) whitespace tokens: bit (4p+q) is the sign
 # of the sum over tokens of +-1 from bit q of md5-nibble p. md5 keeps it
 # engine-portable; nibble parse differs per engine but yields the same value.
+#
+# Band-width scaling (BENCH_SCALING.md finding 1): with b-bit bands, CHANCE
+# band collisions grow ~n^2 / 2^b and overtake true near-dups around
+# n ~ sqrt(2^b) per language partition — the 10x rehearsal measured 58x
+# candidate growth for 10x docs at 8-bit bands. At real scale, size bands so
+# 2^bits ≈ n (e.g. 4 x 24-bit slices of a 96-bit simhash), or band on a
+# (coarse-content-prefix, slice) composite key; the downstream hamming
+# filter is unchanged. Kept at the test-SF configuration here because the
+# oracle replays it bit-exactly.
 
 _NIBBLE_BITS = [(p, q) for p in range(8) for q in range(4)]  # (nibble idx, bit idx)
 
