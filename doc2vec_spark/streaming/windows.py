@@ -246,3 +246,100 @@ def attribution_stream(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # mirror operators/sessions.py
+
+_SESS_STATE_SCHEMA = (
+    "seq LONG, start_us LONG, last_us LONG, n LONG, np LONG, ne LONG"
+)
+_SESS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("duration_sec", T.LongType()),
+        T.StructField("n_purchases", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+    ]
+)
+
+
+def gap_sessionize_stream(
+    spark: SparkSession,
+    events_parquet: str,
+    checkpoint: str,
+    name: str = "sessions_stream",
+) -> DataFrame:
+    """Stateful gap-based sessionization via applyInPandasWithState — the
+    unbounded twin of ``operators/sessions.py::ev_sessionize`` (same 30-min
+    inactivity gap, same per-session stats, same (us, event_id) ordering).
+
+    Per user, the state carries the OPEN session (seq, start, last-seen,
+    counters); each batch's events extend it or close it on a gap. Closed
+    sessions are emitted final; the open session is emitted as an updated
+    snapshot each batch (update output mode), which is exactly the
+    dashboard contract. On a complete replay (Trigger.AvailableNow over the
+    full table) the emitted set equals the batch operator's output row for
+    row — asserted in tests/test_streaming.py. A 24/7 deployment would add
+    EventTimeTimeout to flush sessions idle past the gap without waiting
+    for the user's next event; the sf-scale test keeps NoTimeout so the
+    replay is deterministic.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, events_parquet).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def update(key, pdf_iter, state):
+        if state.exists:
+            seq, start, last, n, np_, ne = state.get
+            open_sess = [seq, start, last, n, np_, ne]
+        else:
+            open_sess = None
+        out = []
+
+        def emit(s):
+            out.append(
+                (key[0], s[0], s[3], s[1], (s[2] - s[1]) // 1_000_000, s[4], s[5])
+            )
+
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        batch = batch.sort_values(["us", "event_id"])
+        for us, etype in zip(batch["us"], batch["event_type"]):
+            if open_sess is None:
+                open_sess = [1, us, us, 0, 0, 0]
+            elif us - open_sess[2] > _SESSION_GAP_US:
+                emit(open_sess)  # gap closes the session — final row
+                open_sess = [open_sess[0] + 1, us, us, 0, 0, 0]
+            open_sess[2] = us
+            open_sess[3] += 1
+            open_sess[4] += int(etype == "purchase")
+            open_sess[5] += int(etype == "error")
+        if open_sess is not None:
+            emit(open_sess)  # snapshot of the still-open session
+            state.update(tuple(open_sess))
+        yield pd.DataFrame(out, columns=[f.name for f in _SESS_OUT_SCHEMA.fields])
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        _SESS_OUT_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -145,3 +145,29 @@ def test_plan_has_aggregate_checks_node_classes_not_names(spark):
     df = spark.range(5).select(F.col("id").alias("Aggregate"))
     assert not _plan_has_aggregate(df)
     assert _plan_has_aggregate(df.groupBy("Aggregate").count())
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """gap_sessionize_stream on a complete AvailableNow replay must emit
+    exactly the batch ev_sessionize rows (same gap, stats, ordering)."""
+    from doc2vec_spark.operators.sessions import ev_sessionize
+    from doc2vec_spark.streaming.windows import gap_sessionize_stream
+
+    got = gap_sessionize_stream(
+        spark, EVENTS, str(tmp_path / "ck_sess"), name="t_sessions"
+    )
+    want = ev_sessionize(spark, SF_DIR)
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {
+        (
+            r["user_id"],
+            r["session_seq"],
+            r["n_events"],
+            r["start_us"],
+            r["duration_sec"],
+            r["n_purchases"],
+            r["n_errors"],
+        )
+        for r in want.collect()
+    }
+    assert got_rows == want_rows
