@@ -782,36 +782,84 @@ def _exact_grid_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> Da
     """Exact all-pairs cosine >= threshold inside each label, sharded on the
     adaptive g x g salt grid (see dedup_embedding_cosine docstring).
 
+    Two-phase since round 5: the all-pairs FLOPs run as ONE numpy matmul
+    per grid block (cogroup + applyInPandas, Arrow-batched) with the
+    threshold relaxed by 1e-9 — a pure prefilter, ~100x the throughput of
+    per-pair JVM fold dots. The surviving candidate set (tiny: true pairs
+    plus an epsilon shell) is then re-scored with the exact sequential JVM
+    dot, so every EMITTED value is bit-identical to the oracle's; numpy's
+    SIMD summation order never crosses the hash gate. The 1e-9 margin
+    exceeds the worst-case |simd - sequential| drift (~1e-14 at dim 64) by
+    five orders of magnitude, so no true pair can be prefiltered away.
+
     Sizing the grid costs ``e.count()`` — a parquet-footer metadata read
     when ``e`` is a plain table scan, but a full materialization job for a
     derived input (unions, filters, planted rows): pass raw scans where
     possible."""
     import math
 
+    import numpy as np
+    import pandas as pd
+
     from doc2vec_spark.functions.vectors import dot, l2_norm
 
     n_vecs = e.count()
     grid = max(GRID_SALTS_MIN, min(GRID_SALTS_MAX, math.ceil(n_vecs / GRID_TARGET_PER_SALT)))
     probes = F.array(*[F.lit(i) for i in range(grid)])
-    e = e.withColumn("nrm", l2_norm(F.col("v"))).withColumn(
-        "salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(grid))
+    # cast: salt (bigint from xxhash64) and the exploded probe (int) must
+    # carry IDENTICAL types on both cogroup sides — mismatched key schemas
+    # group the two sides into disjoint key spaces and every block sees one
+    # side empty (observed: all candidate pairs silently lost)
+    e = e.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(grid)).cast("int")
     )
-    a = e.withColumn("j", F.explode(probes)).alias("a")
-    b = e.withColumn("i", F.explode(probes)).alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # block (i, j) holds side-a rows with salt i and side-b rows with salt
+    # j; every unordered pair lands in exactly one block after the
+    # vec_a < vec_b cut (its mirror block produces only the reversed order)
+    side_a = e.select(
+        "label", "vec_id", "v", F.col("salt").alias("i"), F.explode(probes).alias("j")
+    )
+    side_b = e.select(
+        "label", "vec_id", "v", F.explode(probes).alias("i"), F.col("salt").alias("j")
+    )
+
+    def block_pairs(key, a_pdf, b_pdf):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        va = np.vstack(a_pdf["v"].to_numpy())
+        vb = np.vstack(b_pdf["v"].to_numpy())
+        sims = (va @ vb.T) / (
+            np.sqrt((va * va).sum(axis=1))[:, None]
+            * np.sqrt((vb * vb).sum(axis=1))[None, :]
+        )
+        ia, ib = np.nonzero(sims >= threshold - 1e-9)
+        pa = a_pdf["vec_id"].to_numpy()[ia]
+        pb = b_pdf["vec_id"].to_numpy()[ib]
+        keep = pa < pb
+        return pd.DataFrame({"vec_a": pa[keep], "vec_b": pb[keep]})
+
+    cand = (
+        side_a.groupby("label", "i", "j")
+        .cogroup(side_b.groupby("label", "i", "j"))
+        .applyInPandas(block_pairs, "vec_a long, vec_b long")
+    )
+    # exact confirm: re-score the tiny candidate list with the sequential
+    # JVM dot (broadcastable join back to the vector table, both sides)
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        l2_norm(F.col("v")).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        l2_norm(F.col("v")).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.salt") == F.col("b.i"))
-            & (F.col("a.j") == F.col("b.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("sim"),
-        )
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", pround("sim", 6).alias("cosine_sim"))
     )

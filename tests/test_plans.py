@@ -83,8 +83,15 @@ def test_pair_dedup_join_keys_are_not_block_only(spark):
     conds = join_conds(_q("dedup_simhash_pairs", spark))
     assert conds and all("band_val" in c and "band_id" in c for c in conds), conds
 
-    conds = join_conds(_q("dedup_embedding_cosine", spark))
-    assert conds and all("salt" in c for c in conds), conds
+    # embedding cosine (exact route, two-phase since round 5): pair work is
+    # sharded inside the salt-grid cogroup, not a join — assert the block
+    # prefilter is present and the confirm joins key on vec ids, never on
+    # the coarse label alone
+    df = _q("dedup_embedding_cosine", spark)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    conds = join_conds(df)
+    assert conds and all("vec_a" in c or "vec_b" in c for c in conds), conds
 
 
 def test_embedding_near_dup_threshold_routing(spark):
@@ -107,8 +114,14 @@ def test_embedding_near_dup_threshold_routing(spark):
     )
     banded = join_conds(embedding_near_dup_pairs(spark, e, 0.95))
     assert banded and all("band_val" in c and "band_id" in c for c in banded), banded
-    exact = join_conds(embedding_near_dup_pairs(spark, e, 0.5))
-    assert exact and all("salt" in c for c in exact), exact
+    # exact path (round 5, two-phase): block-matmul prefilter via cogroup
+    # (FlatMapCoGroupsInPandas keyed on the salt grid), then confirm joins
+    # keyed ONLY on vec ids against the small candidate list
+    exact_df = embedding_near_dup_pairs(spark, e, 0.5)
+    exact_plan = exact_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in exact_plan, exact_plan[:2000]
+    exact = join_conds(exact_df)
+    assert exact and all("vec_a" in c or "vec_b" in c for c in exact), exact
 
     lsh = join_conds(_q("dedup_embedding_lsh", spark))
     assert lsh and all("band_val" in c for c in lsh), lsh
