@@ -1217,23 +1217,43 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = scoped_cache(
         e.select("vec_id", "v", assign_cell(F.col("v")).alias("cell"))
-    )  # both pair-join sides read the assigned cells once
-    a, b = c.alias("a"), c.alias("b")
-    sim = dot(F.col("a.v"), F.col("b.v")) / (
-        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )  # read by the per-cell prefilter AND both confirm-join sides
+
+    # within-cell pair work, two-phase like _exact_grid_pairs: one numpy
+    # matmul per cell emits candidate (keep, drop) pairs at threshold-1e-9,
+    # then the exact sequential JVM dot re-scores the tiny candidate list —
+    # every hash-gated sim value is bit-identical to the oracle's
+    def cell_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"cell": [], "keep_id": [], "drop_id": []}).astype(
+                "int64"
+            )
+        pdf = pdf.sort_values("vec_id")
+        vm = np.vstack(pdf["v"].to_numpy())
+        nrm = np.sqrt((vm * vm).sum(axis=1))
+        sims = (vm @ vm.T) / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.nonzero(np.triu(sims >= SEMDEDUP_THRESHOLD - 1e-9, k=1))
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].to_numpy()[ia],
+                "keep_id": ids[ia],
+                "drop_id": ids[ib],
+            }
+        )
+
+    cand = c.groupby("cell").applyInPandas(
+        cell_pairs, "cell long, keep_id long, drop_id long"
+    )
+    ka = c.select(F.col("vec_id").alias("keep_id"), F.col("v").alias("va"))
+    kb = c.select(F.col("vec_id").alias("drop_id"), F.col("v").alias("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
     )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("drop_id"),
-            F.col("a.cell").alias("cell"),
-            F.col("a.vec_id").alias("keep_id"),
-            sim.alias("sim"),
-        )
+        cand.join(ka, "keep_id")
+        .join(kb, "drop_id")
+        .select("drop_id", "cell", "keep_id", sim.alias("sim"))
         .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
     )
     return pairs.groupBy("drop_id", "cell").agg(

@@ -195,12 +195,15 @@ def test_bm25_is_take_ordered_and_map_only(spark):
 
 
 def test_semdedup_join_keyed_on_cell(spark):
-    """dedup_semdedup: the pair join must be equi-keyed on the IVF cell id —
-    never a cross join — so pairwise cosine cost stays sum(|cell|^2)."""
+    """dedup_semdedup: pair work is sharded per cell (grouped-map matmul
+    prefilter since round 5 — FlatMapGroupsInPandas keyed on the cell id,
+    so cost stays sum(|cell|^2), never global all-pairs), and the confirm
+    joins key on vec ids against the small candidate list."""
     df = _q("dedup_semdedup", spark)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
     conds = [l for l in plan.splitlines() if "Join Inner" in l]
-    assert conds and all("cell" in c for c in conds), conds
+    assert conds and all("keep_id" in c or "drop_id" in c for c in conds), conds
 
 
 def test_tpch_extra_dims_broadcast(spark):
