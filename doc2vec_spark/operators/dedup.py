@@ -544,6 +544,161 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash with 16-bit bands — the corpus-scale band configuration
+# ---------------------------------------------------------------------------
+# The 10x rehearsal (BENCH_SCALING.md finding 1) measured the 32-bit/8-bit
+# configuration saturating: chance band collisions grow ~n^2 / 2^bits and
+# overtake true near-dups around n ~ 10^5 docs. This variant is the
+# documented remedy shipped as an operator: 64 hyperplane bits (all 16 md5
+# nibbles) and 4 x 16-bit bands, so chance collisions shrink 256x per band
+# while the pigeonhole guarantee (hamming <= 3 touches at most 3 of 4
+# bands) is unchanged. The hash is carried as TWO 32-bit halves — a packed
+# 64-bit value would need bit 63, whose signed overflow the two engines
+# handle differently.
+
+_NIBBLE_BITS_64 = [(p, q) for p in range(16) for q in range(4)]
+
+
+def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sim_hi, sim_lo) 32-bit halves of the 64-bit simhash per document.
+
+    Same array-per-doc shape as `_simhash_df`: per-token md5 parsed ONCE
+    into two 32-bit longs behind a repartition barrier, then 64 bit-count
+    aggregates over the bounded per-doc array — map-only after the scan."""
+    from doc2vec_spark.session import default_parallelism
+
+    n = default_parallelism()
+    docs = load(spark, sf_dir, "documents").repartition(n)
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.transform(
+            _tokens(),
+            lambda t: F.struct(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("a"),
+                F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("b"),
+            ),
+        ).alias("hs"),
+    ).repartition(n)  # barrier: hs materialized once, read by 64 aggregates
+    nt = F.size(F.col("hs"))
+
+    def _ones(shift, field):
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.shiftright(x[field], shift).bitwiseAND(F.lit(1)),
+        )
+
+    halves = {"hi": None, "lo": None}
+    for p, q in _NIBBLE_BITS_64:
+        half, field = ("hi", "a") if p < 8 else ("lo", "b")
+        shift = 4 * (7 - (p % 8)) + q
+        ones = _ones(shift, field)
+        bit = F.when(ones * 2 > nt, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, 4 * (p % 8) + q)
+        halves[half] = term if halves[half] is None else halves[half] + term
+    return hashed.select(
+        "doc_id", "lang", halves["hi"].alias("sim_hi"), halves["lo"].alias("sim_lo")
+    )
+
+
+def _simhash64_sql() -> str:
+    hi = " + ".join(
+        f"((CASE WHEN s_{p}_{q} > 0 THEN 1 ELSE 0 END)::BIGINT << {4 * p + q})"
+        for p, q in _NIBBLE_BITS_64
+        if p < 8
+    )
+    lo = " + ".join(
+        f"((CASE WHEN s_{p}_{q} > 0 THEN 1 ELSE 0 END)::BIGINT << {4 * (p - 8) + q})"
+        for p, q in _NIBBLE_BITS_64
+        if p >= 8
+    )
+    sums = ", ".join(
+        f"SUM(((('0x' || substr(md5(tok), {p + 1}, 1))::INT >> {q}) & 1) * 2 - 1)"
+        f" AS s_{p}_{q}"
+        for p, q in _NIBBLE_BITS_64
+    )
+    return (
+        f"SELECT doc_id, lang, ({hi}) AS sim_hi, ({lo}) AS sim_lo FROM ("
+        f"SELECT doc_id, lang, {sums}"
+        " FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents) GROUP BY doc_id, lang)"
+    )
+
+
+SIMHASH64_BANDS = 4  # 4 x 16-bit: pigeonhole still covers hamming <= 3
+
+
+@_register(
+    "dedup_simhash_wide",
+    f"""
+    WITH s AS ({{sql}})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))
+             AS hamming
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))
+          <= {HAMMING_THRESHOLD}
+    """.format(sql=_simhash64_sql()),
+    "64-bit SimHash near-dup pairs with 16-bit bands — the corpus-scale "
+    "band width (chance collisions ~n^2/2^16 per band, 256x fewer than the "
+    "32-bit/8-bit variant; BENCH_SCALING.md finding 1). Hamming <= {t} "
+    "within lang blocks; pigeonhole over {b} bands keeps the band join "
+    "EXACTLY equal to the all-pairs oracle.".format(
+        t=HAMMING_THRESHOLD, b=SIMHASH64_BANDS
+    ),
+)
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _simhash64_df(spark, sf_dir)
+    bands = [
+        ("sim_hi", 0),
+        ("sim_hi", 16),
+        ("sim_lo", 0),
+        ("sim_lo", 16),
+    ]
+    banded = s.select(
+        "doc_id",
+        "lang",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.shiftright(F.col(col), off)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for bi, (col, off) in enumerate(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "lang", "sim_hi", "sim_lo", "band.band_id", "band.band_val")
+    banded = scoped_cache(banded)  # both join sides read the signatures once
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()  # docs sharing multiple bands collapse to one pair
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
