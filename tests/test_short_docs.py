@@ -101,3 +101,36 @@ def test_word_shingles_short_docs(spark):
     got = [r.sh for r in df.collect()]
     assert got[0] == [] and got[1] == [] and got[3] == []
     assert got[2] == ["now three tokens"]
+
+
+def test_ta_pmi_collocations_short_docs(spark, short_duck, short_dir):
+    """ADVICE r04: a 1-token doc used to make sequence(0, size-2) emit
+    [0, -1] and l[-1] raise under ANSI mode, where the oracle's range() is
+    simply empty. The size >= 2 guard must keep both engines agreeing."""
+    from doc2vec_spark.operators.quality import QUERIES
+
+    spec = QUERIES["ta_pmi_collocations"]
+    rows, _ = _parity(
+        spark, short_duck, "ta_pmi_collocations", spec.fn, spec.oracle, short_dir
+    )
+    assert rows is not None  # no crash; parity asserted inside
+
+
+def test_ta_gopher_rules_short_docs(spark, short_duck, short_dir):
+    from doc2vec_spark.operators.quality import QUERIES
+
+    spec = QUERIES["ta_gopher_rules"]
+    rows, _ = _parity(
+        spark, short_duck, "ta_gopher_rules", spec.fn, spec.oracle, short_dir
+    )
+    assert len(rows) > 0
+
+
+def test_ta_tfidf_topk_short_docs(spark, short_duck, short_dir):
+    from doc2vec_spark.operators.quality import QUERIES
+
+    spec = QUERIES["ta_tfidf_topk"]
+    rows, _ = _parity(
+        spark, short_duck, "ta_tfidf_topk", spec.fn, spec.oracle, short_dir
+    )
+    assert len(rows) > 0
