@@ -375,8 +375,9 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     for adversarially deep graphs use `connected_components_star` below
     (alternating large-star/small-star, O(log^2 n) rounds on any shape —
     same output contract, property-tested against the same union-find
-    reference). Labels are localCheckpoint()ed every round, so lineage
-    stays O(1) across rounds.
+    reference). Early rounds keep labels in invocation-scoped caches;
+    localCheckpoint takes over from round 2 so lineage stays O(1) on deep
+    graphs (see the checkpoint-policy comment below).
     """
     from doc2vec_spark.checkpoints import ckpt_tracked, free_blocks, park_blocks
 
@@ -387,11 +388,27 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     # the edge list — one groupBy instead of identity-init + a full
     # propagate round (for near-clique dup clusters this IS convergence, so
     # the loop's first pass is just the fixed-point confirmation)
-    labels, labels_blocks = ckpt_tracked(
+    #
+    # Checkpoint policy (round 5): the first CKPT_FROM_ROUND rounds keep
+    # labels in plain caches — lineage is still shallow, and the
+    # near-clique common case (converges in round 1) then runs ONE heavy
+    # job per invocation (the convergence count, which populates the cache
+    # the caller's consumption reads) with zero eager-checkpoint jobs or
+    # block churn. Deep graphs switch to eager localCheckpoint from round
+    # 2 on, keeping lineage O(1) where it matters. Cache lifetime follows
+    # the same discipline as checkpoint blocks: a superseded round's cache
+    # is freed as soon as the next round materializes; the final round's
+    # cache is parked and freed at the next CC entry (unpersisting a plain
+    # cache is always safe — lineage survives, recompute possible).
+    CKPT_FROM_ROUND = 2
+    labels = (
         sym.groupBy(F.col("u").alias("doc_id"))
         .agg(F.min(F.least("u", "v")).alias("label"))
+        .cache()
     )
-    for _ in range(max_iters):
+    labels_blocks: list = []
+    labels_cache = labels  # the cache handle backing `labels`, if any
+    for rnd in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["doc_id"])
             .groupBy(sym["u"].alias("doc_id"))
@@ -417,19 +434,30 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 "old_label",
             )
         )
-        new_labels, new_blocks = ckpt_tracked(
-            compressed.select("doc_id", "label", "old_label")
-        )
+        stepped = compressed.select("doc_id", "label", "old_label")
+        if rnd >= CKPT_FROM_ROUND:
+            new_labels, new_blocks = ckpt_tracked(stepped)
+            new_cache = None
+        else:
+            new_labels, new_blocks = stepped.cache(), []
+            new_cache = new_labels
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        # new_labels is materialized (eager checkpoint), so the round it was
-        # derived from is dead weight — free it now, not at session end
+        # new_labels is materialized (checkpoint, or cache filled by the
+        # count above), so the round it derives from is dead weight — free
+        # its checkpoint blocks / cache now, not at session end
         free_blocks(labels_blocks)
-        labels_blocks = new_blocks
+        if labels_cache is not None:
+            labels_cache.unpersist(False)
+        labels_blocks, labels_cache = new_blocks, new_cache
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     sym.unpersist(False)  # plain cache: lineage survives, recompute possible
     park_blocks(_CC_FAMILY, labels_blocks)  # freed at next CC entry
+    if labels_cache is not None:
+        # cache-backed final result: park the handle the same way (its
+        # .unpersist(blocking) signature matches the block handles')
+        park_blocks(_CC_FAMILY, [labels_cache])
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
