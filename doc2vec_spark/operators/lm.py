@@ -104,3 +104,103 @@ def ta_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000.0) * F.col("sum_cnt") / (F.col("n_tokens") * F.lit(total))
         ).alias("lm_score_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (round 5)
+# ---------------------------------------------------------------------------
+# Xie et al., "Data Selection for Language Models via Importance Resampling"
+# (DSIR, arXiv:2302.03169): score raw-pool documents by how much more likely
+# their content is under a target-domain LM than under the raw-pool LM, then
+# resample by the importance weight. The published estimator factorizes over
+# hashed n-grams with log-probabilities; the cross-engine-deterministic core
+# here is the same two-LM contrast with the repo's log-free discipline:
+# per-document INTEGER sums of target / raw unigram counts (exact,
+# order-free), one double division at the end (identical operation order in
+# both engines), Laplace +1 on both sums. The monotone per-doc ratio keeps
+# the same resampling order a log-space score would produce for fixed
+# document length, and a threshold keeps the same documents.
+#
+# Shape (all keyed): two token-keyed count shuffles (target, raw), a
+# token-keyed join of the doc tokens against each (vocab-sized at scale —
+# keyed, AQE may broadcast small ones), one doc-keyed aggregation. Totals
+# enter as bounded 1-row scalars.
+
+DSIR_TARGET_SOURCE = "src0"  # the in-domain exemplar slice
+
+
+@_register(
+    "ta_dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    tgt AS (
+      SELECT tok, COUNT(*) AS c FROM toks
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY tok
+    ),
+    raw AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tgt),
+    tr AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM raw),
+    per_doc AS (
+      SELECT toks.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(COALESCE(tgt.c, 0)) AS BIGINT) AS s_target,
+             CAST(SUM(raw.c) AS BIGINT) AS s_raw
+      FROM toks
+      LEFT JOIN tgt USING (tok)
+      JOIN raw USING (tok)
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, n_tokens, s_target, s_raw,
+           CAST(floor(1000000.0 * ((s_target + 1) * 1.0 * (SELECT t FROM tr))
+                      / ((s_raw + 1) * 1.0 * (SELECT t FROM tt))) AS BIGINT)
+             AS importance_ppm
+    FROM per_doc
+    """,
+    "DSIR-style importance score: per-doc target-LM vs raw-LM unigram mass "
+    "ratio in ppm (Laplace +1, integer-exact sums, one double division — "
+    "the log-free deterministic core of arXiv:2302.03169). Two token-keyed "
+    "count shuffles + keyed scoring joins + one doc-keyed aggregation.",
+)
+def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    tgt = (
+        toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("rc"))
+    raw = scoped_cache(raw)  # read by the total AND the scoring join
+    t_target = tgt.agg(F.sum("tc")).first()[0]  # bounded 1-row scalars
+    t_raw = raw.agg(F.sum("rc")).first()[0]
+    per_doc = (
+        toks.join(tgt, "tok", "left")
+        .join(raw, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("tc"), F.lit(0))).alias("s_target"),
+            F.sum("rc").alias("s_raw"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "s_target",
+        "s_raw",
+        F.floor(
+            F.lit(1000000.0)
+            * ((F.col("s_target") + 1) * F.lit(1.0) * F.lit(int(t_raw)))
+            / ((F.col("s_raw") + 1) * F.lit(1.0) * F.lit(int(t_target)))
+        )
+        .cast("long")
+        .alias("importance_ppm"),
+    )
