@@ -54,3 +54,18 @@ def test_spec_hash_changes_with_oracle():
         fn=merged[name].fn, oracle=merged[name].oracle + " -- changed", doc=""
     )
     assert spec_hashes.current_spec_hashes(mutated)[name] != base
+
+
+def test_registry_wrapper_preserves_fn_module():
+    """The registry's scoped-cache wrapper must keep each QuerySpec.fn's
+    __module__ pointing at the defining operator module — spec hashing keys
+    the closure digest on it, and a wrapper that forgot functools.wraps
+    would silently hash every query against the registry module instead."""
+    from doc2vec_spark.registry import merged_queries
+
+    for name, spec in merged_queries().items():
+        mod = spec.fn.__module__
+        assert mod.startswith("doc2vec_spark.") and mod != "doc2vec_spark.registry", (
+            name,
+            mod,
+        )
