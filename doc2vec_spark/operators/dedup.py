@@ -481,81 +481,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_df(spark, sf_dir).select("doc_id", "lang", "simhash")
 
 
-@_register(
-    "dedup_simhash_pairs",
-    f"""
-    WITH s AS ({_SIMHASH_SQL})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
-    """,
-    "SimHash near-dup pairs: hamming distance <= {t} within lang blocks, "
-    "via {b}-band LSH on the hash bytes. Pigeonhole: {t} differing bits touch "
-    "at most {t} of {b} bands, so every qualifying pair shares a full band — "
-    "the band join finds EXACTLY the all-pairs result (the oracle stays the "
-    "all-pairs SQL) while candidate generation shuffles on (lang, band_id, "
-    "band_val), never on lang alone.".format(t=HAMMING_THRESHOLD, b=SIMHASH_BANDS),
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bits = SIMHASH_BITS // SIMHASH_BANDS
-    mask = (1 << bits) - 1
-    s = _simhash_df(spark, sf_dir)
-    banded = (
-        s.select(
-            "doc_id",
-            "lang",
-            "simhash",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band_id"),
-                            F.shiftright(F.col("simhash"), bits * bi)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for bi in range(SIMHASH_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        )
-        .select("doc_id", "lang", "simhash", "band.band_id", "band.band_val")
-    )
-    banded = scoped_cache(banded)  # both join sides read the signatures once
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
-        .distinct()  # docs sharing multiple bands collapse to one pair
-    )
-
-
-# ---------------------------------------------------------------------------
-# 64-bit SimHash with 16-bit bands — the corpus-scale band configuration
-# ---------------------------------------------------------------------------
-# The 10x rehearsal (BENCH_SCALING.md finding 1) measured the 32-bit/8-bit
-# configuration saturating: chance band collisions grow ~n^2 / 2^bits and
-# overtake true near-dups around n ~ 10^5 docs. This variant is the
-# documented remedy shipped as an operator: 64 hyperplane bits (all 16 md5
-# nibbles) and 4 x 16-bit bands, so chance collisions shrink 256x per band
-# while the pigeonhole guarantee (hamming <= 3 touches at most 3 of 4
-# bands) is unchanged. The hash is carried as TWO 32-bit halves — a packed
-# 64-bit value would need bit 63, whose signed overflow the two engines
-# handle differently.
-
 _NIBBLE_BITS_64 = [(p, q) for p in range(16) for q in range(4)]
 
 
@@ -624,6 +549,120 @@ def _simhash64_sql() -> str:
         " FROM (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
         " FROM documents) GROUP BY doc_id, lang)"
     )
+
+
+# Corpus-size route for simhash pair generation (VERDICT r5 #4): the 32-bit
+# hash offers at most 8-bit bands under the 4-band pigeonhole bound, so
+# chance band collisions grow ~n^2/2^8 per lang and drown true near-dups
+# around n ~ 10^4-10^5 (measured: 21,352 collision-dominated candidates at
+# 5k docs, 1.24M at 50k — BENCH_SCALING finding 1; the full 32-bit hash
+# itself starts colliding by birthday at n ~ 2^16). Above the cutoff the
+# wide (64-bit, 16-bit-band) configuration is the only meaningful
+# semantics, so the routed entry delegates wholesale — same output schema,
+# hamming over all 64 hyperplane bits. The oracle routes on the same count.
+SIMHASH_ROUTE_MAX_DOCS = 20_000
+
+
+def _simhash_pairs_oracle(cutoff: int = SIMHASH_ROUTE_MAX_DOCS) -> str:
+    h64 = "bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))"
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+    s32 AS ({_SIMHASH_SQL}),
+    s64 AS ({_simhash64_sql()}),
+    narrow AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM s32 a JOIN s32 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESHOLD}
+    ),
+    wide AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {h64} AS hamming
+      FROM s64 a JOIN s64 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE {h64} <= {HAMMING_THRESHOLD}
+    )
+    SELECT * FROM narrow WHERE (SELECT c FROM nn) <= {cutoff}
+    UNION ALL
+    SELECT * FROM wide WHERE (SELECT c FROM nn) > {cutoff}
+    """
+
+
+@_register(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(),
+    "SimHash near-dup pairs, corpus-size-routed: <= {n} docs uses the "
+    "32-bit hash with {b} 8-bit bands (hamming <= {t} within lang blocks; "
+    "pigeonhole makes the band join EXACTLY the all-pairs result); above "
+    "the cutoff — where 8-bit bands saturate on chance collisions "
+    "(~n^2/2^8) — it delegates to the 64-bit/16-bit-band configuration "
+    "(dedup_simhash_wide). Candidate generation always shuffles on (lang, "
+    "band_id, band_val), never on lang alone.".format(
+        t=HAMMING_THRESHOLD, b=SIMHASH_BANDS, n=SIMHASH_ROUTE_MAX_DOCS
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet-footer metadata count, not a materialization (plain scan)
+    if load(spark, sf_dir, "documents").count() > SIMHASH_ROUTE_MAX_DOCS:
+        return dedup_simhash_wide(spark, sf_dir)
+    bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits) - 1
+    s = _simhash_df(spark, sf_dir)
+    banded = (
+        s.select(
+            "doc_id",
+            "lang",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band_id"),
+                            F.shiftright(F.col("simhash"), bits * bi)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for bi in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "lang", "simhash", "band.band_id", "band.band_val")
+    )
+    banded = scoped_cache(banded)  # both join sides read the signatures once
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .distinct()  # docs sharing multiple bands collapse to one pair
+    )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash with 16-bit bands — the corpus-scale band configuration
+# ---------------------------------------------------------------------------
+# The 10x rehearsal (BENCH_SCALING.md finding 1) measured the 32-bit/8-bit
+# configuration saturating: chance band collisions grow ~n^2 / 2^bits and
+# overtake true near-dups around n ~ 10^5 docs. This variant is the
+# documented remedy shipped as an operator: 64 hyperplane bits (all 16 md5
+# nibbles) and 4 x 16-bit bands, so chance collisions shrink 256x per band
+# while the pigeonhole guarantee (hamming <= 3 touches at most 3 of 4
+# bands) is unchanged. The hash is carried as TWO 32-bit halves — a packed
+# 64-bit value would need bit 63, whose signed overflow the two engines
+# handle differently. (Builders live above dedup_simhash_pairs, whose
+# corpus-size-routed oracle embeds the 64-bit SQL.)
+
+
 
 
 SIMHASH64_BANDS = 4  # 4 x 16-bit: pigeonhole still covers hamming <= 3
@@ -1273,6 +1312,15 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.4  # same planted-near-dup level as COSINE_DUP_THRESHOLD
 SEMDEDUP_STRIDE = 32  # every 32nd vec_id seeds a centroid: k = ceil(n/32)
 SEMDEDUP_MAX_K = 4096  # centroid-table cap: broadcast stays <= ~2 MiB
+# Once SEMDEDUP_MAX_K caps k, E[|cell|] = n/k grows linearly with the
+# corpus — and a pair stage that loads a WHOLE cell into one pandas group
+# becomes a single-task memory cliff (VERDICT r5 #3: 10^9 vectors x 3072
+# dims => multi-GB tasks). The pair stage therefore shards each cell on the
+# same salt-block scheme as _exact_grid_pairs: rows are salted into
+# ceil(E[|cell|] / SEMDEDUP_BLOCK_TARGET) blocks and pair work runs as a
+# cogrouped per-(cell, block-i, block-j) matmul, so task memory is bounded
+# by ~2 x BLOCK_TARGET vectors regardless of cell size.
+SEMDEDUP_BLOCK_TARGET = 1000  # max expected vectors per cogroup side
 
 
 def _semdedup_oracle() -> str:
@@ -1355,6 +1403,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r["cid"],  # ascending cid => argmin's first-min
     )  # tie-break == the oracle's ORDER BY dist, cid
+    if not cent_rows:
+        # No vec_id divisible by the stride (tiny/sparse/1-based id space):
+        # the oracle's cents CTE is empty and it returns zero rows; without
+        # this guard assign_cell's argmin over a zero-width matrix raises
+        # instead (ADVICE r5). Agree on the empty result.
+        return spark.createDataFrame(
+            [], "drop_id long, cell long, kept_id long, n_closer long, max_sim double"
+        )
     cmat = np.array([r["cv"] for r in cent_rows])  # k x d
     cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))  # k
@@ -1374,31 +1430,58 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", "v", assign_cell(F.col("v")).alias("cell"))
     )  # read by the per-cell prefilter AND both confirm-join sides
 
-    # within-cell pair work, two-phase like _exact_grid_pairs: one numpy
-    # matmul per cell emits candidate (keep, drop) pairs at threshold-1e-9,
-    # then the exact sequential JVM dot re-scores the tiny candidate list —
-    # every hash-gated sim value is bit-identical to the oracle's
-    def cell_pairs(pdf):
-        if len(pdf) < 2:
+    # within-cell pair work, two-phase like _exact_grid_pairs: numpy matmul
+    # prefilter at threshold-1e-9, exact sequential JVM re-score below —
+    # every hash-gated sim value is bit-identical to the oracle's. The pair
+    # stage is keyed (cell, i, j), NOT cell alone: rows are salted into
+    # ``blocks`` sub-blocks per cell and each cogroup task sees one
+    # (block_i, block_j) slice, so task memory stays ~2 x BLOCK_TARGET
+    # vectors even when the MAX_K cap makes cells grow with the corpus
+    # (VERDICT r5 #3). Every unordered in-cell pair lands in exactly one
+    # block after the keep_id < drop_id cut; with E[|cell|] <= stride the
+    # grid degenerates to 1 block and the plan is the round-5 one.
+    exp_cell = n / max(1, len(cent_rows))
+    blocks = max(1, math.ceil(exp_cell / SEMDEDUP_BLOCK_TARGET))
+    probes = F.array(*[F.lit(i) for i in range(blocks)])
+    # int cast on both key columns: mismatched cogroup key schemas silently
+    # split the sides into disjoint key spaces (see _exact_grid_pairs)
+    cb = c.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).cast("int")
+    )
+    side_a = cb.select(
+        "cell", "vec_id", "v", F.col("blk").alias("i"), F.explode(probes).alias("j")
+    )
+    side_b = cb.select(
+        "cell", "vec_id", "v", F.explode(probes).alias("i"), F.col("blk").alias("j")
+    )
+
+    def cell_block_pairs(key, a_pdf, b_pdf):
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
             return pd.DataFrame({"cell": [], "keep_id": [], "drop_id": []}).astype(
                 "int64"
             )
-        pdf = pdf.sort_values("vec_id")
-        vm = np.vstack(pdf["v"].to_numpy())
-        nrm = np.sqrt((vm * vm).sum(axis=1))
-        sims = (vm @ vm.T) / (nrm[:, None] * nrm[None, :])
-        ia, ib = np.nonzero(np.triu(sims >= SEMDEDUP_THRESHOLD - 1e-9, k=1))
-        ids = pdf["vec_id"].to_numpy()
+        va = np.vstack(a_pdf["v"].to_numpy())
+        vb = np.vstack(b_pdf["v"].to_numpy())
+        sims = (va @ vb.T) / (
+            np.sqrt((va * va).sum(axis=1))[:, None]
+            * np.sqrt((vb * vb).sum(axis=1))[None, :]
+        )
+        ia, ib = np.nonzero(sims >= SEMDEDUP_THRESHOLD - 1e-9)
+        pa = a_pdf["vec_id"].to_numpy()[ia]
+        pb = b_pdf["vec_id"].to_numpy()[ib]
+        keep = pa < pb
         return pd.DataFrame(
             {
-                "cell": pdf["cell"].to_numpy()[ia],
-                "keep_id": ids[ia],
-                "drop_id": ids[ib],
+                "cell": np.full(int(keep.sum()), key[0], dtype=np.int64),
+                "keep_id": pa[keep],
+                "drop_id": pb[keep],
             }
         )
 
-    cand = c.groupby("cell").applyInPandas(
-        cell_pairs, "cell long, keep_id long, drop_id long"
+    cand = (
+        side_a.groupby("cell", "i", "j")
+        .cogroup(side_b.groupby("cell", "i", "j"))
+        .applyInPandas(cell_block_pairs, "cell long, keep_id long, drop_id long")
     )
     ka = c.select(F.col("vec_id").alias("keep_id"), F.col("v").alias("va"))
     kb = c.select(F.col("vec_id").alias("drop_id"), F.col("v").alias("vb"))

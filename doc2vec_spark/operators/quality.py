@@ -239,9 +239,14 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bg.w1", "bg.w2")
     pair_cnt = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
-    # no cache: uni is read once per join side at most, and an unmatched
-    # cache() leaks storage for the life of a long-running session.
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # uni has THREE consumers — the eager total aggregate below plus both
+    # u1/u2 join sides — so an uncached plan recomputes the token
+    # explode+groupBy subtree up to 3x. scoped_cache ties the cache to the
+    # invocation (released on the next registry entry), so there is no
+    # session-lifetime leak. The eager .first() populates it immediately.
+    from doc2vec_spark.caching import scoped_cache
+
+    uni = scoped_cache(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
     total = uni.agg(F.sum("c").alias("t")).first()["t"]  # bounded scalar
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))

@@ -24,6 +24,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# tmpfs scratch is only safe when the expected shuffle/spill volume fits
+# comfortably: tmpfs ENOSPC kills the job outright (and pressures the OOM
+# killer) where a disk-backed dir would merely degrade to disk speed. The
+# sf0.1 bench's peak concurrent shuffle+spill footprint measures < 4 GiB;
+# 24 GiB free is ~6x headroom while leaving most of the 50%-of-RAM tmpfs
+# to the OS page cache. Below the floor we fall back to disk-backed /tmp.
+_TMPFS_MIN_FREE_BYTES = 24 << 30
+
+
 def _local_dir() -> str | None:
     """Shuffle/spill scratch space for LOCAL mode only.
 
@@ -34,11 +43,24 @@ def _local_dir() -> str | None:
     seconds at a time. A tmpfs scratch dir removes the disk from the loop.
     On a real cluster the resource manager provisions spark.local.dir on
     fast local disks — this override applies only to the single-node rig.
+
+    ADVICE r5: the tmpfs default is gated on free space (a spill-heavy run
+    must degrade to disk speed, not die on tmpfs ENOSPC), and
+    ``SPARK_GRAFT_LOCAL_DIR`` overrides either way — set it to a path to
+    force that dir, or to the empty string to force the Spark default.
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if override:
-        return override
-    return "/dev/shm/spark-graft-local" if os.path.isdir("/dev/shm") else None
+    if override is not None:
+        return override or None
+    if not os.path.isdir("/dev/shm"):
+        return None
+    try:
+        import shutil
+
+        free = shutil.disk_usage("/dev/shm").free
+    except OSError:
+        return None
+    return "/dev/shm/spark-graft-local" if free >= _TMPFS_MIN_FREE_BYTES else None
 
 
 def get_spark(app_name: str = "doc2vec-spark") -> SparkSession:

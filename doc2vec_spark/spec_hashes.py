@@ -128,14 +128,19 @@ def module_closures() -> tuple[dict[str, str], dict[str, list[str]]]:
     return dumps, closures
 
 
-# Universal plumbing in EVERY query's import closure. Excluded from spec
-# digests (VERDICT r04 #2): an edit to one of these — the round-4 lesson was
-# a tables.py loader tweak — used to invalidate all ~110 stamps at once and
-# void the rotation's union-coverage guarantee for ~3 rounds. The trade-off
-# is explicit: a semantic change to a universal module no longer forces
-# re-verification by itself; such changes are rare, reviewed as global
-# events, and still covered by the local parity suite which always runs
-# against live code.
+# Universal plumbing in EVERY query's import closure. Excluded from
+# per-query spec digests (VERDICT r04 #2): an edit to one of these — the
+# round-4 lesson was a tables.py loader tweak — used to invalidate all ~110
+# stamps at once and churn every per-query hash. ADVICE r5 closed the
+# soundness hole that exclusion opened: modules that CAN change query
+# results (tables.py — the loader shapes every input) are covered by a
+# single GLOBAL stamp below instead. A change to one of them invalidates
+# ALL driver verification at once (which is the only sound answer — it may
+# have changed every result) without touching the per-query hashes, and the
+# refresh records it as one explicit global event. Only genuinely
+# result-neutral plumbing (session conf, the QuerySpec dataclass, cache
+# lifecycle) stays outside both digests; those are still covered by the
+# local parity suite, which always runs against live code.
 UNIVERSAL_MODULES = frozenset(
     {
         f"{_PKG}.tables",
@@ -144,6 +149,21 @@ UNIVERSAL_MODULES = frozenset(
         f"{_PKG}.caching",
     }
 )
+
+# Result-affecting universal modules: digested into the single global stamp
+# stored as the "universal" key of SPEC_HASHES.json. verified_names()
+# requires a green driver row at/after max(per-query since, universal
+# since), so editing one of these forces a full re-verification rotation.
+GLOBAL_STAMP_MODULES = (f"{_PKG}.tables",)
+
+
+def universal_hash() -> str:
+    dumps, _ = module_closures()
+    h = hashlib.sha256()
+    for m in GLOBAL_STAMP_MODULES:
+        h.update(m.encode())
+        h.update(dumps.get(m, "<missing>").encode())
+    return h.hexdigest()[:16]
 
 
 def _closure_digests() -> dict[str, str]:
@@ -185,6 +205,13 @@ def load_stamps() -> dict[str, dict]:
         return {}
 
 
+def load_universal_stamp() -> dict | None:
+    try:
+        return json.loads(STAMPS_FILE.read_text())["universal"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 @lru_cache(maxsize=1)
 def _green_rounds() -> dict[str, list[int]]:
     """name -> rounds with a fully-green driver row."""
@@ -219,28 +246,42 @@ def next_round() -> int:
 
 def verified_names(merged=None) -> frozenset[str]:
     """Names whose driver stamp is still valid for the CURRENT spec version:
-    stored hash matches live code AND a green row exists at/after ``since``."""
+    stored hash matches live code, the GLOBAL stamp (result-affecting
+    universal modules, e.g. the table loader) matches live code, AND a green
+    row exists at/after max(per-query since, universal since)."""
     stamps = load_stamps()
     if not stamps:
         return frozenset()
+    uni = load_universal_stamp()
+    if uni is None or uni.get("hash") != universal_hash():
+        # a missing/stale global stamp means the table loader may have
+        # changed since every stored stamp: nothing is currently verified
+        return frozenset()
+    uni_since = int(uni.get("since", 10**9))
     greens = _green_rounds()
     current = current_spec_hashes(merged)
     ok: set[str] = set()
     for name, entry in stamps.items():
         if current.get(name) != entry.get("hash"):
             continue
-        since = int(entry.get("since", 10**9))
+        since = max(int(entry.get("since", 10**9)), uni_since)
         if any(r >= since for r in greens.get(name, ())):
             ok.add(name)
     return frozenset(ok)
 
 
-def refresh(since_overrides: dict[str, int] | None = None) -> dict[str, dict]:
+def refresh(
+    since_overrides: dict[str, int] | None = None,
+    universal_since_override: int | None = None,
+) -> dict[str, dict]:
     """Rewrite SPEC_HASHES.json: unchanged hashes keep their ``since``;
     changed/new hashes get since=next_round() (their next possible stamp).
-    ``since_overrides`` lets the one-time bootstrap backdate entries whose
-    spec provably predates older stamps (git-verified)."""
+    The global stamp over GLOBAL_STAMP_MODULES follows the same rule.
+    ``since_overrides`` / ``universal_since_override`` let a one-time
+    bootstrap backdate entries whose spec provably predates older stamps
+    (git-verified)."""
     old = load_stamps()
+    old_uni = load_universal_stamp()
     current = current_spec_hashes()
     nxt = next_round()
     entries: dict[str, dict] = {}
@@ -253,8 +294,20 @@ def refresh(since_overrides: dict[str, int] | None = None) -> dict[str, dict]:
         if since_overrides and name in since_overrides:
             since = since_overrides[name]
         entries[name] = {"hash": h, "since": since}
+    uh = universal_hash()
+    if old_uni is not None and old_uni.get("hash") == uh:
+        uni_since = int(old_uni["since"])
+    else:
+        uni_since = nxt
+    if universal_since_override is not None:
+        uni_since = universal_since_override
     STAMPS_FILE.write_text(
-        json.dumps({"entries": entries}, indent=1, sort_keys=True) + "\n"
+        json.dumps(
+            {"entries": entries, "universal": {"hash": uh, "since": uni_since}},
+            indent=1,
+            sort_keys=True,
+        )
+        + "\n"
     )
     return entries
 

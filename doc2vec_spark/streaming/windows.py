@@ -342,4 +342,23 @@ def gap_sessionize_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # The memory sink APPENDS update-mode rows rather than upserting, so a
+    # replay that runs in >1 batch (multi-file input, maxFilesPerTrigger,
+    # restart) leaves stale open-session snapshots from earlier batches in
+    # the table (ADVICE r5). Collapse to the final row per (user_id,
+    # session_seq): within a session every emitted column is monotone
+    # nondecreasing across snapshots (start is fixed; counters and the
+    # last-seen time only grow as events append), so the per-key MAX of
+    # each column IS the last emitted row, independent of batch count.
+    return (
+        spark.table(name)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("start_us").alias("start_us"),
+            F.max("duration_sec").alias("duration_sec"),
+            F.max("n_purchases").alias("n_purchases"),
+            F.max("n_errors").alias("n_errors"),
+        )
+        .select([f.name for f in _SESS_OUT_SCHEMA.fields])
+    )

@@ -22,6 +22,35 @@ def test_spec_hashes_file_current():
         f"spec hashes stale for {stale}, removed queries {extinct} — "
         "run: python -m doc2vec_spark.spec_hashes"
     )
+    uni = spec_hashes.load_universal_stamp()
+    assert uni and uni.get("hash") == spec_hashes.universal_hash(), (
+        "global stamp (tables.py digest) stale — "
+        "run: python -m doc2vec_spark.spec_hashes"
+    )
+
+
+def test_universal_stamp_gates_all_verification(monkeypatch):
+    """ADVICE r5 (medium): tables.py is excluded from per-query digests, so
+    a loader change must instead void ALL driver verification via the global
+    stamp — otherwise the rotation could report stale results as verified."""
+    from doc2vec_spark import spec_hashes
+
+    live = spec_hashes.verified_names()
+    assert live, "precondition: some names verified under the current stamps"
+    monkeypatch.setattr(
+        spec_hashes, "load_universal_stamp",
+        lambda: {"hash": "0" * 16, "since": 1},
+    )
+    assert spec_hashes.verified_names() == frozenset()
+
+
+def test_universal_hash_tracks_tables_module():
+    """The global digest must actually cover the table loader's source."""
+    from doc2vec_spark import spec_hashes
+
+    dumps, _ = spec_hashes.module_closures()
+    assert "doc2vec_spark.tables" in dumps
+    assert "doc2vec_spark.tables" in spec_hashes.GLOBAL_STAMP_MODULES
 
 
 def test_rotation_prefers_unverified_then_stalest():
