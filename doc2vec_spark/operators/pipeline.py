@@ -361,6 +361,26 @@ def free_cc_checkpoints() -> None:
     free_parked(_CC_FAMILY)
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Both orientations of an undirected edge list in ONE pass.
+
+    A union of (u,v) and (v,u) duplicates the entire upstream edge plan
+    into both branches (for candidate_edges callers that is the whole
+    shingle pipeline, scanned and shuffled twice); exploding the two
+    orientations per row scans it once (r7: halves edge-build stages)."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+
+
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Min-label propagation with path compression over an undirected edge
     list (u, v) -> (doc_id, component) where component = min doc_id reachable.
@@ -369,9 +389,11 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     neighbors (join + groupBy: shuffles keyed on node id), then (2) labels are
     path-compressed one hop (label := label(label)), which is the pointer-
     jumping step that turns worst-case O(diameter) propagation into
-    ~O(log diameter) rounds. Rounds run until a fixed point (sum of label
-    changes == 0 — a cheap driver-side scalar per round). Near-dup clusters
-    are near-cliques (diameter <= 2-3), so this converges in 2-3 rounds;
+    ~O(log diameter) rounds. Rounds run until a fixed point (count of label
+    changes == 0, collected as an ``Observation`` metric FUSED into the job
+    that materializes the round — no separate convergence job). Near-dup
+    clusters are near-cliques (diameter <= 2-3), so this converges in 2-3
+    rounds;
     for adversarially deep graphs use `connected_components_star` below
     (alternating large-star/small-star, O(log^2 n) rounds on any shape —
     same output contract, property-tested against the same union-find
@@ -379,27 +401,36 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     localCheckpoint takes over from round 2 so lineage stays O(1) on deep
     graphs (see the checkpoint-policy comment below).
     """
+    from pyspark.sql import Observation
+
     from doc2vec_spark.checkpoints import ckpt_tracked, free_blocks, park_blocks
 
     free_cc_checkpoints()
-    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.cache()
+    sym = _symmetrize(edges).cache()
     # round 0 fused into init: label(u) = min(u, neighbors(u)) straight from
     # the edge list — one groupBy instead of identity-init + a full
     # propagate round (for near-clique dup clusters this IS convergence, so
     # the loop's first pass is just the fixed-point confirmation)
     #
-    # Checkpoint policy (round 5): the first CKPT_FROM_ROUND rounds keep
-    # labels in plain caches — lineage is still shallow, and the
-    # near-clique common case (converges in round 1) then runs ONE heavy
-    # job per invocation (the convergence count, which populates the cache
-    # the caller's consumption reads) with zero eager-checkpoint jobs or
-    # block churn. Deep graphs switch to eager localCheckpoint from round
-    # 2 on, keeping lineage O(1) where it matters. Cache lifetime follows
-    # the same discipline as checkpoint blocks: a superseded round's cache
-    # is freed as soon as the next round materializes; the final round's
-    # cache is parked and freed at the next CC entry (unpersisting a plain
-    # cache is always safe — lineage survives, recompute possible).
+    # Checkpoint + job-count policy (rounds 5 and 7): the first
+    # CKPT_FROM_ROUND rounds keep labels in plain caches — lineage is still
+    # shallow — and deep graphs switch to eager localCheckpoint from round
+    # 2 on, keeping lineage O(1) where it matters. Round 7 fused the
+    # convergence check into the materialization job itself: every round's
+    # changed-label count is an ``Observation`` metric on the round's frame
+    # (CollectMetricsExec — filled by WHATEVER job first executes through
+    # the node, localCheckpoint included), so no round runs a separate
+    # convergence-count job. Cache rounds were already one job (the count
+    # doubled as materialization); checkpoint rounds drop from two jobs to
+    # one (the eager checkpoint fills the observation). Every round is
+    # materialized eagerly ON PURPOSE: the next round references `labels`
+    # three times (nbr_min, prop, lref), so an unmaterialized cache would
+    # be recomputed per reference under AQE stage scheduling — measured 3x
+    # job inflation when round 0 was left lazy. Cache lifetime: a
+    # superseded round's cache is freed as soon as the next round
+    # materializes; the final round's cache is parked and freed at the
+    # next CC entry (unpersisting a plain cache is always safe — lineage
+    # survives, recompute possible).
     CKPT_FROM_ROUND = 2
     labels = (
         sym.groupBy(F.col("u").alias("doc_id"))
@@ -434,16 +465,24 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 "old_label",
             )
         )
-        stepped = compressed.select("doc_id", "label", "old_label")
+        obs = Observation(f"cc_changed_r{rnd}")
+        stepped = compressed.select("doc_id", "label", "old_label").observe(
+            obs, F.count_if(F.col("label") != F.col("old_label")).alias("changed")
+        )
         if rnd >= CKPT_FROM_ROUND:
+            # localCheckpoint is eager and runs through CollectMetricsExec,
+            # so the observation is filled by the checkpoint job itself —
+            # no separate convergence-count job (was 2 jobs/round pre-r7)
             new_labels, new_blocks = ckpt_tracked(stepped)
             new_cache = None
         else:
             new_labels, new_blocks = stepped.cache(), []
             new_cache = new_labels
-        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+            # one job: fills the cache AND the observation in the same pass
+            new_labels.count()
+        changed = obs.get["changed"]
         # new_labels is materialized (checkpoint, or cache filled by the
-        # count above), so the round it derives from is dead weight — free
+        # fused count), so the round it derives from is dead weight — free
         # its checkpoint blocks / cache now, not at session end
         free_blocks(labels_blocks)
         if labels_cache is not None:
@@ -509,9 +548,7 @@ def connected_components_star(
     prev_sig = _sig(cur)
     for _ in range(max_iters):
         # large-star over the symmetric adjacency: emit (v, m(u)) for v > u
-        sym = cur.select("u", "v").union(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+        sym = _symmetrize(cur)
         m = (
             sym.groupBy("u")
             .agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -538,9 +575,7 @@ def connected_components_star(
             break
         prev_sig = sig
     park_blocks(_CC_FAMILY, cur_blocks)  # freed at next CC entry
-    sym = cur.select("u", "v").union(
-        cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    sym = _symmetrize(cur)
     return (
         sym.groupBy(F.col("u").alias("doc_id"))
         .agg(F.least(F.min("v"), F.first("u")).alias("component"))
