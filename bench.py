@@ -73,26 +73,81 @@ def main() -> None:
     # Each rep is cache-isolated (clearCache drops intra-query cached
     # intermediates), reps run back-to-back, and the reported figure is the
     # per-query MEDIAN with the min-max spread alongside.
+    #
+    # Stall resistance (VERDICT r06 #2): an aged local[32] session
+    # intermittently stalls a rep by many seconds of scheduler dead time,
+    # and a stalled rep inside a 3-rep window used to poison the recorded
+    # median by 4-10x (BENCH_r06 recorded dedup_cc_clusters at 14.2 s vs
+    # 3.3 s fresh). A rep is flagged as a stall when it exceeds
+    # STALL_FACTOR x the query's fastest rep by more than STALL_ABS_FLOOR
+    # seconds (the absolute floor keeps 0.1 s-class queries from flagging
+    # scheduler jitter as stalls). Flagged queries get up to EXTRA_REPS
+    # additional reps; the median is taken over ALL reps (stalled included
+    # — medians are robust to the minority outlier), while the reported
+    # spread covers the non-stalled reps, with every stalled rep listed
+    # verbatim under "stalls" in BENCH_DETAIL.json so nothing is hidden.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    STALL_FACTOR = 3.0
+    STALL_ABS_FLOOR = 0.5
+    EXTRA_REPS = 2
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    stall_log: dict[str, list[float]] = {}
     for name in names:
-        times = []
+        times: list[float] = []
         n = -1
-        for _ in range(reps):
+
+        def one_rep() -> float:
+            nonlocal n
             t0 = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             n = df.count()
-            times.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             spark.catalog.clearCache()
+            return dt
+
+        def is_stall(t: float, lo: float) -> bool:
+            return t > STALL_FACTOR * lo and (t - lo) > STALL_ABS_FLOOR
+
+        for _ in range(reps):
+            dt = one_rep()
+            times.append(dt)
+            lo = min(times)
+            if len(times) > 1 and is_stall(dt, lo):
+                print(
+                    f"# STALL {name}: rep {dt:.3f}s > {STALL_FACTOR:.0f}x min "
+                    f"{lo:.3f}s (active jobs now: "
+                    f"{len(spark.sparkContext.statusTracker().getActiveJobsIds())})",
+                    file=sys.stderr,
+                )
+        extra = 0
+        while (
+            extra < EXTRA_REPS
+            and len(times) > 1
+            and is_stall(max(times), min(times))
+        ):
+            print(
+                f"# STALL {name}: spread {max(times) - min(times):.3f}s > "
+                f"{STALL_FACTOR:.0f}x min {min(times):.3f}s — extra rep "
+                f"{extra + 1}/{EXTRA_REPS}",
+                file=sys.stderr,
+            )
+            times.append(one_rep())
+            extra += 1
         times.sort()
         mid = len(times) // 2
         med = times[mid] if len(times) % 2 else (times[mid - 1] + times[mid]) / 2
+        lo = times[0]
+        steady = [t for t in times if not is_stall(t, lo)]
+        stalled = [t for t in times if is_stall(t, lo)]
+        if stalled:
+            stall_log[name] = [round(t, 3) for t in stalled]
         timings[name] = round(med, 3)
-        spreads[name] = round(times[-1] - times[0], 3)
+        spreads[name] = round(steady[-1] - lo, 3)
         print(
             f"# {name}: median={timings[name]:.3f}s spread={spreads[name]:.3f}s "
-            f"rows={n} reps={[round(t, 3) for t in times]}",
+            f"rows={n} reps={[round(t, 3) for t in times]}"
+            + (f" stalls={stall_log[name]}" if stalled else ""),
             file=sys.stderr,
         )
 
@@ -109,6 +164,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "stalls": stall_log,
         "reps": reps,
         "sf": sf_val,
     }
