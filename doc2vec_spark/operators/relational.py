@@ -357,6 +357,47 @@ def a3_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a3_sync_diff_counters",
+    f"""WITH li AS (SELECT l_orderkey::VARCHAR AS url, {_LINE_HASH_SQL} AS h, l_orderkey AS k FROM lineitem),
+    new_chunks AS (SELECT url, h FROM li WHERE k % 11 <> 0),
+    stored AS (SELECT url, CASE WHEN k % 5 = 0 THEN 'X' ELSE h END AS h FROM li WHERE k % 7 <> 0),
+    agg_new AS (SELECT url, list_sort(list(h)) AS nh FROM new_chunks GROUP BY url),
+    agg_old AS (SELECT url, list_sort(list(h)) AS oh FROM stored GROUP BY url),
+    j AS (SELECT coalesce(n.url, o.url) AS url, nh, oh
+          FROM agg_new n FULL OUTER JOIN agg_old o ON n.url = o.url)
+    SELECT CASE WHEN oh IS NULL THEN 'new' WHEN nh IS NULL THEN 'deleted'
+                WHEN nh = oh THEN 'unchanged' ELSE 'updated' END AS status,
+           COUNT(*) AS n
+    FROM j GROUP BY 1""",
+    "A3 via the REAL sync path (r5 #6 debt): sync.py::diff_status's grouped "
+    "hash-multiset full-outer diff (doc2vec.ts:1936-1955) run on a "
+    "deterministic corpus perturbation — urls absent from the store (k%7=0) "
+    "read as new, urls dropped from the listing (k%11=0) as deleted, urls "
+    "whose stored hashes were rewritten (k%5=0) as updated — then the A3 "
+    "counter aggregation (types.ts:158-178). a3_run_counters checks the "
+    "relational J5 twin; this entry hash-checks the sync module itself.",
+)
+def a3_sync_diff_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.sync import diff_status
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        _line_hash().alias("hash"),
+        F.col("l_orderkey").alias("k"),
+    )
+    new_chunks = li.filter(F.col("k") % 11 != 0).select("url", "hash")
+    stored = li.filter(F.col("k") % 7 != 0).select(
+        "url",
+        F.when(F.col("k") % 5 == 0, F.lit("X")).otherwise(F.col("hash")).alias("hash"),
+    )
+    return (
+        diff_status(new_chunks, stored)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
     "a4_log_level_counts",
     "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     "A4 log level counts (controller/store.ts:262-271)",
@@ -503,6 +544,60 @@ def t7_tail_start_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .agg(F.min("event_id").alias("start_seq"))
     )
+
+
+@_register(
+    "t6_log_paging",
+    "SELECT event_id AS seq, event_type AS level, props AS message FROM events "
+    "WHERE user_id = 7 AND event_id > 500 "
+    "AND event_type IN ('click', 'view', 'error') AND lower(props) LIKE '%9%' "
+    "ORDER BY seq LIMIT 5",
+    "T6 + F16 via the REAL ops path (r5 #6 debt): ops.py::page_logs "
+    "(store.ts:224-247) — seq-keyset paging with ILIKE keyword and level "
+    "filters and the row cap — over an events-shaped log frame. The LIMIT "
+    "binds below the match count, so the value hash checks the keyset "
+    "ordering, not just the filter set.",
+)
+def t6_log_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.ops import page_logs
+
+    logs = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("run_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("level"),
+        F.col("props").alias("message"),
+    )
+    return page_logs(
+        logs, run_id=7, after_seq=500, keyword="9",
+        levels=["click", "view", "error"], limit=5,
+    ).select("seq", "level", "message")
+
+
+@_register(
+    "t8_deterministic_chunk_sort",
+    "SELECT url, chunk_index, chunk_id, "
+    "ROW_NUMBER() OVER (ORDER BY chunk_index, chunk_id) AS pos FROM "
+    "(SELECT 'u' || l_orderkey::VARCHAR AS url, l_linenumber % 3 AS chunk_index, "
+    "l_linenumber AS chunk_id FROM lineitem) "
+    "WHERE url = 'u1' AND chunk_index BETWEEN 0 AND 1",
+    "T8 via the REAL query path (r5 #6 debt): query.py::get_chunks "
+    "(mcp/src/server.ts:524-550) two-key deterministic (chunk_index, "
+    "chunk_id) ordered range scan, with chunk_index COLLIDING by design "
+    "(l_linenumber % 3) so the chunk_id tiebreak is exercised; the emitted "
+    "row_number bakes the total order into the value hash (the driver "
+    "compare is order-insensitive, so position must be a column).",
+)
+def t8_deterministic_chunk_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.query import get_chunks
+
+    chunks = load(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("u"), F.col("l_orderkey").cast("string")).alias("url"),
+        (F.col("l_linenumber") % 3).alias("chunk_index"),
+        F.col("l_linenumber").alias("chunk_id"),
+    )
+    ordered = get_chunks(chunks, "u1", start_index=0, end_index=1)
+    w = Window.orderBy("chunk_index", "chunk_id")
+    return ordered.withColumn("pos", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
