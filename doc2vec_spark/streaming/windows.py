@@ -346,19 +346,28 @@ def gap_sessionize_stream(
     # replay that runs in >1 batch (multi-file input, maxFilesPerTrigger,
     # restart) leaves stale open-session snapshots from earlier batches in
     # the table (ADVICE r5). Collapse to the final row per (user_id,
-    # session_seq): within a session every emitted column is monotone
-    # nondecreasing across snapshots (start is fixed; counters and the
-    # last-seen time only grow as events append), so the per-key MAX of
-    # each column IS the last emitted row, independent of batch count.
+    # session_seq) via a struct-MAX led by n_events (ADVICE r6): each
+    # snapshot of a session is emitted only after >=1 further events
+    # appended, so n_events strictly increases across its snapshots and the
+    # greatest struct IS the last emitted row taken WHOLE — one consistent
+    # snapshot, never per-column maxima mixed across snapshots (independent
+    # MAXes silently merged columns from different snapshots when per-user
+    # event time regressed between unordered input batches).
+    snap = F.struct(
+        "n_events", "duration_sec", "n_purchases", "n_errors", "start_us"
+    )
     return (
         spark.table(name)
         .groupBy("user_id", "session_seq")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("start_us").alias("start_us"),
-            F.max("duration_sec").alias("duration_sec"),
-            F.max("n_purchases").alias("n_purchases"),
-            F.max("n_errors").alias("n_errors"),
+        .agg(F.max(snap).alias("s"))
+        .select(
+            "user_id",
+            "session_seq",
+            *(
+                F.col(f"s.{f.name}").alias(f.name)
+                for f in _SESS_OUT_SCHEMA.fields
+                if f.name not in ("user_id", "session_seq")
+            ),
         )
         .select([f.name for f in _SESS_OUT_SCHEMA.fields])
     )
