@@ -78,18 +78,26 @@ def main() -> None:
     # intermittently stalls a rep by many seconds of scheduler dead time,
     # and a stalled rep inside a 3-rep window used to poison the recorded
     # median by 4-10x (BENCH_r06 recorded dedup_cc_clusters at 14.2 s vs
-    # 3.3 s fresh). A rep is flagged as a stall when it exceeds
-    # STALL_FACTOR x the query's fastest rep by more than STALL_ABS_FLOOR
-    # seconds (the absolute floor keeps 0.1 s-class queries from flagging
-    # scheduler jitter as stalls). Flagged queries get up to EXTRA_REPS
-    # additional reps; the median is taken over ALL reps (stalled included
-    # — medians are robust to the minority outlier), while the reported
-    # spread covers the non-stalled reps, with every stalled rep listed
-    # verbatim under "stalls" in BENCH_DETAIL.json so nothing is hidden.
+    # 3.3 s fresh). Two trigger shapes, both observed in real runs:
+    #  - single-rep outlier: one rep exceeds STALL_FACTOR x the query's
+    #    fastest rep (by more than STALL_ABS_FLOOR seconds — the absolute
+    #    floor keeps 0.1 s-class queries from flagging scheduler jitter);
+    #  - median inflation: the stall window spans MOST of a query's reps
+    #    (measured: cc_clusters reps [3.1, 7.4, 8.0] inside one ~30 s
+    #    degradation window — no rep trips the 3x-of-min ratio, yet the
+    #    median is 2.4x the query's own demonstrated speed), detected as
+    #    median > MEDIAN_INFLATE x min.
+    # Flagged queries get up to EXTRA_REPS additional reps (the window
+    # passes; later reps re-anchor the median); the median is taken over
+    # ALL reps — stalled included, medians are robust once the majority is
+    # steady — while the reported spread covers the non-stalled reps, with
+    # every stalled rep listed verbatim under "stalls" in
+    # BENCH_DETAIL.json so nothing is hidden.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     STALL_FACTOR = 3.0
     STALL_ABS_FLOOR = 0.5
-    EXTRA_REPS = 2
+    MEDIAN_INFLATE = 2.0
+    EXTRA_REPS = 4
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     stall_log: dict[str, list[float]] = {}
@@ -120,16 +128,29 @@ def main() -> None:
                     f"{len(spark.sparkContext.statusTracker().getActiveJobsIds())})",
                     file=sys.stderr,
                 )
+        def median_of(ts: list[float]) -> float:
+            s = sorted(ts)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+        # Re-rep budget: an inflated MEDIAN means most reps sat inside the
+        # stall window — keep adding reps (up to EXTRA_REPS) until later
+        # reps re-anchor it. A single outlier with a healthy median cannot
+        # poison the reported figure, so it gets exactly ONE confirmation
+        # rep (is this query bimodal or was that a stray stall?) rather
+        # than burning the full budget re-confirming a number that will
+        # not move.
         extra = 0
-        while (
-            extra < EXTRA_REPS
-            and len(times) > 1
-            and is_stall(max(times), min(times))
-        ):
+        while extra < EXTRA_REPS and len(times) > 1:
+            lo, med = min(times), median_of(times)
+            med_bad = med > MEDIAN_INFLATE * lo and (med - lo) > STALL_ABS_FLOOR
+            outlier_bad = is_stall(max(times), lo) and extra < 1
+            if not (med_bad or outlier_bad):
+                break
             print(
-                f"# STALL {name}: spread {max(times) - min(times):.3f}s > "
-                f"{STALL_FACTOR:.0f}x min {min(times):.3f}s — extra rep "
-                f"{extra + 1}/{EXTRA_REPS}",
+                f"# STALL {name}: spread {max(times) - lo:.3f}s / "
+                f"median {med:.3f}s vs min {lo:.3f}s — "
+                f"extra rep {extra + 1}/{EXTRA_REPS}",
                 file=sys.stderr,
             )
             times.append(one_rep())
