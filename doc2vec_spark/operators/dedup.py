@@ -234,6 +234,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# shingle-set containment (sub-document detection)
+# ---------------------------------------------------------------------------
+# Jaccard misses the asymmetric near-dup class every large crawl carries: a
+# page EMBEDDED in a bigger page (article + boilerplate shell, quoted post,
+# concatenated digest). |A ∩ B| / |A ∪ B| stays low when |B| >> |A|, but
+# containment |A ∩ B| / |A| is ~1 for the embedded copy. Same inverted-index
+# plan as dedup_ngram_jaccard — posting lists over df-capped hashed
+# 3-shingles, map-side pair expansion, ONE shuffle — with SET semantics
+# (distinct (doc, shingle): containment is defined on shingle sets) and the
+# asymmetric score; the emitted pair is oriented (contained_doc = the
+# smaller shingle set, its doc_id the tiebreak).
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@_register(
+    "dedup_containment",
+    f"""
+    WITH sh0 AS (SELECT DISTINCT doc_id, lang, h FROM ({_HASHED_SHINGLES3_SQL})),
+    keep AS (SELECT lang, h FROM sh0 GROUP BY lang, h HAVING COUNT(*) <= {MAX_SHINGLE_DF}),
+    sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (lang, h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc,
+           CASE WHEN sa.n <= sb.n THEN doc_b ELSE doc_a END AS container_doc,
+           floor((inter * 1.0 / LEAST(sa.n, sb.n)) * 1000000.0 + 0.5) / 1000000.0
+             AS containment
+    FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+    "Asymmetric near-dup pairs by word-3-shingle SET containment "
+    "|A∩B|/|A| >= {thr} — catches sub-document copies (article inside a "
+    "boilerplate shell) that Jaccard's symmetric denominator dilutes. Same "
+    "df-capped posting-list inverted index as dedup_ngram_jaccard: one "
+    "shuffle of the distinct shingle table, pairs expanded map-side, never "
+    "a cross join.".format(thr=CONTAINMENT_THRESHOLD),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.session import default_parallelism
+
+    docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                word_shingles(3),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("h"),
+    ).distinct()  # containment is a SET measure: one row per (doc, shingle)
+    postings = (
+        hashed.groupBy("lang", "h")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= MAX_SHINGLE_DF)
+    )
+    postings = scoped_cache(postings)
+    sizes = (
+        postings.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        postings.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs_in_posting(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.u").alias("doc_a"), F.col("p.v").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") * 1.0 / F.least(F.col("sa.n"), F.col("sb.n"))
+    a_contained = F.col("sa.n") <= F.col("sb.n")
+    return (
+        pairs.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            F.when(a_contained, F.col("doc_a")).otherwise(F.col("doc_b")).alias("contained_doc"),
+            F.when(a_contained, F.col("doc_b")).otherwise(F.col("doc_a")).alias("container_doc"),
+            pround(cont, 6).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 # Portable minhash via one strong hash + k universal hashes: each shingle is

@@ -1066,3 +1066,59 @@ def pipe_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround("q", 6).alias("best_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (round 7)
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al., arXiv:1911.00359) partitions each language's crawl
+# into head/middle/tail by the tercile of a corpus-LM perplexity — training
+# mixes then draw from buckets instead of thresholding documents away. The
+# engine's cross-engine-deterministic LM signal is ta_unigram_lm_score
+# (lm.py: integer-exact mean in-vocab corpus frequency — monotone in the
+# unigram perplexity, so terciles are the SAME documents a ppl sort gives);
+# this query assigns per-(lang) NTILE(3) buckets over that score. Shape:
+# the LM scoring pass (token-keyed shuffle + broadcast vocab join) plus one
+# lang-keyed window — at 100 TB the window partitions by language, the
+# natural CCNet granularity, with doc_id the deterministic tiebreak.
+# Registered oracle embeds the ta_unigram_lm_score oracle verbatim as a
+# CTE, so both layers stay hash-locked to one spec.
+
+from doc2vec_spark.operators.lm import QUERIES as _LM_QUERIES
+
+
+@_register(
+    "pipe_perplexity_buckets",
+    f"""
+    WITH lm AS ({_LM_QUERIES["ta_unigram_lm_score"].oracle}),
+    j AS (
+      SELECT lm.doc_id, d.lang, lm.lm_score_ppm
+      FROM lm JOIN documents d ON lm.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, lm_score_ppm,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY lm_score_ppm DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM j
+    """,
+    "CCNet-style head/middle/tail assignment: per-language terciles of the "
+    "unigram-LM quality score (monotone in unigram perplexity), NTILE(3) "
+    "ordered by score DESC with doc_id tiebreak (arXiv:1911.00359). One "
+    "lang-keyed window over the ta_unigram_lm_score pass.",
+)
+def pipe_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.operators.lm import ta_unigram_lm_score
+
+    lm = ta_unigram_lm_score(spark, sf_dir).select("doc_id", "lm_score_ppm")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(docs, "doc_id")
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.desc("lm_score_ppm"), F.asc("doc_id"))
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "lm_score_ppm",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias("bucket"),
+    )

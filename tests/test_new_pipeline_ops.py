@@ -156,3 +156,92 @@ def test_semdedup_empty_centroids_degenerate(spark, tmp_path):
     )
     assert len(con.sql(dedup._semdedup_oracle()).df()) == 0
     con.close()
+
+
+@pytest.fixture(scope="module")
+def containment_dir(tmp_path_factory):
+    """Planted sub-document: doc 1 is doc 0's text EMBEDDED in a much larger
+    shell (symmetric Jaccard would be diluted far below threshold), doc 2 is
+    unrelated — ground truth for the asymmetric containment measure."""
+    import duckdb
+
+    core = " ".join(f"core{i}" for i in range(30))
+    shell = " ".join(f"shell{i}" for i in range(120))
+    small = core
+    big = shell + " " + core + " " + " ".join(f"tail{i}" for i in range(60))
+    other = " ".join(f"other{i}" for i in range(50))
+    d = tmp_path_factory.mktemp("containment")
+    duckdb.sql(
+        """
+        COPY (SELECT * FROM (VALUES
+          (0, '%s', 'en', 'w', %d),
+          (1, '%s', 'en', 'w', %d),
+          (2, '%s', 'en', 'w', %d)
+        ) t(doc_id, text, lang, source, n_chars)) TO '%s' (FORMAT PARQUET)
+        """
+        % (small, len(small), big, len(big), other, len(other), d / "documents.parquet")
+    )
+    return str(d)
+
+
+def test_containment_detects_embedded_subdocument_oriented(spark, containment_dir):
+    """The small doc must be reported CONTAINED in the big one with
+    containment ~1.0, even though Jaccard(small, big) is far below the
+    jaccard threshold — the asymmetric class the operator exists for."""
+    from doc2vec_spark.operators.dedup import JACCARD_THRESHOLD, QUERIES
+
+    rows = QUERIES["dedup_containment"].fn(spark, containment_dir).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r.contained_doc, r.container_doc) == (0, 1)
+    assert r.containment >= 0.99
+    # and the symmetric measure indeed misses it
+    jac = QUERIES["dedup_ngram_jaccard"].fn(spark, containment_dir).collect()
+    assert all(
+        {p.doc_a, p.doc_b} != {0, 1} or p.jaccard < JACCARD_THRESHOLD for p in jac
+    ) or not jac
+
+
+def test_containment_orientation_matches_shingle_set_sizes(spark):
+    """On the driver corpus every emitted pair must point small -> big under
+    the INDEPENDENTLY recomputed distinct-shingle-set sizes, with the score
+    in (0.8, 1.0]."""
+    from doc2vec_spark.operators.dedup import QUERIES, word_shingles
+    from tests.conftest import SF_DIR
+    from doc2vec_spark.tables import load
+
+    rows = QUERIES["dedup_containment"].fn(spark, SF_DIR).collect()
+    assert rows, "driver corpus is expected to contain containment pairs"
+    sizes = {
+        r.doc_id: r.n
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", F.explode(word_shingles(3)).alias("s"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert 0.8 <= r.containment <= 1.0
+        assert sizes[r.contained_doc] <= sizes[r.container_doc], r
+
+
+def test_perplexity_buckets_are_per_lang_terciles(spark):
+    """NTILE(3) contract: per lang, bucket sizes differ by at most 1 and the
+    head bucket's scores dominate middle, middle dominates tail (>= because
+    tied scores may straddle a bucket boundary)."""
+    from doc2vec_spark.operators.pipeline import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["pipe_perplexity_buckets"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_lang: dict[str, dict[str, list[int]]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.lm_score_ppm)
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}, lang
+        ns = sorted(len(v) for v in buckets.values())
+        if len(ns) == 3:
+            assert ns[-1] - ns[0] <= 1, (lang, ns)
+            assert min(buckets["head"]) >= max(buckets["middle"]), lang
+            assert min(buckets["middle"]) >= max(buckets["tail"]), lang
