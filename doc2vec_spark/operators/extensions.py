@@ -249,3 +249,58 @@ def ext_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(0.5).alias("ap50_within_rank_2pct"),
         within(0.95).alias("ap95_within_rank_2pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit key-salting for skewed shuffle joins (round 7)
+# ---------------------------------------------------------------------------
+# AQE's skew-join splitter handles skew it can SEE (oversized sort-merge
+# partitions at runtime); the structural remedy when a handful of hot keys
+# dominate a fact table — the "null key / celebrity user" shape every
+# 100 TB fact join eventually hits — is salting: fact keys get a
+# deterministic salt in [0, SALT_R), the dim side is exploded across all R
+# salts, and the join key becomes (key, salt), spreading each hot key over
+# R tasks. Results are IDENTICAL to the unsalted join (the oracle is the
+# plain join), which is exactly what makes the pattern safe to apply
+# mechanically. The merge-join hint forces the sort-merge path so the
+# salted shuffle is structurally exercised (a broadcast would hide it at
+# this SF; at the target scale both sides are too big to broadcast).
+
+SALT_R = 8
+
+
+@_register(
+    "ext_salted_skew_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           floor((SUM(o.o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "Skew-resistant fact-dim join via explicit key salting: fact rows carry "
+    "salt = xxhash64(row id) mod {r}, the dim side is exploded across all "
+    "{r} salts, and the sort-merge join runs on (key, salt) — each hot key "
+    "spreads over {r} tasks. Aggregated output is hash-checked against the "
+    "PLAIN unsalted join, proving salting is result-invariant.".format(r=SALT_R),
+)
+def ext_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    fact = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(SALT_R)).cast("int").alias("salt"),
+    )
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i) for i in range(SALT_R)])).alias("salt"),
+    )
+    joined = fact.hint("merge").join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey")) & (fact["salt"] == dim["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -256,3 +256,21 @@ def test_q19_pushes_derivable_conjuncts(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("p_brand" in l for l in pushed), pushed
     assert any("l_quantity" in l for l in pushed), pushed
+
+
+def test_salted_join_is_sort_merge_on_composite_key(spark):
+    """ext_salted_skew_join must actually run the salted sort-merge path:
+    a SortMergeJoin whose keys include BOTH the natural key and the salt
+    column, and no broadcast of the exploded dim (which would silently
+    bypass the skew remedy being demonstrated)."""
+    plan = (
+        _q("ext_salted_skew_join", spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan, plan[:800]
+    assert "salt" in plan
+    join_section = plan[plan.index("SortMergeJoin"):]
+    assert "c_custkey" in join_section and "salt" in join_section.split("\n")[0]
+    assert "BroadcastHashJoin" not in plan
