@@ -112,8 +112,14 @@ def test_embedding_near_dup_threshold_routing(spark):
     e = load(spark, SF_DIR, "embeddings").select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     )
+    # candidate join band-keyed; the other joins are the r7 confirm stage
+    # (unique id pairs joined back to vectors — id-equi-keyed, never bare)
     banded = join_conds(embedding_near_dup_pairs(spark, e, 0.95))
-    assert banded and all("band_val" in c and "band_id" in c for c in banded), banded
+    assert banded and any("band_val" in c and "band_id" in c for c in banded), banded
+    assert all(
+        ("band_val" in c and "band_id" in c) or ("vec_a" in c or "vec_b" in c)
+        for c in banded
+    ), banded
     # exact path (round 5, two-phase): block-matmul prefilter via cogroup
     # (FlatMapCoGroupsInPandas keyed on the salt grid), then confirm joins
     # keyed ONLY on vec ids against the small candidate list
@@ -124,7 +130,10 @@ def test_embedding_near_dup_threshold_routing(spark):
     assert exact and all("vec_a" in c or "vec_b" in c for c in exact), exact
 
     lsh = join_conds(_q("dedup_embedding_lsh", spark))
-    assert lsh and all("band_val" in c for c in lsh), lsh
+    assert lsh and any("band_val" in c for c in lsh), lsh
+    assert all(
+        "band_val" in c or "vec_a" in c or "vec_b" in c for c in lsh
+    ), lsh
 
 
 def test_simhash_pairs_corpus_size_routing(spark, monkeypatch):
