@@ -574,44 +574,56 @@ _NIBBLE_BITS_64 = [(p, q) for p in range(16) for q in range(4)]
 def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(sim_hi, sim_lo) 32-bit halves of the 64-bit simhash per document.
 
-    Same array-per-doc shape as `_simhash_df`: per-token md5 parsed ONCE
-    into two 32-bit longs behind a repartition barrier, then 64 bit-count
-    aggregates over the bounded per-doc array — map-only after the scan."""
+    Hashing stays JVM-side (one md5 per token inside an array transform,
+    parsed into two 32-bit longs behind repartition barriers so
+    ProjectCollapse can't inline the md5 into both parses); the 64
+    bit-count sign sums run as ONE Arrow-batched numpy popcount per
+    document instead of 64 interpreted F.aggregate folds (measured: the
+    fold version alone cost 2.6 s of the 2.6 s dedup_simhash_wide query at
+    sf0.1; the batched version ~0.1 s). The UDF is pure int64 arithmetic —
+    bit-for-bit the oracle's integer sign sums, no float-parity surface."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
     from doc2vec_spark.session import default_parallelism
 
     n = default_parallelism()
     docs = load(spark, sf_dir, "documents").repartition(n)
-    hashed = docs.select(
+    md5s = docs.select(
+        "doc_id", "lang", F.transform(_tokens(), lambda t: F.md5(t)).alias("md5s")
+    ).repartition(n)  # barrier: one md5 per token, read by both parses
+    parsed = md5s.select(
         "doc_id",
         "lang",
         F.transform(
-            _tokens(),
-            lambda t: F.struct(
-                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long").alias("a"),
-                F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long").alias("b"),
-            ),
-        ).alias("hs"),
-    ).repartition(n)  # barrier: hs materialized once, read by 64 aggregates
-    nt = F.size(F.col("hs"))
-
-    def _ones(shift, field):
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.shiftright(x[field], shift).bitwiseAND(F.lit(1)),
-        )
-
-    halves = {"hi": None, "lo": None}
-    for p, q in _NIBBLE_BITS_64:
-        half, field = ("hi", "a") if p < 8 else ("lo", "b")
-        shift = 4 * (7 - (p % 8)) + q
-        ones = _ones(shift, field)
-        bit = F.when(ones * 2 > nt, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, 4 * (p % 8) + q)
-        halves[half] = term if halves[half] is None else halves[half] + term
-    return hashed.select(
-        "doc_id", "lang", halves["hi"].alias("sim_hi"), halves["lo"].alias("sim_lo")
+            "md5s", lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        ).alias("ha"),
+        F.transform(
+            "md5s", lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        ).alias("hb"),
     )
+
+    # bit 4p+q of a half is sign(sum over tokens of ±1 on bit 4*(7-p)+q of
+    # that half's 32-bit value) — identical layout to the fold version
+    shifts = _np.array([4 * (7 - p) + q for p in range(8) for q in range(4)])
+    pos = _np.array([4 * p + q for p in range(8) for q in range(4)])
+
+    @pandas_udf("sim_hi long, sim_lo long")
+    def sim64(ha, hb):
+        his, los = [], []
+        for a_list, b_list in zip(ha, hb):
+            a = _np.asarray(a_list, dtype=_np.int64)
+            b = _np.asarray(b_list, dtype=_np.int64)
+            nt = len(a)
+            ones_a = ((a[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+            ones_b = ((b[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+            his.append(int(((ones_a * 2 > nt).astype(_np.int64) << pos).sum()))
+            los.append(int(((ones_b * 2 > nt).astype(_np.int64) << pos).sum()))
+        return pd.DataFrame({"sim_hi": his, "sim_lo": los})
+
+    return parsed.select(
+        "doc_id", "lang", sim64(F.col("ha"), F.col("hb")).alias("s")
+    ).select("doc_id", "lang", F.col("s.sim_hi").alias("sim_hi"), F.col("s.sim_lo").alias("sim_lo"))
 
 
 def _simhash64_sql() -> str:
