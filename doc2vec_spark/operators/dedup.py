@@ -516,6 +516,9 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 sits at bits [4*(7-p), 4*(7-p)+3] of hv = int(md5[:8], 16), and
     sign-sum > 0  <=>  2 * popcount > n_tokens (integer-exact both engines).
     """
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
     from doc2vec_spark.session import default_parallelism
 
     n = default_parallelism()
@@ -527,20 +530,23 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             _tokens(),
             lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
         ).alias("hs"),
-    ).repartition(n)  # barrier: hs materialized once, read by 32 aggregates
-    nt = F.size(F.col("hs"))
-    simhash = None
-    for p, q in _NIBBLE_BITS:
-        shift = 4 * (7 - p) + q
-        ones = F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.shiftright(x, shift).bitwiseAND(F.lit(1)),
-        )
-        bit = F.when(ones * 2 > nt, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, 4 * p + q)
-        simhash = term if simhash is None else simhash + term
-    return hashed.select("doc_id", "lang", simhash.alias("simhash"))
+    )
+    # sign sums as ONE Arrow-batched numpy popcount per document instead of
+    # 32 interpreted F.aggregate folds (same r7 rewrite as _simhash64_df —
+    # pure int64 arithmetic, bit-for-bit the oracle's integer sign sums)
+    shifts = _np.array([4 * (7 - p) + q for p, q in _NIBBLE_BITS])
+    pos = _np.array([4 * p + q for p, q in _NIBBLE_BITS])
+
+    @pandas_udf("long")
+    def sim32(hs):
+        out = []
+        for h_list in hs:
+            h = _np.asarray(h_list, dtype=_np.int64)
+            ones = ((h[:, None] >> shifts[None, :]) & 1).sum(axis=0)
+            out.append(int(((ones * 2 > len(h)).astype(_np.int64) << pos).sum()))
+        return pd.Series(out)
+
+    return hashed.select("doc_id", "lang", sim32(F.col("hs")).alias("simhash"))
 
 
 _SIMHASH_SQL = (
