@@ -527,26 +527,33 @@ def connected_components_star(
     one join per round, keyed on node id — no global structure. At the
     fixed point the edge set is a union of stars centered at component
     minima, so labels read off as min(self, neighbors)."""
-    def _sig(df: DataFrame) -> tuple:
-        # O(1)-driver convergence signature: (row count, XOR of row hashes)
-        # — ONE partial-aggregate job per round, replacing two exceptAll
-        # set-difference jobs (each a full shuffle) per round. bit_xor is
-        # order-independent and can't overflow (ANSI-safe, unlike SUM of
-        # longs); on canonical DISTINCT edge sets equal signatures differ
-        # only with a ~2^-64 xxhash64 collision, and identical sets always
-        # produce identical signatures (no spurious extra rounds).
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        return (row["n"], row["h"])
+    from pyspark.sql import Observation
 
     from doc2vec_spark.checkpoints import ckpt_tracked, free_blocks, park_blocks
 
+    # O(1)-driver convergence signature: (row count, XOR of row hashes),
+    # collected as Observation metrics FUSED into the job that materializes
+    # the round's checkpoint (r7, the connected_components treatment) — no
+    # separate aggregate job per round. bit_xor is order-independent and
+    # can't overflow (ANSI-safe, unlike SUM of longs); on canonical
+    # DISTINCT edge sets equal signatures differ only with a ~2^-64
+    # xxhash64 collision, and identical sets always produce identical
+    # signatures (no spurious extra rounds).
+    def _observed_ckpt(df: DataFrame, tag: str):
+        obs = Observation(f"star_sig_{tag}")
+        out, blocks = ckpt_tracked(
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            )
+        )
+        metrics = obs.get  # filled by the eager checkpoint job
+        return out, blocks, (metrics["n"], metrics["h"])
+
     free_cc_checkpoints()
-    cur, cur_blocks = ckpt_tracked(_canon(edges))
-    prev_sig = _sig(cur)
-    for _ in range(max_iters):
+    cur, cur_blocks, prev_sig = _observed_ckpt(_canon(edges), "init")
+    for rnd in range(max_iters):
         # large-star over the symmetric adjacency: emit (v, m(u)) for v > u
         sym = _symmetrize(cur)
         m = (
@@ -561,14 +568,14 @@ def connected_components_star(
         # small-star over larger->smaller oriented edges: connect all
         # smaller neighbors and the node itself to the minimum
         m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small, small_blocks = ckpt_tracked(
+        small, small_blocks, sig = _observed_ckpt(
             _canon(
                 large.join(m2, "u")
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .union(m2.select("u", F.col("m").alias("v")))
-            )
+            ),
+            f"r{rnd}",
         )
-        sig = _sig(small)
         free_blocks(cur_blocks)  # small is materialized; last round is dead
         cur, cur_blocks = small, small_blocks
         if sig == prev_sig:
