@@ -45,6 +45,46 @@ HEADLINE = [
 ]
 
 
+# Stall policy constants + pure decision helpers (unit-tested in
+# tests/test_bench_policy.py — the bench harness is a deliverable).
+STALL_FACTOR = 3.0
+STALL_ABS_FLOOR = 0.5
+MEDIAN_INFLATE = 2.0  # trigger: the median is 2x the demonstrated speed
+MEDIAN_RESIDUAL = 1.5  # hysteresis: once re-repping, settle to within 1.5x
+EXTRA_REPS = 4
+
+
+def is_stall(t: float, lo: float) -> bool:
+    """A rep is a stall when it exceeds STALL_FACTOR x the query's fastest
+    rep by more than the absolute floor (which keeps 0.1 s-class queries
+    from flagging scheduler jitter)."""
+    return t > STALL_FACTOR * lo and (t - lo) > STALL_ABS_FLOOR
+
+
+def median_of(ts: list[float]) -> float:
+    s = sorted(ts)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def needs_rerep(times: list[float], extra: int) -> bool:
+    """Re-rep budget: an inflated MEDIAN (> MEDIAN_INFLATE x the fastest
+    rep) or a single stalled outlier triggers re-repping; once triggered,
+    reps keep coming (up to EXTRA_REPS) until the median settles to within
+    MEDIAN_RESIDUAL x min — the hysteresis stops a [slow, slow, fast, fast]
+    sample from recording a still-inflated even-count median. A single
+    outlier with a healthy median cannot poison the reported figure, so its
+    re-repping ends as soon as the median confirms steady (in practice one
+    confirmation rep)."""
+    if extra >= EXTRA_REPS or len(times) < 2:
+        return False
+    lo, med = min(times), median_of(times)
+    floor_ok = (med - lo) > STALL_ABS_FLOOR
+    if extra == 0:
+        return (med > MEDIAN_INFLATE * lo and floor_ok) or is_stall(max(times), lo)
+    return med > MEDIAN_RESIDUAL * lo and floor_ok
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from doc2vec_spark.registry import all_queries
@@ -94,10 +134,6 @@ def main() -> None:
     # every stalled rep listed verbatim under "stalls" in
     # BENCH_DETAIL.json so nothing is hidden.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    STALL_FACTOR = 3.0
-    STALL_ABS_FLOOR = 0.5
-    MEDIAN_INFLATE = 2.0
-    EXTRA_REPS = 4
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     stall_log: dict[str, list[float]] = {}
@@ -114,9 +150,6 @@ def main() -> None:
             spark.catalog.clearCache()
             return dt
 
-        def is_stall(t: float, lo: float) -> bool:
-            return t > STALL_FACTOR * lo and (t - lo) > STALL_ABS_FLOOR
-
         for _ in range(reps):
             dt = one_rep()
             times.append(dt)
@@ -128,36 +161,18 @@ def main() -> None:
                     f"{len(spark.sparkContext.statusTracker().getActiveJobsIds())})",
                     file=sys.stderr,
                 )
-        def median_of(ts: list[float]) -> float:
-            s = sorted(ts)
-            m = len(s) // 2
-            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
-
-        # Re-rep budget: an inflated MEDIAN means most reps sat inside the
-        # stall window — keep adding reps (up to EXTRA_REPS) until later
-        # reps re-anchor it. A single outlier with a healthy median cannot
-        # poison the reported figure, so it gets exactly ONE confirmation
-        # rep (is this query bimodal or was that a stray stall?) rather
-        # than burning the full budget re-confirming a number that will
-        # not move.
         extra = 0
-        while extra < EXTRA_REPS and len(times) > 1:
-            lo, med = min(times), median_of(times)
-            med_bad = med > MEDIAN_INFLATE * lo and (med - lo) > STALL_ABS_FLOOR
-            outlier_bad = is_stall(max(times), lo) and extra < 1
-            if not (med_bad or outlier_bad):
-                break
+        while needs_rerep(times, extra):
             print(
-                f"# STALL {name}: spread {max(times) - lo:.3f}s / "
-                f"median {med:.3f}s vs min {lo:.3f}s — "
+                f"# STALL {name}: spread {max(times) - min(times):.3f}s / "
+                f"median {median_of(times):.3f}s vs min {min(times):.3f}s — "
                 f"extra rep {extra + 1}/{EXTRA_REPS}",
                 file=sys.stderr,
             )
             times.append(one_rep())
             extra += 1
         times.sort()
-        mid = len(times) // 2
-        med = times[mid] if len(times) % 2 else (times[mid - 1] + times[mid]) / 2
+        med = median_of(times)
         lo = times[0]
         steady = [t for t in times if not is_stall(t, lo)]
         stalled = [t for t in times if is_stall(t, lo)]

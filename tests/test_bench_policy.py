@@ -1,0 +1,51 @@
+"""Unit tests for bench.py's stall/re-rep decision policy (VERDICT r6 #2).
+
+The bench harness is a deliverable: a wrong policy misreports the engine by
+4-10x (BENCH_r06). These pin the two trigger shapes against the real rep
+lists that motivated them, without needing a SparkSession.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_single_outlier_gets_exactly_one_confirmation_rep():
+    # real shape: [1.44, 1.71, 5.2] — healthy median, one stalled rep
+    times = [1.44, 1.71, 5.2]
+    assert bench.needs_rerep(times, extra=0)
+    times.append(1.5)  # confirmation rep comes back steady
+    assert not bench.needs_rerep(times, extra=1)
+
+
+def test_median_inflation_keeps_the_full_budget():
+    # real shape (BENCH r7 validation run): cc_clusters [3.1, 7.4, 8.0] —
+    # no rep trips 3x-of-min, but the median is 2.4x the demonstrated speed
+    times = [3.1, 7.4, 8.0]
+    assert bench.needs_rerep(times, extra=0)
+    times.append(3.2)
+    assert bench.needs_rerep(times, extra=1), "median still inflated"
+    times.append(3.0)
+    # median of [3.0, 3.1, 3.2, 7.4, 8.0] = 3.2 — re-anchored, stop
+    assert not bench.needs_rerep(times, extra=2)
+
+
+def test_steady_reps_never_rerep():
+    assert not bench.needs_rerep([2.0, 2.1, 2.2], extra=0)
+
+
+def test_tiny_query_jitter_is_not_a_stall():
+    # 0.1 s-class query with 4x ratio but under the absolute floor
+    assert not bench.needs_rerep([0.1, 0.12, 0.4], extra=0)
+    assert not bench.is_stall(0.4, 0.1)
+
+
+def test_budget_exhaustion_stops_rereps():
+    assert not bench.needs_rerep([1.0, 9.0, 9.0, 9.0, 9.0, 9.0], extra=bench.EXTRA_REPS)
+
+
+def test_stall_classification_matches_policy():
+    assert bench.is_stall(7.0, 2.0)
+    assert not bench.is_stall(5.9, 2.0)  # under 3x
+    assert bench.median_of([3.0, 1.0, 2.0]) == 2.0
+    assert bench.median_of([1.0, 2.0, 3.0, 4.0]) == 2.5
