@@ -1,0 +1,371 @@
+"""Corpus-curation operators (round 7): the remaining first-class moves a
+100 TB pretraining-data pipeline makes between "raw corpus" and "training
+order" that the dedup/pipe/ta families don't already cover.
+
+- ``dedup_bloom_gate``:       Bloom-filter membership gate for INCREMENTAL
+                              dedup — probe an incoming batch against a
+                              position-set sketch of the existing corpus
+                              before paying any join against it. At 100 TB
+                              the corpus sketch is an m-bit bitmap (m/8
+                              bytes) broadcast to every executor, so the
+                              gate is a map-only stage; the relational
+                              position-join form here computes the identical
+                              verdict and is what the oracle checks.
+- ``pipe_quality_classifier``: model-based quality filtering as a fixed-
+                              weight linear classifier over integer
+                              document features (the fasttext-style
+                              keep/reject gate, reduced to its integer
+                              core). All-integer logit: bitwise-identical
+                              across engines, no sigmoid needed — the
+                              decision boundary (logit > 0) and ranking are
+                              invariant under the monotone sigmoid.
+- ``ann_knn_graph``:          bulk k-NN graph over the embeddings table —
+                              per-vector top-k neighbours WITHIN the
+                              vector's SRP bucket (the seed-graph step of
+                              NN-descent / SemDeDup-style clustering, and
+                              the bulk analog of ann_srp_search's
+                              one-query probe). Candidate cost scales with
+                              bucket collisions, never n^2.
+- ``pipe_global_shuffle``:    epoch-salted deterministic training-order
+                              shuffle: shard-major permutation where the
+                              shard is a hash bucket and the within-shard
+                              order is rank-by-hash. No global sort: every
+                              shard orders independently (a per-shard
+                              window), which is the only shuffle shape that
+                              survives 100 TB — and the salt makes each
+                              epoch a fresh reproducible permutation.
+
+Engine-portability rules as everywhere in this repo: md5-hex -> integer
+hashing, integer arithmetic wherever the semantics allow, ``pround`` on any
+double that crosses the driver's hash gate, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from doc2vec_spark.functions.rounding import pround, sql_round
+from doc2vec_spark.functions.vectors import as_double_array, dot, l2_norm
+from doc2vec_spark.operators.similarity import _SRP_BUCKET_SQL, srp_bucket_expr
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership gate (incremental dedup prefilter)
+# ---------------------------------------------------------------------------
+# Sizing: with |corpus| = n and k hash positions, the false-positive rate is
+# ~(1 - e^{-kn/m})^k; the classic operating point is m ~ 10n bits -> <1% FP
+# at k = 3. The fixture corpus is ~500-5k docs, so m = 2^16 keeps the gate
+# honest (near-zero FP at sf0.01, a measurable handful at sf0.1) while the
+# CONSTANT stays engine-literal in both plans. At 100 TB, m scales with the
+# store's doc count (10 bits/doc -> a 1.25 GB bitmap per 10^12 docs, still
+# broadcastable sharded by key range).
+
+BLOOM_M = 65_536  # bits in the sketch
+BLOOM_K = 3  # hash positions per document
+BLOOM_BATCH_SOURCE = "src0"  # incoming batch = this source; corpus = rest
+
+
+def _bloom_positions_sql(col: str) -> list[str]:
+    """k independent positions from disjoint 8-hex windows of md5(text)."""
+    return [
+        f"('0x' || substr(md5({col}), {8 * i + 1}, 8))::BIGINT % {BLOOM_M}"
+        for i in range(BLOOM_K)
+    ]
+
+
+def _bloom_positions_expr(col: Column) -> list[Column]:
+    return [
+        F.conv(F.substring(F.md5(col), 8 * i + 1, 8), 16, 10).cast("long")
+        % BLOOM_M
+        for i in range(BLOOM_K)
+    ]
+
+
+@_register(
+    "dedup_bloom_gate",
+    f"""
+    WITH corpus AS (
+      SELECT text FROM documents WHERE source <> '{BLOOM_BATCH_SOURCE}'
+    ),
+    corpus_pos AS (
+      SELECT DISTINCT pos FROM corpus,
+        UNNEST([{", ".join(_bloom_positions_sql("text"))}]) AS t(pos)
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE source = '{BLOOM_BATCH_SOURCE}'
+    ),
+    batch_pos AS (
+      SELECT doc_id, pos FROM batch,
+        UNNEST([{", ".join(_bloom_positions_sql("text"))}]) AS t(pos)
+    ),
+    hits AS (
+      SELECT b.doc_id,
+             CAST(COUNT(c.pos) AS BIGINT) AS n_hit
+      FROM batch_pos b LEFT JOIN corpus_pos c ON b.pos = c.pos
+      GROUP BY b.doc_id
+    ),
+    exact AS (
+      SELECT b.doc_id,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text) AS exact_dup
+      FROM batch b
+    )
+    SELECT h.doc_id, h.n_hit, h.n_hit = {BLOOM_K} AS maybe_dup, e.exact_dup
+    FROM hits h JOIN exact e ON h.doc_id = e.doc_id
+    """,
+    "Bloom membership gate for incremental dedup: the incoming batch "
+    "(source = {src!r}) probes a {k}-position / {m}-bit sketch of the "
+    "existing corpus; only maybe_dup survivors would pay the exact "
+    "verification join. At scale the corpus side is a broadcast bitmap "
+    "(map-only probe); the position-join form here is the oracle-checkable "
+    "relational equivalent — positions are uniform md5 windows, so the "
+    "join key cannot skew. exact_dup records the ground truth so the "
+    "gate's false-positive behaviour is itself hash-checked.".format(
+        src=BLOOM_BATCH_SOURCE, k=BLOOM_K, m=BLOOM_M
+    ),
+)
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != BLOOM_BATCH_SOURCE)
+    batch = docs.filter(F.col("source") == BLOOM_BATCH_SOURCE)
+
+    pos_arr = F.array(*_bloom_positions_expr(F.col("text")))
+    corpus_pos = (
+        corpus.select(F.explode(pos_arr).alias("pos")).distinct()
+    )
+    batch_pos = batch.select("doc_id", F.explode(pos_arr).alias("pos"))
+    # At 100 TB corpus_pos collapses to an m-bit broadcast bitmap; at any
+    # scale it is at most m = 65536 rows, so Spark broadcasts the join.
+    matched = (
+        batch_pos.join(F.broadcast(corpus_pos), "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    all_docs = batch.select("doc_id")
+    hits = (
+        all_docs.join(matched, "doc_id", "left")
+        .select("doc_id", F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+    )
+    exact = batch.join(
+        corpus.select("text").distinct(), "text", "left_semi"
+    ).select("doc_id", F.lit(True).alias("exact_dup"))
+    return (
+        hits.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_hit",
+            (F.col("n_hit") == BLOOM_K).alias("maybe_dup"),
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-weight linear quality classifier
+# ---------------------------------------------------------------------------
+# Integer feature vector per document and integer weights: the logit is
+# exact 64-bit arithmetic, so keep/reject and any score ranking are
+# bitwise-identical across engines (sigmoid(logit) would order identically;
+# it is deliberately not materialized). Weights are the classifier "model" —
+# at 100 TB they arrive from a trained model file; the plan shape (one
+# doc-keyed aggregation, then a map-only scoring projection) is what matters.
+
+QC_W_UNIQ = 25  # reward vocabulary richness
+QC_W_REP = -8  # penalize repeated tokens (n_words - uniq_toks)
+QC_W_STOP = 60  # reward function-word evidence (natural-language prior)
+QC_W_CHARS = 1  # reward raw content length
+QC_BIAS = -700
+
+_QC_STOP_SQL = "('the', 'a')"
+QC_STOPWORDS = ("the", "a")
+
+
+@_register(
+    "pipe_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS uniq_toks,
+             CAST(SUM(length(tok)) AS BIGINT) AS sum_chars,
+             CAST(SUM(CASE WHEN tok IN {_QC_STOP_SQL} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stop
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, uniq_toks, sum_chars, n_stop,
+           {QC_W_UNIQ} * uniq_toks + {QC_W_REP} * (n_words - uniq_toks)
+             + {QC_W_STOP} * n_stop + {QC_W_CHARS} * sum_chars
+             + {QC_BIAS} AS logit,
+           ({QC_W_UNIQ} * uniq_toks + {QC_W_REP} * (n_words - uniq_toks)
+             + {QC_W_STOP} * n_stop + {QC_W_CHARS} * sum_chars
+             + {QC_BIAS}) > 0 AS keep
+    FROM feat
+    """,
+    "Model-based quality gate: fixed integer-weight linear classifier over "
+    "per-document features (vocabulary size, repetition, stopword "
+    "evidence, length). One doc-keyed aggregation then a map-only scoring "
+    "projection; the integer logit makes the keep/reject boundary "
+    "bitwise-portable (sigmoid is monotone, so thresholding the logit IS "
+    "thresholding the probability).",
+)
+def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    feat = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("tok").alias("uniq_toks"),
+        F.sum(F.length("tok")).alias("sum_chars"),
+        F.sum(F.col("tok").isin(*QC_STOPWORDS).cast("long")).alias("n_stop"),
+    )
+    logit = (
+        QC_W_UNIQ * F.col("uniq_toks")
+        + QC_W_REP * (F.col("n_words") - F.col("uniq_toks"))
+        + QC_W_STOP * F.col("n_stop")
+        + QC_W_CHARS * F.col("sum_chars")
+        + QC_BIAS
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "uniq_toks",
+        "sum_chars",
+        "n_stop",
+        logit.alias("logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bulk k-NN graph within SRP buckets
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 3
+
+
+@_register(
+    "ann_knn_graph",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_SRP_BUCKET_SQL} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, n.vec_id AS neighbor_id,
+             {sql_round(
+                 "list_dot_product(a.v, n.v)"
+                 " / (sqrt(list_dot_product(a.v, a.v))"
+                 " * sqrt(list_dot_product(n.v, n.v)))", 6)} AS cosine_sim
+      FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine_sim DESC, neighbor_id)
+               AS rank
+      FROM pairs
+    )
+    SELECT * FROM ranked WHERE rank <= {KNN_GRAPH_K}
+    """,
+    "Bulk k-NN seed graph (k = {k}): per-vector top-k neighbours within "
+    "the vector's SRP bucket — the NN-descent / clustering seed graph as "
+    "one self-join on the bucket key. Candidate count scales with bucket "
+    "collisions (sum of bucket-size^2), never n^2; the per-vector top-k is "
+    "a bucket-partitioned window, and ranking uses the ROUNDED similarity "
+    "with a neighbor-id tiebreak so the order is engine-exact. Sims are "
+    "sequential-fold dots (bit-identical to the oracle's "
+    "list_dot_product).".format(k=KNN_GRAPH_K),
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    b = e.select(
+        "vec_id", "v", srp_bucket_expr(F.col("v")).alias("bucket")
+    )
+    a, n = b.alias("a"), b.alias("n")
+    sim = dot(F.col("a.v"), F.col("n.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("n.v"))
+    )
+    pairs = (
+        a.join(
+            n,
+            (F.col("a.bucket") == F.col("n.bucket"))
+            & (F.col("a.vec_id") != F.col("n.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("n.vec_id").alias("neighbor_id"),
+            pround(sim, 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-salted deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+
+SHUFFLE_EPOCH_SALT = "ep1"  # new salt per epoch -> fresh permutation
+SHUFFLE_SHARDS = 16
+
+
+@_register(
+    "pipe_global_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{SHUFFLE_EPOCH_SALT}-' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(hkey, 1, 8))::BIGINT % {SHUFFLE_SHARDS} AS shard_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(hkey, 1, 8))::BIGINT % {SHUFFLE_SHARDS}
+             ORDER BY hkey, doc_id) AS shard_pos
+    FROM h
+    """,
+    "Epoch-salted deterministic training-order shuffle: shard-major "
+    "permutation — shard = md5 bucket of the salted id, within-shard "
+    "position = rank-by-hash. Reading shards in (shard_id, shard_pos) "
+    "order replays the exact permutation; a new epoch salt is a fresh "
+    "independent one. No global sort anywhere: each shard ranks in its own "
+    "window partition, so the plan is one hash shuffle + parallel "
+    "per-shard sorts — the only permutation shape that holds at 100 TB.",
+)
+def pipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hkey = F.md5(
+        F.concat(F.lit(f"{SHUFFLE_EPOCH_SALT}-"), F.col("doc_id").cast("string"))
+    )
+    h = docs.select("doc_id", hkey.alias("hkey"))
+    shard = (
+        F.conv(F.substring("hkey", 1, 8), 16, 10).cast("long") % SHUFFLE_SHARDS
+    )
+    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    return (
+        h.select("doc_id", shard.alias("shard_id"), "hkey")
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("hkey")
+    )

@@ -105,6 +105,7 @@ def merged_queries() -> dict[str, QuerySpec]:
     from doc2vec_spark.operators import (
         analytics,
         asof,
+        curation,
         dedup,
         domain,
         extensions,
@@ -137,6 +138,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         multimodal,
         reference_parity,
         asof,
+        curation,
     ]
 
     merged: dict[str, QuerySpec] = {}
