@@ -42,6 +42,8 @@ double that crosses the driver's hash gate, identical aliases both sides.
 
 from __future__ import annotations
 
+import numpy as _np
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -254,50 +256,126 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Bulk k-NN graph within SRP buckets
+# Bulk k-NN graph within SRP buckets (corpus-size-routed band width)
 # ---------------------------------------------------------------------------
+# The 10x rehearsal caught the 8-plane configuration saturating exactly like
+# the 8-bit simhash bands (BENCH_SCALING finding 1): with FIXED 256 buckets,
+# within-bucket pair work grows ~n^2/256 — measured 1.4 s -> 34 s for 10x
+# vectors. The structural remedy is the same as dedup_simhash_pairs': the
+# bucket count must scale with the corpus (planes ~ log2(n / target bucket
+# size)), so the routed entry dispatches on COUNT(*) — <= 5k vectors keeps
+# the 8-plane configuration shared with ann_srp_buckets, above it switches
+# to a 12-plane / 4096-bucket signature (pair work /16). The oracle routes
+# on the same count, so both paths stay hash-checked.
 
 KNN_GRAPH_K = 3
+KNN_ROUTE_MAX_VECS = 5_000
+KNN_WIDE_PLANES_N = 12
+_kg_rng = _np.random.RandomState(7)
+KNN_WIDE_PLANES: list[list[float]] = [
+    [float(x) for x in _kg_rng.randn(64)] for _ in range(KNN_WIDE_PLANES_N)
+]
 
 
-@_register(
-    "ann_knn_graph",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    b AS (SELECT vec_id, v, {_SRP_BUCKET_SQL} AS bucket FROM e),
-    pairs AS (
-      SELECT a.vec_id AS vec_id, n.vec_id AS neighbor_id,
-             {sql_round(
-                 "list_dot_product(a.v, n.v)"
-                 " / (sqrt(list_dot_product(a.v, a.v))"
-                 " * sqrt(list_dot_product(n.v, n.v)))", 6)} AS cosine_sim
-      FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
-    ),
-    ranked AS (
+def _sql_dvec(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+
+_KNN_WIDE_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"((CASE WHEN list_dot_product(v, {_sql_dvec(p)}) > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i, p in enumerate(KNN_WIDE_PLANES)
+    )
+    + ")"
+)
+
+_KNN_PAIR_SIM_SQL = sql_round(
+    "list_dot_product(a.v, n.v)"
+    " / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(n.v, n.v)))",
+    6,
+)
+
+
+def _knn_graph_oracle(cutoff: int = KNN_ROUTE_MAX_VECS) -> str:
+    def branch(bucket_sql: str) -> str:
+        return f"""
       SELECT vec_id, neighbor_id, cosine_sim,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY cosine_sim DESC, neighbor_id)
                AS rank
-      FROM pairs
-    )
-    SELECT * FROM ranked WHERE rank <= {KNN_GRAPH_K}
-    """,
-    "Bulk k-NN seed graph (k = {k}): per-vector top-k neighbours within "
-    "the vector's SRP bucket — the NN-descent / clustering seed graph as "
-    "one self-join on the bucket key. Candidate count scales with bucket "
-    "collisions (sum of bucket-size^2), never n^2; the per-vector top-k is "
-    "a bucket-partitioned window, and ranking uses the ROUNDED similarity "
-    "with a neighbor-id tiebreak so the order is engine-exact. Sims are "
-    "sequential-fold dots (bit-identical to the oracle's "
-    "list_dot_product).".format(k=KNN_GRAPH_K),
+      FROM (
+        SELECT a.vec_id AS vec_id, n.vec_id AS neighbor_id,
+               {_KNN_PAIR_SIM_SQL} AS cosine_sim
+        FROM (SELECT vec_id, v, {bucket_sql} AS bucket FROM e) a
+        JOIN (SELECT vec_id, v, {bucket_sql} AS bucket FROM e) n
+          ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+      )"""
+
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS c FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    narrow AS ({branch(_SRP_BUCKET_SQL)}),
+    wide AS ({branch(_KNN_WIDE_BUCKET_SQL)})
+    SELECT * FROM narrow
+    WHERE rank <= {KNN_GRAPH_K} AND (SELECT c FROM nn) <= {cutoff}
+    UNION ALL
+    SELECT * FROM wide
+    WHERE rank <= {KNN_GRAPH_K} AND (SELECT c FROM nn) > {cutoff}
+    """
+
+
+def _wide_bucket_expr(vcol: Column) -> Column:
+    """12-plane SRP bucket via ONE Arrow-batched matmul (the _pair_sig_expr
+    pattern from operators/dedup.py: 12 interpreted HOF dots per row would
+    dominate the query; a blas sign can differ from the oracle's sequential
+    fold only when a plane dot sits within ulps of 0.0 — the ~1e-15-per-
+    dataset event class the parity suite and driver gate would surface)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.asarray(KNN_WIDE_PLANES)  # (12, 64)
+    weights = 1 << np.arange(KNN_WIDE_PLANES_N, dtype=np.int64)
+
+    @pandas_udf("long")
+    def srp12(vs):
+        vm = np.vstack(vs.to_numpy())
+        bits = (vm @ planes.T) > 0
+        return pd.Series((bits * weights[None, :]).sum(axis=1))
+
+    return srp12(vcol)
+
+
+@_register(
+    "ann_knn_graph",
+    _knn_graph_oracle(),
+    "Bulk k-NN seed graph (k = {k}), corpus-size-routed: per-vector top-k "
+    "within the vector's SRP bucket — the NN-descent / SemDeDup seed graph "
+    "as one self-join on the bucket key. <= {n} vectors uses the 8-plane / "
+    "256-bucket signature shared with ann_srp_buckets; above it (where "
+    "fixed buckets saturate: pair work ~ n^2/256, measured 24x wall at 10x "
+    "corpus) a 12-plane / 4096-bucket signature keeps bucket occupancy — "
+    "and with it candidate count — constant-per-vector. Emitted sims are "
+    "exact sequential-fold dots; ranking uses the ROUNDED sim with a "
+    "neighbor-id tiebreak so the order is engine-exact. The oracle routes "
+    "on the same COUNT(*).".format(k=KNN_GRAPH_K, n=KNN_ROUTE_MAX_VECS),
 )
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    b = e.select(
-        "vec_id", "v", srp_bucket_expr(F.col("v")).alias("bucket")
+    # parquet-footer metadata count, same routing idiom as
+    # dedup_simhash_pairs (and the same import-time oracle binding note:
+    # the registered oracle bakes KNN_ROUTE_MAX_VECS in at registration)
+    wide = (
+        load(spark, sf_dir, "embeddings").count() > KNN_ROUTE_MAX_VECS
     )
+    bucket = (
+        _wide_bucket_expr(F.col("v")) if wide else srp_bucket_expr(F.col("v"))
+    )
+    b = e.select("vec_id", "v", bucket.alias("bucket"))
     a, n = b.alias("a"), b.alias("n")
     sim = dot(F.col("a.v"), F.col("n.v")) / (
         l2_norm(F.col("a.v")) * l2_norm(F.col("n.v"))

@@ -64,6 +64,32 @@ def test_knn_graph_ranks_within_bucket(spark):
         assert all(r.neighbor_id != vid for r in rs)
 
 
+def test_knn_graph_corpus_size_routing(spark, monkeypatch):
+    """The k-NN graph routes bucket width by corpus size (the simhash-band
+    lesson applied to SRP: fixed 256 buckets made pair work n^2/256 — 24x
+    wall at the 10x rehearsal). At test SF it plans the 8-plane JVM
+    signature; above the cutoff the 12-plane Arrow-batched signature
+    (a pythonUDF stage) takes over."""
+    from doc2vec_spark.operators import curation
+
+    narrow_plan = (
+        _q("ann_knn_graph", spark)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "srp12" not in narrow_plan
+    monkeypatch.setattr(curation, "KNN_ROUTE_MAX_VECS", 10)
+    wide_plan = (
+        curation.QUERIES["ann_knn_graph"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "srp12" in wide_plan
+
+
 def test_global_shuffle_is_a_permutation(spark):
     """Every doc appears exactly once, and (shard_id, shard_pos) is dense
     per shard — reading shards in order replays a full permutation."""
