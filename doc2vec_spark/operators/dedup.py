@@ -1102,6 +1102,61 @@ _PAIR_SIG_SQL = (
     + ")"
 )
 
+# Wide-band SRP configuration for large corpora (BENCH_SCALING round-7
+# structural note, now shipped): 4-bit bands give only 16 buckets per
+# (label, band), so chance collisions grow ~n^2/16 per band and the 10x
+# rehearsal measured ~100x candidate noise. Above the cutoff the banded
+# join uses 64 planes as 8 bands x 8 bits — 256 buckets per band (16x less
+# chance collision) at near-identical recall for >= 0.9 pairs (bit
+# agreement p ~ 0.856 at 26 degrees: miss = (1 - p^8)^8 ~ 6.7% vs
+# (1 - p^4)^4 ~ 4.6%). Only the plane constants and band split change; the
+# plan shape (one (label, band_id, band_val)-keyed shuffle, exact confirm
+# on collisions) is identical.
+EMB_LSH_ROUTE_MAX_VECS = 5_000
+WIDE_PAIR_PLANES_N = 64
+WIDE_PAIR_BANDS = 8
+_wpp_rng = _np.random.RandomState(2025)
+WIDE_PAIR_PLANES: list[list[float]] = [
+    [float(x) for x in _wpp_rng.randn(64)] for _ in range(WIDE_PAIR_PLANES_N)
+]
+_WIDE_BITS = WIDE_PAIR_PLANES_N // WIDE_PAIR_BANDS
+
+
+def _wide_band_vals_expr(vcol: Column) -> Column:
+    """array<long> of the 8 wide band values via ONE Arrow-batched matmul
+    (same blas-sign caveat as _pair_sig_expr; per-band values avoid packing
+    64 bits into a signed long)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = _np.asarray(WIDE_PAIR_PLANES)  # (64, DIM)
+    weights = 1 << _np.arange(_WIDE_BITS, dtype=_np.int64)  # within-band
+
+    @pandas_udf("array<long>")
+    def wide_bands(vs):
+        vm = _np.vstack(vs.to_numpy())
+        bits = (vm @ planes.T) > 0  # n x 64
+        vals = (
+            bits.reshape(len(vm), WIDE_PAIR_BANDS, _WIDE_BITS)
+            * weights[None, None, :]
+        ).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return wide_bands(vcol)
+
+
+def _wide_band_val_sql(band_id: int) -> str:
+    lo = band_id * _WIDE_BITS
+    return (
+        "("
+        + " + ".join(
+            f"((CASE WHEN list_dot_product(v, {_sql_dvec(WIDE_PAIR_PLANES[lo + j])}) > 0"
+            f" THEN 1 ELSE 0 END)::BIGINT << {j})"
+            for j in range(_WIDE_BITS)
+        )
+        + ")"
+    )
+
 
 def _exact_grid_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> DataFrame:
     """Exact all-pairs cosine >= threshold inside each label, sharded on the
@@ -1190,10 +1245,13 @@ def _exact_grid_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> Da
     )
 
 
-def _srp_band_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> DataFrame:
+def _srp_band_pairs(
+    spark: SparkSession, e: DataFrame, threshold: float, wide: bool = False
+) -> DataFrame:
     """SRP-banded candidate join + exact cosine confirm — the >= 0.9 path.
     One shuffle keyed (label, band_id, band_val); candidates are only bucket
-    collisions, so cost tracks collision rate, never n^2."""
+    collisions, so cost tracks collision rate, never n^2. ``wide`` selects
+    the 8x8-bit large-corpus band configuration (see WIDE_PAIR_PLANES)."""
     from doc2vec_spark.functions.vectors import dot, l2_norm
 
     from doc2vec_spark.caching import scoped_cache
@@ -1209,26 +1267,36 @@ def _srp_band_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> Data
     ev = scoped_cache(
         e.withColumn("nrm", l2_norm(F.col("v"))).select("vec_id", "v", "nrm")
     )
-    banded = (
-        e.withColumn("sig", _pair_sig_expr(F.col("v")))
-        .withColumn(
-            "band",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bi).alias("band_id"),
-                            F.shiftright(F.col("sig"), bits * bi)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for bi in range(PAIR_BANDS)
-                    ]
-                )
-            ),
+    if wide:
+        banded = (
+            e.withColumn("bands", _wide_band_vals_expr(F.col("v")))
+            .select(
+                "vec_id",
+                "label",
+                F.posexplode("bands").alias("band_id", "band_val"),
+            )
         )
-        .select("vec_id", "label", "band.band_id", "band.band_val")
-    )
+    else:
+        banded = (
+            e.withColumn("sig", _pair_sig_expr(F.col("v")))
+            .withColumn(
+                "band",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(bi).alias("band_id"),
+                                F.shiftright(F.col("sig"), bits * bi)
+                                .bitwiseAND(F.lit(mask))
+                                .alias("band_val"),
+                            )
+                            for bi in range(PAIR_BANDS)
+                        ]
+                    )
+                ),
+            )
+            .select("vec_id", "label", "band.band_id", "band.band_val")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1261,12 +1329,14 @@ def embedding_near_dup_pairs(
     spark: SparkSession,
     e: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
+    wide_bands: bool = False,
 ) -> DataFrame:
     """Routed entry point over (vec_id, label, v double-array) rows:
-    threshold >= SRP_ROUTE_THRESHOLD -> SRP band join (collision-bounded);
+    threshold >= SRP_ROUTE_THRESHOLD -> SRP band join (collision-bounded;
+    ``wide_bands`` selects the large-corpus 8x8-bit configuration);
     below -> exact salt-grid shard (O(n^2) FLOPs is the semantics there)."""
     if threshold >= SRP_ROUTE_THRESHOLD:
-        return _srp_band_pairs(spark, e, threshold)
+        return _srp_band_pairs(spark, e, threshold, wide=wide_bands)
     return _exact_grid_pairs(spark, e, threshold)
 
 
@@ -1305,34 +1375,71 @@ def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(planted)
 
 
-@_register(
-    "dedup_embedding_lsh",
-    f"""
-    WITH corpus AS ({_LSH_CORPUS_SQL}),
-    sig AS (SELECT vec_id, label, v, {_PAIR_SIG_SQL} AS sig FROM corpus),
-    banded AS (SELECT vec_id, label, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
-               FROM sig, unnest([0, 1, 2, 3]) t(band_id)),
-    cand AS (
+def _emb_lsh_oracle(cutoff: int = EMB_LSH_ROUTE_MAX_VECS) -> str:
+    wide_band_val = (
+        "CASE band_id "
+        + " ".join(
+            f"WHEN {b} THEN {_wide_band_val_sql(b)}"
+            for b in range(WIDE_PAIR_BANDS)
+        )
+        + " END"
+    )
+
+    def branch(banded_sql: str) -> str:
+        return f"""
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
              list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
-      FROM banded a JOIN banded b
+      FROM ({banded_sql}) a JOIN ({banded_sql}) b
         ON a.label = b.label AND a.band_id = b.band_id AND a.band_val = b.band_val
-       AND a.vec_id < b.vec_id)
+       AND a.vec_id < b.vec_id"""
+
+    narrow_banded = f"""
+      SELECT vec_id, label, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      FROM (SELECT vec_id, label, v, {_PAIR_SIG_SQL} AS sig FROM corpus),
+           unnest([0, 1, 2, 3]) t(band_id)"""
+    wide_banded = f"""
+      SELECT vec_id, label, v, band_id, {wide_band_val} AS band_val
+      FROM corpus, unnest([{", ".join(map(str, range(WIDE_PAIR_BANDS)))}]) t(band_id)"""
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS c FROM embeddings),
+    corpus AS ({_LSH_CORPUS_SQL}),
+    narrow AS ({branch(narrow_banded)}),
+    wide AS ({branch(wide_banded)})
     SELECT vec_a, vec_b, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
-    FROM cand WHERE sim >= {SRP_ROUTE_THRESHOLD}
-    """,
+    FROM narrow WHERE sim >= {SRP_ROUTE_THRESHOLD} AND (SELECT c FROM nn) <= {cutoff}
+    UNION ALL
+    SELECT vec_a, vec_b, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+    FROM wide WHERE sim >= {SRP_ROUTE_THRESHOLD} AND (SELECT c FROM nn) > {cutoff}
+    """
+
+
+@_register(
+    "dedup_embedding_lsh",
+    _emb_lsh_oracle(),
     "Embedding near-dup at threshold {t} through the ROUTED entry point -> "
-    "SRP band join: 16 deterministic hyperplanes, 4 bands x 4 bits, one "
-    "shuffle keyed (label, band_id, band_val), exact cosine confirm on "
-    "collisions only. Candidates scale with bucket collisions, not n^2 — "
-    "the 100 TB near-dup shape. Planted clone vectors (cos ~0.95+) make the "
-    "result falsifiable; the oracle replays planes, banding and planting "
-    "verbatim.".format(t=SRP_ROUTE_THRESHOLD),
+    "SRP band join, with corpus-size-routed band WIDTH (the simhash-band "
+    "lesson): <= {n} vectors uses 16 planes as 4 bands x 4 bits; above — "
+    "where 16 buckets/band make chance collisions grow ~n^2/16 (measured "
+    "~100x candidate noise at the 10x rehearsal) — 64 planes as 8 bands x "
+    "8 bits (256 buckets/band, near-identical >= 0.9 recall). One shuffle "
+    "keyed (label, band_id, band_val), exact cosine confirm on collisions "
+    "only, either way. Planted clone vectors (cos ~0.95+) make the result "
+    "falsifiable; the oracle replays planes, banding, planting and the "
+    "COUNT(*) route verbatim.".format(
+        t=SRP_ROUTE_THRESHOLD, n=EMB_LSH_ROUTE_MAX_VECS
+    ),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parquet-footer metadata count on the RAW table (the routing idiom of
+    # dedup_simhash_pairs; the derived planted-clone corpus is never
+    # materialized for the route). Oracle binding: the registered SQL bakes
+    # EMB_LSH_ROUTE_MAX_VECS in at import time, like the simhash cutoff.
+    wide = (
+        load(spark, sf_dir, "embeddings").count() > EMB_LSH_ROUTE_MAX_VECS
+    )
     return embedding_near_dup_pairs(
-        spark, _lsh_corpus(spark, sf_dir), SRP_ROUTE_THRESHOLD
+        spark, _lsh_corpus(spark, sf_dir), SRP_ROUTE_THRESHOLD, wide_bands=wide
     )
 
 

@@ -136,6 +136,36 @@ def test_embedding_near_dup_threshold_routing(spark):
     ), lsh
 
 
+def test_embedding_lsh_band_width_routing(spark, monkeypatch):
+    """r7s2: dedup_embedding_lsh routes band WIDTH by corpus size (the
+    simhash-band lesson): at test SF it plans the 16-plane JVM signature
+    (4x4-bit bands); above the cutoff the 64-plane Arrow-batched band
+    array (a wide_bands pythonUDF + posexplode) takes over, same banded
+    join shape."""
+    from doc2vec_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    narrow_plan = (
+        _q("dedup_embedding_lsh", spark)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "wide_bands" not in narrow_plan
+    monkeypatch.setattr(dedup, "EMB_LSH_ROUTE_MAX_VECS", 10)
+    wide_plan = (
+        dedup.QUERIES["dedup_embedding_lsh"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "wide_bands" in wide_plan
+    # the banded join is still (label, band_id, band_val)-keyed
+    joins = [l for l in wide_plan.splitlines() if "Join Inner" in l]
+    assert any("band_val" in c and "band_id" in c for c in joins), joins
+
+
 def test_simhash_pairs_corpus_size_routing(spark, monkeypatch):
     """VERDICT r5 #4: dedup_simhash_pairs routes by corpus size — at test SF
     it plans the 32-bit signature's 8-bit band join; above the cutoff it
