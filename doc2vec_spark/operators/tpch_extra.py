@@ -331,3 +331,298 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session 2: the remaining distinct TPC-H optimizer shapes.
+# Schema adaptations (driver tables lack partsupp / l_commitdate /
+# l_receiptdate / l_shipmode): Q4/Q21's "late delivery" predicate becomes
+# l_returnflag = 'R' (same correlated-exists shape against the same fact);
+# Q12's shipmode becomes l_linestatus; Q16's "customer complaints"
+# exclusion becomes negative-balance suppliers. Each docstring notes the
+# substitution; the plan shapes are the originals'.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4 order-priority checking (EXISTS shape; late-delivery "
+    "predicate adapted to l_returnflag = 'R' — no commit/receipt dates in "
+    "the driver schema): the correlated EXISTS compiles to a LEFT SEMI "
+    "join on the orderkey — one fact-fact semi shuffle, then a grouped "
+    "count on the 5-value priority key. No decorrelation machinery needed: "
+    "the semi join IS the idiomatic Spark plan.",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    returned = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_round(f"SUM({_REV})", 2)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year, l_extendedprice, l_discount
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 volume shipping: the nation-PAIR disjunction. supplier, "
+    "customer and both nation copies broadcast; lineitem⋈orders is the one "
+    "fact shuffle (orderkey-keyed). The pair filter is a pushable "
+    "disjunction over two broadcast-joined dims — no cross join, no "
+    "OR-expansion into a union.",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(pround(F.sum(rev), 2).alias("revenue"))
+    )
+
+
+@_register(
+    "tpch_q8_market_share",
+    f"""
+    SELECT l_year,
+           {sql_round(
+               f"floor(SUM(CASE WHEN supp_nation = 'NATION_3' THEN {_REV} ELSE 0 END) * 100.0 + 0.5) / 100.0"
+               f" / (floor(SUM({_REV}) * 100.0 + 0.5) / 100.0)", 6)} AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS l_year, l_extendedprice, l_discount,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY l_year
+    """,
+    "TPC-H Q8 national market share: 7 dims broadcast around the one "
+    "lineitem⋈orders fact shuffle; share = NATION_3's revenue over total "
+    "per order-year. Both sums are snapped to their exact cent value "
+    "before the single IEEE division (same bit-determinism argument as "
+    "det_avg), then pround(6).",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))
+    snap = lambda c: F.floor(c * 100.0 + F.lit(0.5)) / 100.0  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("l_year"))
+        .agg(
+            pround(snap(F.sum(nat_rev)) / snap(F.sum(rev)), 6).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "tpch_q12_line_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shipping modes & priority (l_linestatus stands in for the "
+    "absent l_shipmode): one fact-fact shuffle on the orderkey with the "
+    "shipdate filter pushed to the lineitem scan, then conditional counts "
+    "on the 2-value status key — the map-side-combine-friendly shape.",
+)
+def tpch_q12_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size <= 20
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 supplier relationship counting (lineitem supplies the "
+    "part-supplier pairs — no partsupp in the driver schema; the "
+    "customer-complaints exclusion becomes negative-balance suppliers): "
+    "broadcast LEFT ANTI join for the NOT IN (no null traps — keys are "
+    "non-null), part broadcast, then COUNT(DISTINCT supplier) grouped on "
+    "the (brand, type, size) key — the distinct expands map-side to "
+    "(group, suppkey) and aggregates in one shuffle.",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 20)
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "tpch_q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE n_name = 'NATION_5' AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    "TPC-H Q21 suppliers kept waiting (late-delivery predicate adapted to "
+    "l_returnflag = 'R'): the EXISTS + NOT-EXISTS pair over the same fact "
+    "is rewritten as ONE per-order aggregate — n_suppliers and "
+    "n_suppliers_with_R per orderkey in a single shuffle — joined back to "
+    "the candidate lines (multi-supplier order AND exactly one offending "
+    "supplier <=> n_supp >= 2 AND n_r_supp = 1). Two correlated scans "
+    "collapse into one aggregation; top-10 via TakeOrderedAndProject.",
+)
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    # one orderkey-keyed aggregate replaces BOTH correlated subqueries
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    cand = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        cand.join(orders, cand.l_orderkey == orders.o_orderkey)
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -281,8 +281,37 @@ def test_tpch_extra_dims_broadcast(spark):
     from doc2vec_spark.plans.checks import assert_broadcast_join
 
     for name in ("tpch_q10_returned_items", "tpch_q14_promo_effect",
-                 "tpch_q19_disjunctive_revenue", "tpch_q22_global_sales_opportunity"):
+                 "tpch_q19_disjunctive_revenue", "tpch_q22_global_sales_opportunity",
+                 "tpch_q7_volume_shipping", "tpch_q8_market_share",
+                 "tpch_q16_supplier_cnt", "tpch_q21_suppliers_kept_waiting"):
         assert_broadcast_join(_q(name, spark))
+
+
+def test_q4_exists_is_left_semi(spark):
+    """Q4's correlated EXISTS must plan as one LEFT SEMI fact-fact join,
+    never a decorrelated aggregate-then-inner-join or a nested loop."""
+    plan = (
+        _q("tpch_q4_order_priority", spark)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan[:1500]
+
+
+def test_q21_double_exists_is_one_aggregate(spark):
+    """Q21's EXISTS + NOT-EXISTS pair must collapse into ONE per-order
+    aggregate joined back (a single orderkey shuffle for both conditions) —
+    the plan carries exactly one Aggregate over the order stats (n_supp /
+    n_r_supp) and no semi/anti join against a second lineitem scan."""
+    plan = (
+        _q("tpch_q21_suppliers_kept_waiting", spark)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "n_supp" in plan and "n_r_supp" in plan, plan[:1500]
+    assert "LeftAnti" not in plan, plan[:1500]
 
 
 def test_q19_pushes_derivable_conjuncts(spark):
