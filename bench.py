@@ -194,10 +194,17 @@ def main() -> None:
     # Full detail (medians + spread + reps) goes to a side file; the stdout
     # contract line must stay compact — the driver tail-captures ~2000 chars
     # and a front-truncated line is unparseable (BENCH_r03 lesson).
+    # Registry growth inflates the total mechanically (every new dedup_/ta_/
+    # ann_/stream_/pipe_ query adds its median); core_headline is the
+    # round-stable 22-query subset so cross-round comparisons separate
+    # "engine got slower" from "engine got bigger".
+    core = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "core_headline": core,
+        "n_queries": len(timings),
         "queries": timings,
         "spread": spreads,
         "stalls": stall_log,
