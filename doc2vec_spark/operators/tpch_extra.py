@@ -626,3 +626,226 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@_register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT u.l_partkey, u.l_suppkey, u.unit_price
+      FROM unit u
+      JOIN supplier ON s_suppkey = u.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_price) AS best_price
+      FROM eligible GROUP BY l_partkey
+    )
+    SELECT {sql_round("s_acctbal", 2)} AS s_acctbal, s_name, n_name,
+           p_partkey, {sql_round("e.unit_price", 6)} AS unit_price
+    FROM eligible e
+    JOIN best ON e.l_partkey = best.l_partkey AND e.unit_price = best.best_price
+    JOIN part ON p_partkey = e.l_partkey
+    JOIN supplier ON s_suppkey = e.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size = 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+    "TPC-H Q2 minimum-cost supplier (supply cost adapted to the minimum "
+    "observed unit price l_extendedprice/l_quantity — no partsupp in the "
+    "driver schema): the correlated MIN subquery becomes a grouped-min "
+    "join-back on (partkey, price) equality — safe on doubles because both "
+    "sides compute the SAME division of identical inputs and MIN is "
+    "order-free. Region-filtered suppliers broadcast; top-20 via "
+    "TakeOrderedAndProject.",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    euro_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    eligible = unit.join(
+        F.broadcast(euro_supp), unit.l_suppkey == euro_supp.s_suppkey
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        eligible.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            pround("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            pround("unit_price", 6).alias("unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q9_product_profit",
+    f"""
+    SELECT nation, o_year, {sql_round("SUM(amount)", 2)} AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.5 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 product-type profit (supply cost adapted to half the part's "
+    "retail price — no partsupp; every term stays fixed-point: 2-decimal "
+    "prices, integral quantities, so the rounded sums are cross-engine "
+    "deterministic): part-name LIKE filter pushed to the part scan, part + "
+    "supplier + nation broadcast, lineitem⋈orders the one fact shuffle, "
+    "grouped on (nation, order-year).",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(pround(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+@_register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH vals AS (
+      SELECT l_partkey, {sql_round("SUM(l_extendedprice * l_quantity)", 2)} AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM vals
+    WHERE value > (SELECT {sql_round("SUM(l_extendedprice * l_quantity) * 0.001", 2)}
+                   FROM lineitem
+                   JOIN supplier ON s_suppkey = l_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   WHERE n_name = 'NATION_7')
+    """,
+    "TPC-H Q11 important stock identification (inventory value adapted to "
+    "shipped value l_extendedprice * l_quantity — no partsupp): per-part "
+    "grouped value vs a global-fraction threshold. The global scalar comes "
+    "from a separate bounded .first() job (the Q15/Q22 precedent) and "
+    "re-enters the plan as a literal, so the returned plan has no "
+    "single-row aggregate or nested-loop guard; one partkey shuffle.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_li = li.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+            ).select("s_suppkey")
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    val = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    threshold = (
+        nat_li.agg(pround(val * 0.001, 2).alias("t")).first()["t"]
+    )
+    return (
+        nat_li.groupBy("l_partkey")
+        .agg(pround(val, 2).alias("value"))
+        .filter(F.col("value") > F.lit(threshold))
+    )
+
+
+@_register(
+    "tpch_q20_potential_promotion",
+    """
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_9'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100
+      )
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 potential part promotion (availability adapted to shipped "
+    "volume — no partsupp availqty): the nested IN becomes a grouped "
+    "HAVING aggregate LEFT SEMI-joined into the broadcast supplier dim — "
+    "part-name prefix and shipdate filters pushed to the scans, one "
+    "suppkey-grouped shuffle, nation broadcast. ORDER BY on the final "
+    "small row set only.",
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(heavy, supplier.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

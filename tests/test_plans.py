@@ -283,7 +283,9 @@ def test_tpch_extra_dims_broadcast(spark):
     for name in ("tpch_q10_returned_items", "tpch_q14_promo_effect",
                  "tpch_q19_disjunctive_revenue", "tpch_q22_global_sales_opportunity",
                  "tpch_q7_volume_shipping", "tpch_q8_market_share",
-                 "tpch_q16_supplier_cnt", "tpch_q21_suppliers_kept_waiting"):
+                 "tpch_q16_supplier_cnt", "tpch_q21_suppliers_kept_waiting",
+                 "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+                 "tpch_q20_potential_promotion"):
         assert_broadcast_join(_q(name, spark))
 
 
