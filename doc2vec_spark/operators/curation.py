@@ -447,3 +447,173 @@ def pipe_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard_pos", F.row_number().over(w))
         .drop("hkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest admission: the production gate, composed
+# ---------------------------------------------------------------------------
+# The decision a 100 TB ingest actually makes per incoming document, as ONE
+# declarative plan over the building blocks above: exact-dup against the
+# store (content hash), near-dup against the store (df-capped 5-gram
+# inverted index, >= 2 shared shingles with the SAME stored doc — the
+# candidate-edge criterion), and the model-based quality gate. Cost is
+# asymmetric in the batch: the corpus side contributes one posting build
+# (at scale: the standing index the store maintains); every probe is keyed,
+# nothing pairs corpus-vs-corpus.
+
+ADM_SHINGLE_N = 5
+ADM_MAX_DF = 50  # corpus-common shingles carry no dup signal (df cap)
+ADM_MIN_SHARED = 2  # >= 2 distinct shared shingles with one stored doc
+
+_ADM_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+           || ' ' || ws[i+3] || ' ' || ws[i+4]), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws)-{ADM_SHINGLE_N - 1})) t(i)
+"""
+
+_ADM_FEAT_SQL = f"""
+  SELECT doc_id,
+         {QC_W_UNIQ} * COUNT(DISTINCT tok)
+           + {QC_W_REP} * (COUNT(*) - COUNT(DISTINCT tok))
+           + {QC_W_STOP} * SUM(CASE WHEN tok IN {_QC_STOP_SQL} THEN 1 ELSE 0 END)
+           + {QC_W_CHARS} * SUM(length(tok)) + {QC_BIAS} AS logit
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents WHERE source = '{BLOOM_BATCH_SOURCE}')
+  GROUP BY doc_id
+"""
+
+
+@_register(
+    "pipe_ingest_admission",
+    f"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE source = '{BLOOM_BATCH_SOURCE}'
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE source <> '{BLOOM_BATCH_SOURCE}'
+    ),
+    sh AS ({_ADM_SHINGLE_SQL}),
+    corpus_sh AS (
+      SELECT sh.h, sh.doc_id FROM sh JOIN corpus USING (doc_id)
+    ),
+    capped AS (
+      SELECT h FROM corpus_sh GROUP BY h HAVING COUNT(*) <= {ADM_MAX_DF}
+    ),
+    batch_sh AS (
+      SELECT sh.doc_id, sh.h FROM sh JOIN batch USING (doc_id)
+    ),
+    near AS (
+      SELECT DISTINCT b.doc_id
+      FROM batch_sh b
+      JOIN capped USING (h)
+      JOIN corpus_sh c USING (h)
+      GROUP BY b.doc_id, c.doc_id
+      HAVING COUNT(DISTINCT b.h) >= {ADM_MIN_SHARED}
+    ),
+    exact AS (
+      SELECT b.doc_id,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text) AS exact_dup
+      FROM batch b
+    ),
+    qual AS ({_ADM_FEAT_SQL})
+    SELECT b.doc_id,
+           e.exact_dup,
+           (n.doc_id IS NOT NULL) AS near_dup,
+           (q.logit > 0) AS quality_keep,
+           (NOT e.exact_dup AND n.doc_id IS NULL AND q.logit > 0) AS admitted,
+           CASE WHEN e.exact_dup THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN q.logit <= 0 THEN 'low_quality'
+                ELSE 'admitted' END AS reason
+    FROM batch b
+    JOIN exact e ON e.doc_id = b.doc_id
+    LEFT JOIN near n ON n.doc_id = b.doc_id
+    JOIN qual q ON q.doc_id = b.doc_id
+    """,
+    "Ingest admission — the per-document decision a production ingest "
+    "makes, as one declarative plan: exact-dup (content hash vs the "
+    "store), near-dup (df-capped {n}-gram inverted index, >= {m} distinct "
+    "shingles shared with ONE stored doc — the candidate-edge criterion), "
+    "and the integer-logit quality gate, composed into an "
+    "admitted/reason verdict. All probes are keyed on the batch side; "
+    "the corpus contributes only the standing posting index — nothing "
+    "pairs corpus-vs-corpus, so cost scales with the batch.".format(
+        n=ADM_SHINGLE_N, m=ADM_MIN_SHARED
+    ),
+)
+def pipe_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.operators.dedup import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    is_batch = F.col("source") == BLOOM_BATCH_SOURCE
+    sh = docs.select(
+        "doc_id",
+        is_batch.alias("is_batch"),
+        F.explode(
+            F.transform(
+                word_shingles(ADM_SHINGLE_N),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    corpus_sh = sh.filter(~F.col("is_batch")).select(
+        F.col("doc_id").alias("c_doc"), "h"
+    )
+    capped = (
+        corpus_sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= ADM_MAX_DF)
+        .select("h")
+    )
+    batch_sh = sh.filter(F.col("is_batch")).select("doc_id", "h")
+    near = (
+        batch_sh.join(capped, "h")
+        .join(corpus_sh, "h")
+        .groupBy("doc_id", "c_doc")
+        .agg(F.countDistinct("h").alias("shared"))
+        .filter(F.col("shared") >= ADM_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    batch = docs.filter(is_batch)
+    corpus_texts = docs.filter(~is_batch).select("text").distinct()
+    exact = batch.join(corpus_texts, "text", "left_semi").select(
+        "doc_id", F.lit(True).alias("is_exact")
+    )
+    toks = batch.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    logit = (
+        QC_W_UNIQ * F.countDistinct("tok")
+        + QC_W_REP * (F.count(F.lit(1)) - F.countDistinct("tok"))
+        + QC_W_STOP * F.sum(F.col("tok").isin(*QC_STOPWORDS).cast("long"))
+        + QC_W_CHARS * F.sum(F.length("tok"))
+        + QC_BIAS
+    )
+    qual = toks.groupBy("doc_id").agg(logit.alias("logit"))
+    exact_dup = F.coalesce("is_exact", F.lit(False))
+    near_dup = F.coalesce("is_near", F.lit(False))
+    keep = F.col("logit") > 0
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            exact_dup.alias("exact_dup"),
+            near_dup.alias("near_dup"),
+            keep.alias("quality_keep"),
+            (~exact_dup & ~near_dup & keep).alias("admitted"),
+            F.when(exact_dup, "exact_dup")
+            .when(near_dup, "near_dup")
+            .when(~keep, "low_quality")
+            .otherwise("admitted")
+            .alias("reason"),
+        )
+    )
