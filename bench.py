@@ -218,10 +218,17 @@ def main() -> None:
         "reps": reps,
         "sf": sf_val,
     }
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY — scaling rehearsals, one-off
+    # probes) must not clobber the full-registry record: they go to a
+    # separate side file and are labeled as subsets.
+    detail_name = "BENCH_DETAIL.json" if not only else "BENCH_SUBSET.json"
+    if only:
+        detail["metric"] = "subset_queries_total"
+        detail.pop("core_headline", None)
     try:
-        (Path(_REPO) / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+        (Path(_REPO) / detail_name).write_text(json.dumps(detail, indent=1))
     except OSError as exc:  # never let the side file kill the contract line
-        print(f"# BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
+        print(f"# {detail_name} write failed: {exc}", file=sys.stderr)
 
     def contract_line(q: dict[str, float]) -> str:
         return json.dumps(

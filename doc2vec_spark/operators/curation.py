@@ -194,6 +194,29 @@ _QC_STOP_SQL = "('the', 'a')"
 QC_STOPWORDS = ("the", "a")
 
 
+def qc_logit_sql(uniq: str, n_words: str, n_stop: str, sum_chars: str) -> str:
+    """The classifier's weighted-logit formula over four feature terms —
+    the ONE definition both the standalone classifier and the ingest
+    admission gate embed (SQL side)."""
+    return (
+        f"{QC_W_UNIQ} * ({uniq}) + {QC_W_REP} * (({n_words}) - ({uniq})) "
+        f"+ {QC_W_STOP} * ({n_stop}) + {QC_W_CHARS} * ({sum_chars}) + {QC_BIAS}"
+    )
+
+
+def qc_logit_expr(
+    uniq: Column, n_words: Column, n_stop: Column, sum_chars: Column
+) -> Column:
+    """Spark twin of qc_logit_sql — same single definition."""
+    return (
+        QC_W_UNIQ * uniq
+        + QC_W_REP * (n_words - uniq)
+        + QC_W_STOP * n_stop
+        + QC_W_CHARS * sum_chars
+        + QC_BIAS
+    )
+
+
 @_register(
     "pipe_quality_classifier",
     f"""
@@ -211,12 +234,8 @@ QC_STOPWORDS = ("the", "a")
       FROM toks GROUP BY doc_id
     )
     SELECT doc_id, n_words, uniq_toks, sum_chars, n_stop,
-           {QC_W_UNIQ} * uniq_toks + {QC_W_REP} * (n_words - uniq_toks)
-             + {QC_W_STOP} * n_stop + {QC_W_CHARS} * sum_chars
-             + {QC_BIAS} AS logit,
-           ({QC_W_UNIQ} * uniq_toks + {QC_W_REP} * (n_words - uniq_toks)
-             + {QC_W_STOP} * n_stop + {QC_W_CHARS} * sum_chars
-             + {QC_BIAS}) > 0 AS keep
+           {qc_logit_sql("uniq_toks", "n_words", "n_stop", "sum_chars")} AS logit,
+           ({qc_logit_sql("uniq_toks", "n_words", "n_stop", "sum_chars")}) > 0 AS keep
     FROM feat
     """,
     "Model-based quality gate: fixed integer-weight linear classifier over "
@@ -237,12 +256,8 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("tok")).alias("sum_chars"),
         F.sum(F.col("tok").isin(*QC_STOPWORDS).cast("long")).alias("n_stop"),
     )
-    logit = (
-        QC_W_UNIQ * F.col("uniq_toks")
-        + QC_W_REP * (F.col("n_words") - F.col("uniq_toks"))
-        + QC_W_STOP * F.col("n_stop")
-        + QC_W_CHARS * F.col("sum_chars")
-        + QC_BIAS
+    logit = qc_logit_expr(
+        F.col("uniq_toks"), F.col("n_words"), F.col("n_stop"), F.col("sum_chars")
     )
     return feat.select(
         "doc_id",
@@ -277,8 +292,7 @@ KNN_WIDE_PLANES: list[list[float]] = [
 ]
 
 
-def _sql_dvec(vals: list[float]) -> str:
-    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+from doc2vec_spark.operators.dedup import _sql_dvec  # shared formatter
 
 
 _KNN_WIDE_BUCKET_SQL = (
@@ -475,10 +489,12 @@ _ADM_SHINGLE_SQL = f"""
 
 _ADM_FEAT_SQL = f"""
   SELECT doc_id,
-         {QC_W_UNIQ} * COUNT(DISTINCT tok)
-           + {QC_W_REP} * (COUNT(*) - COUNT(DISTINCT tok))
-           + {QC_W_STOP} * SUM(CASE WHEN tok IN {_QC_STOP_SQL} THEN 1 ELSE 0 END)
-           + {QC_W_CHARS} * SUM(length(tok)) + {QC_BIAS} AS logit
+         {qc_logit_sql(
+             "COUNT(DISTINCT tok)",
+             "COUNT(*)",
+             "SUM(CASE WHEN tok IN " + _QC_STOP_SQL + " THEN 1 ELSE 0 END)",
+             "SUM(length(tok))",
+         )} AS logit
   FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
         FROM documents WHERE source = '{BLOOM_BATCH_SOURCE}')
   GROUP BY doc_id
@@ -588,12 +604,11 @@ def pipe_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = batch.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
-    logit = (
-        QC_W_UNIQ * F.countDistinct("tok")
-        + QC_W_REP * (F.count(F.lit(1)) - F.countDistinct("tok"))
-        + QC_W_STOP * F.sum(F.col("tok").isin(*QC_STOPWORDS).cast("long"))
-        + QC_W_CHARS * F.sum(F.length("tok"))
-        + QC_BIAS
+    logit = qc_logit_expr(
+        F.countDistinct("tok"),
+        F.count(F.lit(1)),
+        F.sum(F.col("tok").isin(*QC_STOPWORDS).cast("long")),
+        F.sum(F.length("tok")),
     )
     qual = toks.groupBy("doc_id").agg(logit.alias("logit"))
     exact_dup = F.coalesce("is_exact", F.lit(False))

@@ -90,6 +90,42 @@ def test_knn_graph_corpus_size_routing(spark, monkeypatch):
     assert "srp12" in wide_plan
 
 
+def test_knn_graph_wide_route_value_parity(spark, duck, monkeypatch):
+    """The wide (12-plane) branch is VALUE-checked, not just plan-checked:
+    every fixture corpus sits below the 5k cutoff, so without forcing the
+    route the committed suite would never execute the wide signature or its
+    oracle branch — a drift between _wide plane constants in the Spark UDF
+    and the SQL literals would surface only at driver scale. Forcing
+    cutoff=10 on BOTH sides runs the wide path end-to-end at test SF."""
+    from doc2vec_spark.operators import curation
+
+    monkeypatch.setattr(curation, "KNN_ROUTE_MAX_VECS", 10)
+    sp = curation.QUERIES["ann_knn_graph"].fn(spark, SF_DIR).toPandas()
+    ora = duck.sql(curation._knn_graph_oracle(cutoff=10)).df()
+    assert _norm(sp) == _norm(ora)
+    assert len(sp) > 0
+
+
+def test_embedding_lsh_wide_route_value_parity(spark, duck, monkeypatch):
+    """Same closure for dedup_embedding_lsh's 8x8-bit wide bands: force the
+    route on both sides and compare values."""
+    from doc2vec_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "EMB_LSH_ROUTE_MAX_VECS", 10)
+    sp = dedup.QUERIES["dedup_embedding_lsh"].fn(spark, SF_DIR).toPandas()
+    ora = duck.sql(dedup._emb_lsh_oracle(cutoff=10)).df()
+    assert _norm(sp) == _norm(ora)
+    assert len(sp) > 0  # planted clones guarantee pairs
+
+
+def _norm(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return sorted(
+        tuple(repr(v.item() if hasattr(v, "item") else v) for v in r)
+        for r in pdf.itertuples(index=False, name=None)
+    )
+
+
 def test_global_shuffle_is_a_permutation(spark):
     """Every doc appears exactly once, and (shard_id, shard_pos) is dense
     per shard — reading shards in order replays a full permutation."""
