@@ -60,6 +60,16 @@ EXTRA_REPS = 5
 SETTLE_BEFORE_EXTRA_S = 4.0
 
 
+def detail_file_and_metric(only: str | None) -> tuple[str, str]:
+    """Subset runs (SPARK_GRAFT_BENCH_ONLY) must never clobber the
+    full-registry record or masquerade as it: they write BENCH_SUBSET.json
+    under a subset metric name. (Unit-tested — a subset run once replaced
+    the committed 74-query record with a 1-query rehearsal artifact.)"""
+    if only:
+        return "BENCH_SUBSET.json", "subset_queries_total"
+    return "BENCH_DETAIL.json", "headline_queries_total"
+
+
 def is_stall(t: float, lo: float) -> bool:
     """A rep is a stall when it exceeds STALL_FACTOR x the query's fastest
     rep by more than the absolute floor (which keeps 0.1 s-class queries
@@ -221,9 +231,9 @@ def main() -> None:
     # Subset runs (SPARK_GRAFT_BENCH_ONLY — scaling rehearsals, one-off
     # probes) must not clobber the full-registry record: they go to a
     # separate side file and are labeled as subsets.
-    detail_name = "BENCH_DETAIL.json" if not only else "BENCH_SUBSET.json"
+    detail_name, detail_metric = detail_file_and_metric(only)
+    detail["metric"] = detail_metric
     if only:
-        detail["metric"] = "subset_queries_total"
         detail.pop("core_headline", None)
     try:
         (Path(_REPO) / detail_name).write_text(json.dumps(detail, indent=1))

@@ -49,3 +49,22 @@ def test_stall_classification_matches_policy():
     assert not bench.is_stall(5.9, 2.0)  # under 3x
     assert bench.median_of([3.0, 1.0, 2.0]) == 2.0
     assert bench.median_of([1.0, 2.0, 3.0, 4.0]) == 2.5
+
+
+def test_subset_runs_write_a_separate_detail_file():
+    """A SPARK_GRAFT_BENCH_ONLY run must not clobber or impersonate the
+    full-registry BENCH_DETAIL record."""
+    import bench
+
+    assert bench.detail_file_and_metric(None) == (
+        "BENCH_DETAIL.json",
+        "headline_queries_total",
+    )
+    assert bench.detail_file_and_metric("") == (
+        "BENCH_DETAIL.json",
+        "headline_queries_total",
+    )
+    assert bench.detail_file_and_metric("dedup_exact") == (
+        "BENCH_SUBSET.json",
+        "subset_queries_total",
+    )
