@@ -124,6 +124,22 @@ def main() -> None:
     # the query, not session startup
     registry["tpch_q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
 
+    # Calibration probes: the box this runs on shows multi-minute co-tenant
+    # degradation windows (measured: the SAME full bench 120 s in one window,
+    # 55 s minutes later, with uniformly inflated per-query times — no
+    # within-query anchor can flag that). A fixed trivial probe re-timed
+    # every few queries gives the reader an environment trace: flat probes
+    # mean the medians measure the engine; drifting probes mean the run
+    # crossed a degradation window. Numbers are never adjusted — this is
+    # instrumentation, not correction.
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        registry["tpch_q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").count()
+        return round(time.perf_counter() - t0, 3)
+
+    calibration: list[float] = [_probe()]
+    PROBE_EVERY = 10
+
     # median-of-N (VERDICT r02 #4): single-shot timings swung +/- 40% on
     # unchanged queries between rounds, making regressions undetectable.
     # Each rep is cache-isolated (clearCache drops intra-query cached
@@ -153,7 +169,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     stall_log: dict[str, list[float]] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi and qi % PROBE_EVERY == 0:
+            calibration.append(_probe())
+            if calibration[-1] > 2.5 * min(calibration):
+                print(
+                    f"# CALIBRATION drift: probe {calibration[-1]:.3f}s vs "
+                    f"best {min(calibration):.3f}s — environment degraded, "
+                    f"medians near query #{qi} are inflated",
+                    file=sys.stderr,
+                )
         times: list[float] = []
         n = -1
 
@@ -226,6 +251,7 @@ def main() -> None:
         "spread": spreads,
         "stalls": stall_log,
         "reps": reps,
+        "calibration": calibration + [_probe()],
         "sf": sf_val,
     }
     # Subset runs (SPARK_GRAFT_BENCH_ONLY — scaling rehearsals, one-off
