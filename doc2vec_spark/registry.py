@@ -116,6 +116,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         relational,
         sessions,
         similarity,
+        sketches,
         textanalysis,
         tpch_extra,
         windows,
@@ -131,6 +132,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         quality,
         sessions,
         similarity,
+        sketches,
         windows,
         domain,
         extensions,
