@@ -130,3 +130,212 @@ def sk_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), "tok")
         .limit(CMS_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (tug-of-war) F2 sketch — join-size estimation
+# ---------------------------------------------------------------------------
+# Alon-Matias-Szegedy 1996: F2 = sum of squared frequencies IS the self-join
+# size — the quantity a cost-based planner wants before picking a join
+# strategy. Sketch row d keeps X_d = sum_tok sign_d(tok) * cnt(tok); E[X_d^2]
+# = F2. Signs come from md5-window parity, so X_d, X_d^2 and the median are
+# exact 64-bit integers in both engines. At 100 TB each X_d is ONE map-side-
+# combinable SUM (no token shuffle at all if counts are pre-aggregated per
+# partition) — D integers summarize the whole frequency vector.
+
+AMS_ROWS = 5  # median over 5 independent sign rows
+
+
+def _ams_sign_sql(d: int) -> str:
+    return f"(1 - 2 * (('0x' || substr(md5(tok), {6 * d + 1}, 6))::BIGINT % 2))"
+
+
+def _ams_sign_expr(d: int):
+    return 1 - 2 * (
+        F.conv(F.substring(F.md5(F.col("tok")), 6 * d + 1, 6), 16, 10).cast("long")
+        % 2
+    )
+
+
+@_register(
+    "sk_ams_f2_join_size",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    cnts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    rows_ AS (
+      SELECT d,
+             CAST(SUM((CASE d {" ".join(f"WHEN {d} THEN {_ams_sign_sql(d)}" for d in range(AMS_ROWS))} END) * cnt) AS BIGINT) AS sketch_x
+      FROM cnts, unnest([{", ".join(map(str, range(AMS_ROWS)))}]) t(d)
+      GROUP BY d
+    ),
+    exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM cnts),
+    med AS (
+      SELECT CAST(MEDIAN(sketch_x * sketch_x) AS BIGINT) AS f2_est FROM rows_
+    )
+    SELECT r.d, r.sketch_x,
+           CAST(r.sketch_x * r.sketch_x AS BIGINT) AS est_d,
+           e.f2_exact, m.f2_est
+    FROM rows_ r, exact e, med m
+    ORDER BY r.d
+    """,
+    "AMS tug-of-war F2 sketch ({n} sign rows): the self-join-size estimate "
+    "a planner consults before choosing a join strategy. Each row is one "
+    "integer SUM of sign(tok) * count(tok) (md5-parity signs — exact "
+    "64-bit arithmetic both engines); the estimate is the median of the "
+    "squared rows, reported alongside exact F2 = sum cnt^2 so the hash "
+    "gate checks estimator and ground truth together. Map-side "
+    "combinable; {n} integers summarize the whole frequency "
+    "vector. (On the fixture's 31-token vocabulary the estimator variance "
+    "is necessarily large — AMS accuracy needs many distinct keys or many "
+    "independent rows; the gate checks determinism of estimator AND "
+    "ground truth, not closeness.)".format(n=AMS_ROWS),
+)
+def sk_ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    depth = F.explode(F.array(*[F.lit(d) for d in range(AMS_ROWS)])).alias("d")
+    sign = F.when(F.col("d") == 0, _ams_sign_expr(0))
+    for d in range(1, AMS_ROWS):
+        sign = sign.when(F.col("d") == d, _ams_sign_expr(d))
+    rows = (
+        cnts.select("tok", "cnt", depth)
+        .select("d", (sign * F.col("cnt")).alias("signed"))
+        .groupBy("d")
+        .agg(F.sum("signed").alias("sketch_x"))
+    )
+    # exact F2 and the 5-row median are bounded scalars: one-row collects
+    # (the Q15/Q22 global-scalar precedent), re-entering the plan as
+    # literals so the returned plan stays distributed
+    f2_exact = cnts.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("x")).first()["x"]
+    xs = sorted(r["sketch_x"] ** 2 for r in rows.collect())
+    f2_est = int(xs[len(xs) // 2])
+    return (
+        rows.select(
+            "d",
+            "sketch_x",
+            (F.col("sketch_x") * F.col("sketch_x")).alias("est_d"),
+            F.lit(int(f2_exact)).alias("f2_exact"),
+            F.lit(f2_est).alias("f2_est"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — distinct counts and set overlap
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+# Overlapping side definitions (both include src2) so the sketch's
+# set-intersection estimate has real signal to track, not a trivial zero.
+KMV_SRC_A = ("src1", "src2")
+KMV_SRC_B = ("src2", "src3")
+_KMV_SCALE = 1 << 40  # 10-hex md5 prefix -> hash space [0, 2^40)
+
+
+def _kmv_hash_sql(col: str) -> str:
+    return f"('0x' || substr(md5({col}), 1, 10))::BIGINT"
+
+
+@_register(
+    "sk_kmv_overlap",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT text, {_kmv_hash_sql("text")} AS h
+      FROM documents WHERE source IN {KMV_SRC_A}
+    ),
+    b AS (
+      SELECT DISTINCT text, {_kmv_hash_sql("text")} AS h
+      FROM documents WHERE source IN {KMV_SRC_B}
+    ),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+    ku AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+           ORDER BY h LIMIT {KMV_K}),
+    est AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a_exact,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b_exact,
+        CASE WHEN (SELECT COUNT(*) FROM ka) < {KMV_K}
+             THEN (SELECT COUNT(*) FROM ka)
+             ELSE ({KMV_K} - 1) * {_KMV_SCALE} // (SELECT MAX(h) FROM ka)
+        END AS n_a_est,
+        CASE WHEN (SELECT COUNT(*) FROM kb) < {KMV_K}
+             THEN (SELECT COUNT(*) FROM kb)
+             ELSE ({KMV_K} - 1) * {_KMV_SCALE} // (SELECT MAX(h) FROM kb)
+        END AS n_b_est,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ku
+         WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b))
+          AS inter_in_sketch,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM a JOIN b ON a.text = b.text) AS inter_exact
+    )
+    SELECT n_a_exact, n_b_exact,
+           CAST(n_a_est AS BIGINT) AS n_a_est,
+           CAST(n_b_est AS BIGINT) AS n_b_est,
+           inter_in_sketch, CAST({KMV_K} AS BIGINT) AS k, inter_exact
+    FROM est
+    """,
+    "KMV (k-minimum-values, k = {k}) sketch over two sources: "
+    "distinct-count estimates ((k-1) * 2^40 // kth-min-hash, exact integer "
+    "division both engines) and the sketch-intersection overlap estimate "
+    "(members of the union's k minima present in both sides — the "
+    "theta-sketch set-operation primitive), reported against exact "
+    "distinct and intersection counts so estimator and truth are "
+    "hash-checked together. Per side: one DISTINCT + a k-row "
+    "TakeOrdered — the sketch is k integers, mergeable by "
+    "re-minimizing.".format(k=KMV_K),
+)
+def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast("long")
+
+    def side(src: tuple) -> DataFrame:
+        return (
+            docs.filter(F.col("source").isin(*src))
+            .select("text")
+            .distinct()
+            .select("text", h.alias("h"))
+        )
+
+    a, b = side(KMV_SRC_A), side(KMV_SRC_B)
+    # every collect here is <= k rows or a scalar count (the global-scalar
+    # precedent) — the full hash sets are never shipped to the driver: the
+    # union sketch is a TakeOrdered over the distributed union, and sketch
+    # membership is two broadcast-size semi joins against its k rows
+    ka = [r["h"] for r in a.select("h").orderBy("h").limit(KMV_K).collect()]
+    kb = [r["h"] for r in b.select("h").orderBy("h").limit(KMV_K).collect()]
+    ku = (
+        a.select("h")
+        .unionByName(b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    inter_in_sketch = (
+        ku.join(a.select("h").distinct(), "h", "left_semi")
+        .join(b.select("h").distinct(), "h", "left_semi")
+        .count()
+    )
+    n_a_exact = a.count()
+    n_b_exact = b.count()
+    inter_exact = a.join(b, "text", "left_semi").count()
+    row = {
+        "n_a_exact": n_a_exact,
+        "n_b_exact": n_b_exact,
+        # a sketch smaller than k holds EVERY value -> the count is exact
+        "n_a_est": len(ka) if len(ka) < KMV_K else (KMV_K - 1) * _KMV_SCALE // max(ka),
+        "n_b_est": len(kb) if len(kb) < KMV_K else (KMV_K - 1) * _KMV_SCALE // max(kb),
+        "inter_in_sketch": inter_in_sketch,
+        "k": KMV_K,
+        "inter_exact": inter_exact,
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        "n_a_exact long, n_b_exact long, n_a_est long, n_b_est long, "
+        "inter_in_sketch long, k long, inter_exact long",
+    )
