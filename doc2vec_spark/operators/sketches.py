@@ -339,3 +339,121 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a_exact long, n_b_exact long, n_a_est long, n_b_est long, "
         "inter_in_sketch long, k long, inter_exact long",
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — register-level cardinality sketch (round 8)
+# ---------------------------------------------------------------------------
+# Flajolet et al. 2007: split the hash space into m registers, keep per
+# register the MAX position of the first 1-bit of the remaining hash bits;
+# estimate = alpha_m * m^2 / sum(2^-r_j). KMV (above) already covers
+# distinct counting, but HLL is THE production sketch (fixed m-byte state,
+# mergeable by register-wise MAX — exactly what Spark's partial MAX
+# aggregation does here, and what approx_count_distinct uses internally).
+# Everything is integer: rho comes from string position over the binary
+# expansion, 2^(40 - r_j) is a left shift, and the estimate uses the
+# rational alpha_16 = 673/1000 with integer division, so registers AND
+# estimate are bit-identical in both engines. The small-range
+# (linear-counting) correction needs ln() and is deliberately omitted —
+# reported zero_registers lets a consumer decide the regime; the fixture
+# cardinality (n/m >> 2.5) sits in the raw-estimate regime anyway.
+
+HLL_M = 16  # registers (m = 2^4); state = 16 small ints
+_HLL_HASH_BITS = 40  # 10-hex md5 prefix
+_HLL_W_BITS = _HLL_HASH_BITS - 4  # bits left after the register index
+
+
+@_register(
+    "sk_hll_distinct",
+    f"""
+    WITH hashed AS (
+      SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 10))::BIGINT
+               AS h
+      FROM orders
+    ),
+    split AS (
+      SELECT h % {HLL_M} AS reg, h // {HLL_M} AS w FROM hashed
+    ),
+    rho AS (
+      SELECT reg,
+             CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE position('1' IN lpad(bin(w), {_HLL_W_BITS}, '0'))
+             END AS r
+      FROM split
+    ),
+    regs AS (
+      SELECT reg, CAST(MAX(r) AS BIGINT) AS r_max FROM rho GROUP BY reg
+    ),
+    z AS (
+      SELECT CAST(SUM(1::BIGINT << ({_HLL_HASH_BITS} - r_max)) AS BIGINT)
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_HASH_BITS})
+               AS z40,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_registers
+      FROM regs
+    ),
+    est AS (
+      SELECT (673 * {HLL_M * HLL_M} * (1::BIGINT << {_HLL_HASH_BITS}))
+               // (1000 * z40) AS hll_est,
+             zero_registers
+      FROM z
+    ),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders
+    )
+    SELECT r.reg, r.r_max, e.hll_est, e.zero_registers, x.n_exact
+    FROM regs r, est e, exact x
+    ORDER BY r.reg
+    """,
+    "HyperLogLog cardinality sketch (Flajolet et al. 2007, m = {m} "
+    "registers over a 40-bit md5 hash space): per-register MAX first-1-bit "
+    "position (register build is ONE map-side-combinable MAX aggregation — "
+    "the sketch merges across partitions/streams by register-wise MAX), "
+    "raw estimate alpha_16 * m^2 / sum(2^-r_j) computed entirely in "
+    "integer arithmetic (left shifts + rational alpha = 673/1000, exact "
+    "integer division), reported per register alongside the exact distinct "
+    "count so registers, estimate and ground truth are hash-checked "
+    "together. Linear-counting correction intentionally omitted (needs "
+    "ln); zero_registers is emitted so consumers can pick the "
+    "regime.".format(m=HLL_M),
+)
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    split = orders.select(
+        (h % HLL_M).alias("reg"),
+        F.shiftright(h, 4).cast("long").alias("w"),  # h // 16, exact
+    )
+    rho = split.select(
+        "reg",
+        F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1))
+        .otherwise(
+            F.instr(F.lpad(F.bin(F.col("w")), _HLL_W_BITS, "0"), "1")
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    regs = rho.groupBy("reg").agg(F.max("r").alias("r_max"))
+    # bounded scalars (the Q15/Q22 global-scalar precedent): z40 folds the
+    # 16-row register table; exact distinct is ground truth for the gate
+    zrow = regs.agg(
+        F.expr(f"sum(shiftleft(1L, {_HLL_HASH_BITS} - cast(r_max as int)))").alias(
+            "s"
+        ),
+        F.count(F.lit(1)).alias("present"),
+    ).first()
+    z40 = int(zrow["s"]) + (HLL_M - int(zrow["present"])) * (1 << _HLL_HASH_BITS)
+    zero_registers = HLL_M - int(zrow["present"])
+    hll_est = (673 * HLL_M * HLL_M * (1 << _HLL_HASH_BITS)) // (1000 * z40)
+    n_exact = orders.select("o_custkey").distinct().count()
+    return (
+        regs.select(
+            "reg",
+            "r_max",
+            F.lit(hll_est).cast("long").alias("hll_est"),
+            F.lit(zero_registers).cast("long").alias("zero_registers"),
+            F.lit(n_exact).cast("long").alias("n_exact"),
+        )
+        .orderBy("reg")
+    )

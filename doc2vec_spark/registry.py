@@ -109,6 +109,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         dedup,
         domain,
         extensions,
+        linedup,
         pipeline,
         lm,
         quality,
@@ -118,6 +119,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         similarity,
         sketches,
         textanalysis,
+        textrank,
         tpch_extra,
         windows,
     )
@@ -128,6 +130,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         tpch_extra,
         dedup,
         textanalysis,
+        textrank,
         lm,
         quality,
         sessions,
@@ -136,6 +139,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         windows,
         domain,
         extensions,
+        linedup,
         pipeline,
         multimodal,
         reference_parity,

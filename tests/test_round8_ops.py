@@ -1,0 +1,211 @@
+"""Behavioral properties of the round-8 operators, beyond oracle parity:
+planted-duplicate removal for line-level dedup, independent pure-Python
+replays of the TextRank fixed-point iteration and the HLL register build,
+and the HLL empty-register arithmetic path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def line_dir(tmp_path_factory):
+    """doc 0 owns a 10-token line; doc 1 repeats it verbatim between its own
+    unique lines; doc 2 is untouched — planted ground truth for
+    dedup_line_level."""
+    import duckdb
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = shared + " " + " ".join(f"a{i}" for i in range(10))
+    b = (
+        " ".join(f"b{i}" for i in range(10))
+        + " "
+        + shared
+        + " "
+        + " ".join(f"c{i}" for i in range(10))
+    )
+    c = " ".join(f"u{i}" for i in range(7))  # short doc: one partial line
+    d = tmp_path_factory.mktemp("linedup")
+    duckdb.sql(
+        """
+        COPY (SELECT * FROM (VALUES
+          (0, '%s', 'en', 'w', %d),
+          (1, '%s', 'en', 'w', %d),
+          (2, '%s', 'en', 'w', %d)
+        ) t(doc_id, text, lang, source, n_chars)) TO '%s' (FORMAT PARQUET)
+        """
+        % (a, len(a), b, len(b), c, len(c), d / "documents.parquet")
+    )
+    return str(d), shared, a, b, c
+
+
+def test_line_level_removes_planted_duplicate_only(spark, line_dir):
+    from doc2vec_spark.operators.linedup import QUERIES
+
+    d, shared, a, b, c = line_dir
+    rows = {r.doc_id: r for r in QUERIES["dedup_line_level"].fn(spark, d).collect()}
+    # doc 0: first owner of the shared line — nothing removed
+    assert rows[0].removed_lines == 0 and rows[0].cleaned_text == a
+    # doc 1: exactly the shared line removed, its own lines stitched back
+    assert rows[1].n_lines == 3 and rows[1].removed_lines == 1
+    assert shared not in rows[1].cleaned_text
+    assert rows[1].cleaned_text == b.replace(" " + shared, "")
+    # doc 2: short partial line untouched
+    assert rows[2].n_lines == 1 and rows[2].removed_lines == 0
+    assert rows[2].cleaned_text == c
+
+
+def test_line_level_kept_lines_globally_unique(spark):
+    """After the keep decision, every distinct line survives exactly once
+    corpus-wide: total kept == number of distinct lines in the corpus."""
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.operators.linedup import LINE_W, QUERIES
+    from doc2vec_spark.tables import load
+
+    out = QUERIES["dedup_line_level"].fn(spark, SF_DIR)
+    kept_total = out.agg(F.sum("kept_lines")).first()[0]
+
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    distinct_lines = (
+        docs.select(
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.ceil(F.size("toks") / float(LINE_W)).cast("long") - 1,
+                )
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            F.array_join(
+                F.slice(F.col("toks"), (F.col("i") * LINE_W + 1).cast("int"), LINE_W),
+                " ",
+            ).alias("line")
+        )
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_lines
+
+
+def _python_textrank(texts: list[str]):
+    """Independent dict-based replay of the fixed-point TextRank math."""
+    from collections import Counter, defaultdict
+
+    from doc2vec_spark.operators.textrank import PR_ITERS, PR_SCALE, PR_TOP_K
+
+    edges: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                edges[(x, y)] += 1
+                edges[(y, x)] += 1
+    out_w: Counter = Counter()
+    for (s, _), w in edges.items():
+        out_w[s] += w
+    ranks = {n: PR_SCALE for n in out_w}
+    for _ in range(PR_ITERS):
+        incoming: defaultdict = defaultdict(int)
+        for (s, t), w in edges.items():
+            incoming[t] += (ranks[s] * w) // out_w[s]
+        ranks = {n: 150000 + (85 * c) // 100 for n, c in incoming.items()}
+    ordered = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ordered[:PR_TOP_K]
+
+
+def test_textrank_matches_pure_python_replay(spark):
+    import duckdb
+
+    from doc2vec_spark.operators.textrank import QUERIES
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT trim(text) FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    expected = _python_textrank(texts)
+    got = [(r.tok, r["rank"]) for r in QUERIES["ta_textrank"].fn(spark, SF_DIR).collect()]
+    assert got == expected
+
+
+def test_textrank_damping_floor_holds(spark):
+    """Every emitted rank is >= the damping base 150000 (a node always
+    keeps the (1-d) teleport mass)."""
+    from doc2vec_spark.operators.textrank import QUERIES
+
+    rows = QUERIES["ta_textrank"].fn(spark, SF_DIR).collect()
+    assert rows and all(r["rank"] >= 150000 for r in rows)
+
+
+def _python_hll(keys: list[str]):
+    """Independent replay of the 40-bit md5 HLL register build."""
+    from doc2vec_spark.operators.sketches import (
+        _HLL_HASH_BITS,
+        _HLL_W_BITS,
+        HLL_M,
+    )
+
+    regs: dict[int, int] = {}
+    for k in set(keys):
+        h = int(hashlib.md5(k.encode()).hexdigest()[:10], 16)
+        reg, w = h % HLL_M, h >> 4
+        if w == 0:
+            rho = _HLL_W_BITS + 1
+        else:
+            rho = _HLL_W_BITS - w.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    z40 = sum(1 << (_HLL_HASH_BITS - r) for r in regs.values())
+    z40 += (HLL_M - len(regs)) * (1 << _HLL_HASH_BITS)
+    est = (673 * HLL_M * HLL_M * (1 << _HLL_HASH_BITS)) // (1000 * z40)
+    return regs, est
+
+
+def test_hll_matches_pure_python_replay(spark):
+    import duckdb
+
+    from doc2vec_spark.operators.sketches import QUERIES
+
+    keys = [
+        str(r[0])
+        for r in duckdb.sql(
+            f"SELECT o_custkey FROM '{SF_DIR}/orders.parquet'"
+        ).fetchall()
+    ]
+    regs, est = _python_hll(keys)
+    rows = QUERIES["sk_hll_distinct"].fn(spark, SF_DIR).collect()
+    assert {r.reg: r.r_max for r in rows} == regs
+    assert rows and all(r.hll_est == est for r in rows)
+    assert all(r.n_exact == len(set(keys)) for r in rows)
+
+
+def test_hll_zero_register_arithmetic(spark, tmp_path):
+    """A near-empty key set leaves most registers absent: the missing-
+    register term ((m - present) * 2^40) must enter Z, and the estimate
+    must stay a small positive integer (raw regime, no crash)."""
+    import duckdb
+
+    from doc2vec_spark.operators.sketches import HLL_M, QUERIES
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (7), (7), (9)) t(o_custkey)) TO '%s' "
+        "(FORMAT PARQUET)" % (d / "orders.parquet")
+    )
+    rows = QUERIES["sk_hll_distinct"].fn(spark, str(d)).collect()
+    regs, est = _python_hll(["7", "9"])
+    assert {r.reg: r.r_max for r in rows} == regs
+    assert len(rows) == len(regs) < HLL_M
+    assert rows[0].zero_registers == HLL_M - len(regs)
+    assert all(r.hll_est == est for r in rows) and est > 0
