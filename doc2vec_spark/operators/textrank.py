@@ -159,8 +159,12 @@ def ta_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("tok"), F.lit(PR_SCALE).cast("long").alias("rank"))
     )
     for _ in range(PR_ITERS):
+        # rank state is vocabulary-sized (two longs per token) — broadcast
+        # it so the cached edge state never re-shuffles across iterations;
+        # at a vocabulary too large for broadcast this hint is the one knob
+        # to drop (Spark then shuffle-joins on src, still K bounded joins)
         ranks = (
-            estate.join(ranks, estate["src"] == ranks["tok"])
+            estate.join(F.broadcast(ranks), estate["src"] == ranks["tok"])
             .select(
                 F.col("dst"),
                 F.expr("(rank * w) div out_w").alias("contrib"),
