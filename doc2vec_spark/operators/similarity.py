@@ -413,3 +413,96 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         "vec_id", "rnk", (pround(F.col("adc"), 6) + 0.0).alias("adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-prefix search + exact rerank (Matryoshka-style, round 8)
+# ---------------------------------------------------------------------------
+# Kusupati et al. 2022 (Matryoshka Representation Learning) made prefix-
+# truncated embeddings the standard cheap first pass: score every vector on
+# its first PREFIX_DIM components (4x fewer FLOPs here; at 100 TB the
+# prefix lives in its OWN column so Catalyst column pruning makes the
+# coarse scan read 1/4 of the embedding bytes), keep a candidate pool, then
+# rerank only the pool with full-dimension exact cosine. Both stages are
+# TakeOrderedAndProject top-k — no full sort anywhere — and the pool join
+# carries the full vectors of RERANK_POOL rows only. The candidate cut is
+# engine-exact: both engines fold the same literal query prefix
+# left-to-right over the same doubles (the established ann_* discipline).
+
+PREFIX_DIM = 16
+RERANK_POOL = 50
+RERANK_K = 10
+
+
+@_register(
+    "ann_truncate_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    coarse AS (
+      SELECT vec_id, v, qv,
+             1 - list_dot_product(v[1:{PREFIX_DIM}], qv[1:{PREFIX_DIM}])
+                 / (sqrt(list_dot_product(v[1:{PREFIX_DIM}], v[1:{PREFIX_DIM}]))
+                    * sqrt(list_dot_product(qv[1:{PREFIX_DIM}], qv[1:{PREFIX_DIM}])))
+               AS cdist
+      FROM e, q
+    ),
+    pool AS (
+      SELECT vec_id, v, qv, cdist,
+             CAST(ROW_NUMBER() OVER (ORDER BY cdist, vec_id) AS BIGINT) AS crnk
+      FROM coarse
+    ),
+    rerank AS (
+      SELECT vec_id, crnk,
+             1 - list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+               AS dist
+      FROM pool WHERE crnk <= {RERANK_POOL}
+    )
+    SELECT vec_id, crnk AS coarse_rnk, rnk,
+           floor((dist) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS distance
+    FROM (
+      SELECT vec_id, crnk, dist,
+             ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk
+      FROM rerank
+    ) WHERE rnk <= {RERANK_K}
+    ORDER BY rnk
+    """,
+    "Matryoshka truncate-then-rerank search (Kusupati et al. 2022): coarse "
+    f"cosine over the first {PREFIX_DIM} of {DIM} dims (4x cheaper scan; a "
+    "dedicated prefix column makes it literal column pruning at scale), "
+    f"top-{RERANK_POOL} candidate pool, exact full-dimension rerank to "
+    f"top-{RERANK_K}. Both stages are TakeOrderedAndProject; full vectors "
+    "ship only for the pool.",
+)
+def ann_truncate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select("v").first()["v"]
+    coarse = e.select(
+        "vec_id",
+        "v",
+        cosine_distance(
+            F.slice(F.col("v"), 1, PREFIX_DIM), lit_vector(qv[:PREFIX_DIM])
+        ).alias("cdist"),
+    )
+    pool = coarse.orderBy(F.asc("cdist"), F.asc("vec_id")).limit(RERANK_POOL)
+    crnk = F.row_number().over(Window.orderBy(F.asc("cdist"), F.asc("vec_id")))
+    rerank = pool.withColumn("crnk", crnk.cast("long")).select(
+        "vec_id",
+        "crnk",
+        cosine_distance(F.col("v"), lit_vector(qv)).alias("dist"),
+    )
+    rnk = F.row_number().over(Window.orderBy(F.asc("dist"), F.asc("vec_id")))
+    return (
+        rerank.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= RERANK_K)
+        .select(
+            "vec_id",
+            F.col("crnk").alias("coarse_rnk"),
+            "rnk",
+            (pround(F.col("dist"), 6) + 0.0).alias("distance"),
+        )
+        .orderBy("rnk")
+    )

@@ -120,7 +120,9 @@ def merged_queries() -> dict[str, QuerySpec]:
         sketches,
         textanalysis,
         textrank,
+        tokenizer,
         tpch_extra,
+        trending,
         windows,
     )
 
@@ -131,6 +133,8 @@ def merged_queries() -> dict[str, QuerySpec]:
         dedup,
         textanalysis,
         textrank,
+        tokenizer,
+        trending,
         lm,
         quality,
         sessions,

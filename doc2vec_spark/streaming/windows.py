@@ -127,6 +127,54 @@ def tumbling_counts(
     return spark.table(name)
 
 
+def windowed_topk_stream(
+    spark: SparkSession,
+    events_parquet: str,
+    checkpoint: str,
+    name: str = "wtopk",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming twin of the batch ``stream_windowed_topk`` query: a
+    watermarked tumbling-window count drained complete-mode, with the
+    per-window rank applied to the materialized sink table. Per-window
+    rank requires the window CLOSED (a later micro-batch can reorder the
+    top-k), so production form is an append/update sink whose consumer
+    ranks after watermark expiry — exactly what ranking the drained memory
+    table models; the parity test pins it row-for-row to the batch twin."""
+    from pyspark.sql.window import Window
+
+    ev = read_events_stream(spark, events_parquet)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rnk = F.row_number().over(
+        Window.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )
+
+
 def streaming_dedup(
     spark: SparkSession, events_parquet: str, checkpoint: str, name: str = "dedup"
 ) -> DataFrame:

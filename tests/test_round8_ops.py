@@ -209,3 +209,102 @@ def test_hll_zero_register_arithmetic(spark, tmp_path):
     assert len(rows) == len(regs) < HLL_M
     assert rows[0].zero_registers == HLL_M - len(regs)
     assert all(r.hll_est == est for r in rows) and est > 0
+
+
+def test_windowed_topk_ranks_contiguous_and_sorted(spark):
+    """Per window: ranks are 1..k contiguous, counts non-increasing, and
+    rank 1 equals that window's true max count."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.operators.trending import QUERIES, TOP_K_PER_WINDOW
+    from doc2vec_spark.tables import load
+
+    rows = QUERIES["stream_windowed_topk"].fn(spark, SF_DIR).collect()
+    by_w = defaultdict(list)
+    for r in rows:
+        by_w[r.window_start].append(r)
+    true_max = {
+        r["window_start"]: r["m"]
+        for r in (
+            load(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                )
+            )
+            .agg(F.max("n").alias("m"))
+            .collect()
+        )
+    }
+    assert by_w and set(by_w) == set(true_max)
+    for w, rs in by_w.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K_PER_WINDOW
+        assert all(a.n >= b.n for a, b in zip(rs, rs[1:]))
+        assert rs[0].n == true_max[w]
+
+
+def test_bpe_pairs_matches_pure_python_replay(spark):
+    import duckdb
+    from collections import Counter
+
+    from doc2vec_spark.operators.tokenizer import BPE_TOP_K, QUERIES
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT trim(text) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    words: Counter = Counter()
+    for t in texts:
+        words.update(t.split())
+    pairs: Counter = Counter()
+    for w, freq in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += freq  # overlapping occurrences count
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = [(r.pair, r.n) for r in QUERIES["ta_bpe_pairs"].fn(spark, SF_DIR).collect()]
+    assert got == expected
+
+
+def test_truncate_rerank_matches_numpy_replay(spark):
+    """The two-stage result must equal an independent numpy replay of
+    prefix-pool-then-exact-rerank, and the query vector itself must come
+    back first at distance 0."""
+    import duckdb
+    import numpy as np
+
+    from doc2vec_spark.operators.similarity import (
+        PREFIX_DIM,
+        QUERIES,
+        RERANK_K,
+        RERANK_POOL,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    q = V[ids.tolist().index(0)]
+
+    def cdist(M, qq):
+        return 1 - (M @ qq) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qq))
+
+    coarse = cdist(V[:, :PREFIX_DIM], q[:PREFIX_DIM])
+    pool_order = sorted(range(len(ids)), key=lambda i: (coarse[i], ids[i]))
+    pool = pool_order[:RERANK_POOL]
+    exact = cdist(V[pool], q)
+    rerank = sorted(range(len(pool)), key=lambda j: (exact[j], ids[pool[j]]))
+    expected_ids = [int(ids[pool[j]]) for j in rerank[:RERANK_K]]
+
+    got = QUERIES["ann_truncate_rerank"].fn(spark, SF_DIR).collect()
+    assert [r.vec_id for r in got] == expected_ids
+    assert got[0].vec_id == 0 and got[0].distance == 0.0
+    assert [r.rnk for r in got] == list(range(1, len(got) + 1))

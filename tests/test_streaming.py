@@ -171,3 +171,20 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
         for r in want.collect()
     }
     assert got_rows == want_rows
+
+
+def test_windowed_topk_stream_matches_batch(spark, tmp_path):
+    """The streaming windowed top-k (complete-mode drain + post-close rank)
+    must equal the batch twin row-for-row."""
+    from doc2vec_spark.registry import merged_queries
+    from doc2vec_spark.streaming.windows import windowed_topk_stream
+    from tests.conftest import SF_DIR
+
+    got = windowed_topk_stream(
+        spark, f"{SF_DIR}/events.parquet", str(tmp_path / "ckt"), name="s_wtopk"
+    )
+    want = merged_queries()["stream_windowed_topk"].fn(spark, SF_DIR)
+    cols = ["window_start", "rnk", "event_type", "n"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
