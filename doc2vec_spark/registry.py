@@ -104,7 +104,9 @@ def merged_queries() -> dict[str, QuerySpec]:
     from doc2vec_spark import multimodal
     from doc2vec_spark.operators import (
         analytics,
+        anomaly,
         asof,
+        budget,
         curation,
         dedup,
         domain,
@@ -129,6 +131,8 @@ def merged_queries() -> dict[str, QuerySpec]:
     modules = [
         relational,
         analytics,
+        anomaly,
+        budget,
         tpch_extra,
         dedup,
         textanalysis,

@@ -308,3 +308,82 @@ def test_truncate_rerank_matches_numpy_replay(spark):
     assert [r.vec_id for r in got] == expected_ids
     assert got[0].vec_id == 0 and got[0].distance == 0.0
     assert [r.rnk for r in got] == list(range(1, len(got) + 1))
+
+
+def test_data_budget_matches_pure_python_waterfill(spark):
+    import duckdb
+
+    from doc2vec_spark.operators.budget import (
+        BUDGET_X2,
+        CAP_DEN,
+        CAP_NUM,
+        QUALITY_MIN_TOKENS,
+        QUERIES,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, len(regexp_split_to_array(trim(text), '\\s+')) "
+        f"FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    per = {}
+    for src, tk in rows:
+        t, w = per.get(src, (0, 0))
+        per[src] = (t + tk, w + (tk if tk >= QUALITY_MIN_TOKENS else 0))
+    t_tot = sum(v[0] for v in per.values())
+    w_tot = sum(v[1] for v in per.values())
+    b = BUDGET_X2 * t_tot
+    alloc = {}
+    for src, (t_s, w_s) in per.items():
+        cap = (t_s * CAP_NUM) // CAP_DEN
+        alloc[src] = [cap, min(cap, (b * w_s) // w_tot)]
+    leftover = b - sum(a[1] for a in alloc.values())
+    u = sum(per[s][1] for s, a in alloc.items() if a[1] < a[0])
+    for src, a in alloc.items():
+        if a[1] < a[0] and u > 0:
+            a[1] = min(a[0], a[1] + (leftover * per[src][1]) // u)
+
+    got = QUERIES["pipe_data_budget"].fn(spark, SF_DIR).collect()
+    assert {r.source for r in got} == set(per)
+    for r in got:
+        cap, a = alloc[r.source]
+        assert (r.tokens, r.quality_tokens) == per[r.source]
+        assert r.cap_tokens == cap and r.alloc_tokens == a
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.epochs_ppm == a * 1_000_000 // r.tokens
+        assert r.epochs_ppm <= (CAP_NUM * 1_000_000) // CAP_DEN
+    assert sum(r.alloc_tokens for r in got) <= b  # never over-allocates
+
+
+def test_rate_anomaly_flags_consistent_with_snapped_z(spark):
+    from doc2vec_spark.operators.anomaly import QUERIES, Z_THRESHOLD
+
+    rows = QUERIES["ev_rate_anomaly"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.is_anomaly == (r.z >= Z_THRESHOLD or r.z <= -Z_THRESHOLD)
+        assert round(r.z, 4) == r.z  # snapped to 4 decimals
+
+
+def test_rate_anomaly_zero_variance_guard(spark, tmp_path):
+    """Types whose windows all have identical counts (here: one window per
+    type) must score z = 0 and never alarm."""
+    import duckdb
+
+    from doc2vec_spark.operators.anomaly import QUERIES
+
+    d = tmp_path / "flat"
+    d.mkdir()
+    duckdb.sql(
+        """
+        COPY (SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 01:00:00', 10, 'click', 1.0, 'p'),
+          (2, TIMESTAMP '2024-01-01 02:00:00', 11, 'click', 1.0, 'p'),
+          (3, TIMESTAMP '2024-01-01 03:00:00', 12, 'view',  1.0, 'p')
+        ) t(event_id, ts, user_id, event_type, value, props))
+        TO '%s' (FORMAT PARQUET)
+        """
+        % (d / "events.parquet")
+    )
+    rows = QUERIES["ev_rate_anomaly"].fn(spark, str(d)).collect()
+    assert len(rows) == 2
+    assert all(r.z == 0.0 and not r.is_anomaly for r in rows)
