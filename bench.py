@@ -274,6 +274,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": q,
                 "sf": sf_val,
+                # median of the fixed environment probes interleaved through
+                # the run (BENCH_DETAIL "calibration"): lets any reader
+                # normalize this record against host slowness — cross-round
+                # totals divided by their calibration medians compare engine
+                # speed, not machine weather
+                "calibration_median": round(
+                    median_of(sorted(detail["calibration"])), 3
+                ),
             }
         )
 
