@@ -53,10 +53,25 @@ def main() -> None:
         FROM '{SRC}/embeddings.parquet', (SELECT unnest(range({REPLICAS})) AS k)
       ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
     """)
+    # events: replica k shifts event/user ids and keeps event time, types and
+    # values — per-window per-type counts scale exactly 10x with unchanged
+    # window structure, so windowed aggregations/top-k/anomaly operators see
+    # a genuine 10x event firehose over the same time axis (the realistic
+    # shape: more traffic, same clock).
+    n_ev = con.sql(f"SELECT MAX(event_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
+    n_users = con.sql(f"SELECT MAX(user_id)+1 FROM '{SRC}/events.parquet'").fetchone()[0]
+    con.sql(f"""
+      COPY (
+        SELECT event_id + k * {n_ev} AS event_id, ts,
+               user_id + k * {n_users} AS user_id,
+               event_type, value, props
+        FROM '{SRC}/events.parquet', (SELECT unnest(range({REPLICAS})) AS k)
+      ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+    """)
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
+              "lineitem"):
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         n = con.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(t, n)
 
