@@ -112,7 +112,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     # optional extended queries present in the registry
     for extra in sorted(registry):
-        if extra.startswith(("dedup_", "ta_", "ann_", "stream_", "pipe_", "sk_")) and extra not in names:
+        if extra.startswith(("dedup_", "ta_", "ann_", "stream_", "pipe_", "sk_", "ev_")) and extra not in names:
             names.append(extra)
     # scaling rehearsals time a hand-picked subset (comma-separated names)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")

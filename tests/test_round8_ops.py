@@ -387,3 +387,44 @@ def test_rate_anomaly_zero_variance_guard(spark, tmp_path):
     rows = QUERIES["ev_rate_anomaly"].fn(spark, str(d)).collect()
     assert len(rows) == 2
     assert all(r.z == 0.0 and not r.is_anomaly for r in rows)
+
+
+def test_line_level_self_duplicate_within_one_doc(spark, tmp_path):
+    """A line repeated INSIDE one document: the first occurrence survives,
+    the later one is removed, reconstruction keeps document order."""
+    import duckdb
+
+    from doc2vec_spark.operators.linedup import QUERIES
+
+    shared = " ".join(f"x{i}" for i in range(10))
+    mid = " ".join(f"m{i}" for i in range(10))
+    text = f"{shared} {mid} {shared}"
+    d = tmp_path / "selfdup"
+    d.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (0, '%s', 'en', 'w', %d)) "
+        "t(doc_id, text, lang, source, n_chars)) TO '%s' (FORMAT PARQUET)"
+        % (text, len(text), d / "documents.parquet")
+    )
+    rows = QUERIES["dedup_line_level"].fn(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_lines == 3 and r.removed_lines == 1
+    assert r.cleaned_text == f"{shared} {mid}"
+
+
+def test_bpe_pairs_single_char_tokens_yield_no_pairs(spark, tmp_path):
+    """A corpus of only 1-char tokens has no adjacent symbol pairs — the
+    length guard must yield an empty result, not an explode error."""
+    import duckdb
+
+    from doc2vec_spark.operators.tokenizer import QUERIES
+
+    d = tmp_path / "onechar"
+    d.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (0, 'a b c a b', 'en', 'w', 9)) "
+        "t(doc_id, text, lang, source, n_chars)) TO '%s' (FORMAT PARQUET)"
+        % (d / "documents.parquet")
+    )
+    assert QUERIES["ta_bpe_pairs"].fn(spark, str(d)).count() == 0
