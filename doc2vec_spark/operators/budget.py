@@ -69,28 +69,38 @@ tot AS (
   FROM per_source
 ),
 r1 AS (
+  -- if NO doc passes the quality gate (w = 0), weights fall back to raw
+  -- token mass so the allocator degrades to plain proportional shares
   SELECT source, t_s, w_s,
          (t_s * {CAP_NUM}) // {CAP_DEN} AS cap_s,
          LEAST((t_s * {CAP_NUM}) // {CAP_DEN},
-               ({BUDGET_X2} * t.t * w_s) // t.w) AS a1
+               CASE WHEN t.w > 0 THEN ({BUDGET_X2} * t.t * w_s) // t.w
+                    ELSE ({BUDGET_X2} * t.t * t_s) // t.t END) AS a1
   FROM per_source, tot t
 ),
 lo AS (
   SELECT {BUDGET_X2} * (SELECT t FROM tot) - SUM(a1) AS leftover,
-         SUM(CASE WHEN a1 < cap_s THEN w_s ELSE 0 END) AS u
+         SUM(CASE WHEN a1 < cap_s
+                  THEN CASE WHEN (SELECT w FROM tot) > 0 THEN w_s ELSE t_s END
+                  ELSE 0 END) AS u
   FROM r1
+),
+fin AS (
+  SELECT source, t_s, w_s, cap_s,
+         CASE WHEN a1 < cap_s AND lo.u > 0
+              THEN LEAST(cap_s, a1 + (lo.leftover *
+                     (CASE WHEN (SELECT w FROM tot) > 0 THEN w_s
+                           ELSE t_s END)) // lo.u)
+              ELSE a1 END AS alloc
+  FROM r1, lo
 )
 SELECT source,
        t_s AS tokens,
        w_s AS quality_tokens,
        cap_s AS cap_tokens,
-       CAST(CASE WHEN a1 < cap_s AND lo.u > 0
-                 THEN LEAST(cap_s, a1 + (lo.leftover * w_s) // lo.u)
-                 ELSE a1 END AS BIGINT) AS alloc_tokens,
-       CAST((CASE WHEN a1 < cap_s AND lo.u > 0
-                  THEN LEAST(cap_s, a1 + (lo.leftover * w_s) // lo.u)
-                  ELSE a1 END) * 1000000 // t_s AS BIGINT) AS epochs_ppm
-FROM r1, lo
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CAST(alloc * 1000000 // t_s AS BIGINT) AS epochs_ppm
+FROM fin
 ORDER BY source
 """
 
@@ -124,24 +134,33 @@ def pipe_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus is now |sources| rows — the waterfill is driver-side
     # integer arithmetic over that bounded table (KMV/Q15 precedent)
     rows = sorted(per_source.collect(), key=lambda r: r["source"])
+    schema = (
+        "source string, tokens long, quality_tokens long, cap_tokens long, "
+        "alloc_tokens long, epochs_ppm long"
+    )
+    if not rows:  # empty corpus -> empty allocation (matches the SQL oracle)
+        return spark.createDataFrame([], schema)
     t = sum(r["t_s"] for r in rows)
     w = sum(r["w_s"] for r in rows)
     b = BUDGET_X2 * t
+    # w == 0 (no doc passes the gate): weights fall back to raw token mass
+    # so the allocator degrades to plain proportional shares
+    weight = (lambda r: r["w_s"]) if w > 0 else (lambda r: r["t_s"])
+    wt = w if w > 0 else t
     out = []
     for r in rows:
         cap = (r["t_s"] * CAP_NUM) // CAP_DEN
-        a1 = min(cap, (b * r["w_s"]) // w)
-        out.append([r["source"], r["t_s"], r["w_s"], cap, a1])
+        a1 = min(cap, (b * weight(r)) // wt)
+        out.append([r["source"], r["t_s"], r["w_s"], cap, a1, weight(r)])
     leftover = b - sum(o[4] for o in out)
-    u = sum(o[2] for o in out if o[4] < o[3])
+    u = sum(o[5] for o in out if o[4] < o[3])
     for o in out:
         if o[4] < o[3] and u > 0:
-            o[4] = min(o[3], o[4] + (leftover * o[2]) // u)
+            o[4] = min(o[3], o[4] + (leftover * o[5]) // u)
     return spark.createDataFrame(
         [
             (src, t_s, w_s, cap, alloc, alloc * 1_000_000 // t_s)
-            for src, t_s, w_s, cap, alloc in out
+            for src, t_s, w_s, cap, alloc, _ in out
         ],
-        "source string, tokens long, quality_tokens long, cap_tokens long, "
-        "alloc_tokens long, epochs_ppm long",
+        schema,
     ).orderBy("source")

@@ -443,7 +443,9 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("present"),
     ).first()
-    z40 = int(zrow["s"]) + (HLL_M - int(zrow["present"])) * (1 << _HLL_HASH_BITS)
+    z40 = int(zrow["s"] or 0) + (HLL_M - int(zrow["present"])) * (
+        1 << _HLL_HASH_BITS
+    )
     zero_registers = HLL_M - int(zrow["present"])
     hll_est = (673 * HLL_M * HLL_M * (1 << _HLL_HASH_BITS)) // (1000 * z40)
     n_exact = orders.select("o_custkey").distinct().count()

@@ -428,3 +428,62 @@ def test_bpe_pairs_single_char_tokens_yield_no_pairs(spark, tmp_path):
         % (d / "documents.parquet")
     )
     assert QUERIES["ta_bpe_pairs"].fn(spark, str(d)).count() == 0
+
+
+def test_data_budget_quality_gate_fallback_and_empty_corpus(spark, tmp_path):
+    """w = 0 (no doc passes the gate) falls back to raw-token proportional
+    shares in BOTH engines; an empty corpus yields an empty allocation."""
+    import duckdb
+
+    from doc2vec_spark.operators.budget import QUERIES
+
+    d = tmp_path / "lowq"
+    d.mkdir()
+    # 3-token docs: all far below QUALITY_MIN_TOKENS
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "(0, 'a b c', 'en', 'sA', 5), (1, 'd e f', 'en', 'sB', 5)) "
+        "t(doc_id, text, lang, source, n_chars)) TO '%s' (FORMAT PARQUET)"
+        % (d / "documents.parquet")
+    )
+    spec = QUERIES["pipe_data_budget"]
+    got = {r.source: r for r in spec.fn(spark, str(d)).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = {r[0]: r for r in con.sql(spec.oracle).fetchall()}
+    assert set(got) == set(want) == {"sA", "sB"}
+    for s in got:
+        assert (
+            got[s].tokens,
+            got[s].quality_tokens,
+            got[s].cap_tokens,
+            got[s].alloc_tokens,
+            got[s].epochs_ppm,
+        ) == tuple(want[s][1:])
+        assert got[s].quality_tokens == 0 and got[s].alloc_tokens > 0
+
+    e = tmp_path / "empty"
+    e.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (SELECT 0 AS doc_id, 'x' AS \"text\", "
+        "'en' AS lang, 's' AS source, 1 AS n_chars) WHERE 1=0) "
+        "TO '%s' (FORMAT PARQUET)" % (e / "documents.parquet")
+    )
+    assert spec.fn(spark, str(e)).count() == 0
+
+
+def test_hll_empty_table_all_registers_absent(spark, tmp_path):
+    """An empty key set: no register rows come back (there is nothing to
+    group), and the Spark path must not crash on the null moment sum —
+    matching the oracle's empty result."""
+    import duckdb
+
+    from doc2vec_spark.operators.sketches import QUERIES
+
+    d = tmp_path / "noorders"
+    d.mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (SELECT 1 o_custkey) WHERE 1=0) TO '%s' "
+        "(FORMAT PARQUET)" % (d / "orders.parquet")
+    )
+    assert QUERIES["sk_hll_distinct"].fn(spark, str(d)).count() == 0
