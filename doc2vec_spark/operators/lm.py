@@ -204,3 +204,130 @@ def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("importance_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM score (round 8)
+# ---------------------------------------------------------------------------
+# The real KenLM-style gate is an n-gram LM with Kneser-Ney smoothing (Kneser
+# & Ney 1995; Chen & Goodman 1998) — the unigram score above captures token
+# frequency but no word ORDER. This operator scores each document under an
+# interpolated KN BIGRAM model of the corpus, with the discount d = 3/4 kept
+# rational so every probability is an exact integer in ppm (the repo-wide
+# log-free rule):
+#
+#   pcont_ppm(w2)  = N1+(.w2) * 1e6 // B        (continuation probability)
+#   term1_ppm      = (4*c12 - 3) * 1e6 // (4*c1)    [c12 >= 1 in-corpus]
+#   term2_ppm      = 3 * N1+(w1.) * pcont_ppm // (4*c1)
+#   p_ppm(w1,w2)   = term1_ppm + term2_ppm
+#   doc score      = sum(p_ppm) // n_bigrams    (mean bigram probability)
+#
+# 100 TB shape: bigram emit is the map-only zip_with pair stage (no token
+# explode shuffle); the model is three keyed aggregations over the bigram
+# table (by pair, by left word, by right word) — all map-side combinable —
+# and scoring is broadcast joins of vocabulary-sized stats back onto the
+# doc-keyed bigram stream, one groupBy(doc_id) to finish. B enters as a
+# bounded one-row scalar (the ann_ivf_search precedent).
+
+KN_PPM = 1_000_000
+
+
+@_register(
+    "ta_kn_bigram_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+    ctx AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1fwd
+      FROM c12 GROUP BY w1
+    ),
+    back AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1back FROM c12 GROUP BY w2
+    ),
+    btypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12),
+    scored AS (
+      SELECT g.doc_id,
+             ((4 * p.c - 3) * {KN_PPM}) // (4 * x.c1)
+             + (3 * x.n1fwd * ((k.n1back * {KN_PPM}) // t.b)) // (4 * x.c1)
+               AS p_ppm
+      FROM bg g
+      JOIN c12 p ON p.w1 = g.w1 AND p.w2 = g.w2
+      JOIN ctx x ON x.w1 = g.w1
+      JOIN back k ON k.w2 = g.w2
+      CROSS JOIN btypes t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS kn_score_ppm
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "Interpolated Kneser-Ney BIGRAM LM score per document (d = 3/4 kept "
+    "rational; every probability an exact ppm integer — the log-free, "
+    "order-sensitive KenLM stand-in). Model = three map-side-combinable "
+    "aggregations over the bigram table; scoring = broadcast stats joins "
+    "onto the doc-keyed bigram stream + one groupBy(doc_id).",
+)
+def ta_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    bg = scoped_cache(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))
+                    ),
+                    F.slice(
+                        F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        ).select("doc_id", "p.w1", "p.w2")
+    )
+    c12 = scoped_cache(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
+    )
+    back = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
+    b_types = int(c12.count())  # bounded scalar: one count over vocab^2 rows
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(back), "w2")
+        .select(
+            "doc_id",
+            (
+                F.expr(f"((4 * c - 3) * {KN_PPM}) div (4 * c1)")
+                + F.expr(
+                    f"(3 * n1fwd * ((n1back * {KN_PPM}) div {b_types}))"
+                    " div (4 * c1)"
+                )
+            ).alias("p_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(p_ppm) div count(1)").alias("kn_score_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -487,3 +487,80 @@ def test_hll_empty_table_all_registers_absent(spark, tmp_path):
         "(FORMAT PARQUET)" % (d / "orders.parquet")
     )
     assert QUERIES["sk_hll_distinct"].fn(spark, str(d)).count() == 0
+
+
+def _python_kn(texts: list[str]):
+    """Independent dict replay of the rational Kneser-Ney bigram math."""
+    from collections import Counter, defaultdict
+
+    from doc2vec_spark.operators.lm import KN_PPM
+
+    bg_by_doc = []
+    c12: Counter = Counter()
+    for t in texts:
+        w = t.split()
+        pairs = list(zip(w, w[1:]))
+        bg_by_doc.append(pairs)
+        c12.update(pairs)
+    c1: Counter = Counter()
+    n1fwd: Counter = Counter()
+    n1back: Counter = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1fwd[w1] += 1
+        n1back[w2] += 1
+    b = len(c12)
+
+    def p_ppm(w1, w2):
+        t1 = ((4 * c12[(w1, w2)] - 3) * KN_PPM) // (4 * c1[w1])
+        t2 = (3 * n1fwd[w1] * ((n1back[w2] * KN_PPM) // b)) // (4 * c1[w1])
+        return t1 + t2
+
+    scores = {}
+    for i, pairs in enumerate(bg_by_doc):
+        if pairs:
+            scores[i] = (len(pairs), sum(p_ppm(*p) for p in pairs) // len(pairs))
+    return scores, p_ppm, c12, c1
+
+
+def test_kn_bigram_matches_pure_python_replay(spark):
+    import duckdb
+
+    from doc2vec_spark.operators.lm import QUERIES
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT trim(text) FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    expected, _, _, _ = _python_kn(texts)
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_score_ppm)
+        for r in QUERIES["ta_kn_bigram_score"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
+def test_kn_bigram_probability_mass_bounded(spark):
+    """KN model validity: for every context w1, the probability mass over
+    its OBSERVED continuations stays <= 1 (ppm sum <= 1e6, up to flooring
+    dust) and every individual probability is positive — the smoothing
+    never over-allocates or zeroes an observed bigram."""
+    import duckdb
+
+    from doc2vec_spark.operators.lm import KN_PPM
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT trim(text) FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    _, p_ppm, c12, c1 = _python_kn(texts)
+    mass: dict = {}
+    for (w1, w2) in c12:
+        p = p_ppm(w1, w2)
+        assert p > 0
+        mass[w1] = mass.get(w1, 0) + p
+    assert mass and all(m <= KN_PPM for m in mass.values())
