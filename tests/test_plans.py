@@ -344,3 +344,29 @@ def test_salted_join_is_sort_merge_on_composite_key(spark):
     join_section = plan[plan.index("SortMergeJoin"):]
     assert "c_custkey" in join_section and "salt" in join_section.split("\n")[0]
     assert "BroadcastHashJoin" not in plan
+
+
+def test_round8_plan_shapes(spark):
+    """Round-8 operators keep their scale-critical physical shapes:
+    - ta_textrank: every PageRank iteration joins the cached edge state
+      against a BROADCAST of the vocabulary-sized rank table (no edge
+      re-shuffle per iteration);
+    - ann_truncate_rerank: the coarse candidate pool builds via
+      TakeOrderedAndProject (no full sort of the vector table);
+    - ev_rate_anomaly: the per-type stats join back is a broadcast."""
+    import re
+
+    from doc2vec_spark.plans.checks import (
+        assert_broadcast_join,
+        formatted_plan,
+    )
+
+    tr = formatted_plan(_q("ta_textrank", spark))
+    from doc2vec_spark.operators.textrank import PR_ITERS
+
+    assert len(re.findall(r"BroadcastHashJoin", tr)) >= PR_ITERS
+
+    rr = formatted_plan(_q("ann_truncate_rerank", spark))
+    assert "TakeOrderedAndProject" in rr
+
+    assert_broadcast_join(_q("ev_rate_anomaly", spark))
