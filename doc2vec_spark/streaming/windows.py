@@ -175,6 +175,73 @@ def windowed_topk_stream(
     )
 
 
+def hll_users_stream(
+    spark: SparkSession,
+    events_parquet: str,
+    checkpoint: str,
+    name: str = "whll",
+) -> DataFrame:
+    """Streaming twin of the batch ``stream_hll_users`` query: the HLL
+    register build is an algebraic per-(window, register) MAX, so it runs
+    natively as a watermarked streaming aggregation — 16 small integers of
+    state per window where exact distinct would hold every user id. The
+    drained register table is finalized to the estimate exactly like the
+    batch twin; the parity test pins them row-for-row."""
+    from doc2vec_spark.operators.trending import (
+        _HLL_BITS,
+        _HLL_M,
+        _HLL_W_BITS,
+    )
+
+    ev = read_events_stream(spark, events_parquet)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    rho = ev.select(
+        "ts",
+        (h % _HLL_M).alias("reg"),
+        F.when(F.shiftright(h, 4) == 0, F.lit(_HLL_W_BITS + 1))
+        .otherwise(
+            F.instr(F.lpad(F.bin(F.shiftright(h, 4)), _HLL_W_BITS, "0"), "1")
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    regs = (
+        rho.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"), "reg")
+        .agg(F.max("r").alias("r_max"))
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("window")
+        .agg(
+            F.count(F.lit(1)).alias("n_registers"),
+            F.expr(
+                f"(673 * {_HLL_M * _HLL_M} * shiftleft(1L, {_HLL_BITS}))"
+                f" div (1000 * (sum(shiftleft(1L, {_HLL_BITS} - cast(r_max as int)))"
+                f" + ({_HLL_M} - count(1)) * shiftleft(1L, {_HLL_BITS})))"
+            ).alias("hll_users"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_registers",
+            "hll_users",
+        )
+    )
+
+
 def streaming_dedup(
     spark: SparkSession, events_parquet: str, checkpoint: str, name: str = "dedup"
 ) -> DataFrame:

@@ -188,3 +188,20 @@ def test_windowed_topk_stream_matches_batch(spark, tmp_path):
     assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
         map(tuple, want.select(*cols).collect())
     )
+
+
+def test_hll_users_stream_matches_batch(spark, tmp_path):
+    """The watermarked streaming HLL register aggregation, drained and
+    finalized, must equal the batch twin's registers and estimates."""
+    from doc2vec_spark.registry import merged_queries
+    from doc2vec_spark.streaming.windows import hll_users_stream
+    from tests.conftest import SF_DIR
+
+    got = hll_users_stream(
+        spark, f"{SF_DIR}/events.parquet", str(tmp_path / "ckh"), name="s_whll"
+    )
+    want = merged_queries()["stream_hll_users"].fn(spark, SF_DIR)
+    cols = ["window_start", "n_registers", "hll_users"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
