@@ -105,6 +105,40 @@ ORDER BY source
 """
 
 
+def waterfill(
+    per_source: list[tuple[str, int, int]],
+) -> list[tuple[str, int, int, int, int, int]]:
+    """The driver-side allocation core over (source, tokens, quality_tokens)
+    rows: proportional shares by quality weight (raw-token fallback when no
+    document passes the gate), per-source repeat cap, one leftover
+    redistribution. Pure integer arithmetic; property-tested directly in
+    tests/test_round8_ops.py."""
+    if not per_source:
+        return []
+    t = sum(r[1] for r in per_source)
+    w = sum(r[2] for r in per_source)
+    b = BUDGET_X2 * t
+    # w == 0 (no doc passes the gate): weights fall back to raw token mass
+    # so the allocator degrades to plain proportional shares
+    widx = 2 if w > 0 else 1
+    wt = w if w > 0 else t
+    out = []
+    for src, t_s, w_s in per_source:
+        cap = (t_s * CAP_NUM) // CAP_DEN
+        a1 = min(cap, (b * (w_s if widx == 2 else t_s)) // wt)
+        out.append([src, t_s, w_s, cap, a1, w_s if widx == 2 else t_s])
+    leftover = b - sum(o[4] for o in out)
+    u = sum(o[5] for o in out if o[4] < o[3])
+    for o in out:
+        if o[4] < o[3] and u > 0:
+            o[4] = min(o[3], o[4] + (leftover * o[5]) // u)
+    return [
+        (src, t_s, w_s, cap, alloc, alloc * 1_000_000 // t_s)
+        for src, t_s, w_s, cap, alloc, _ in out
+    ]
+
+
+
 @_register(
     "pipe_data_budget",
     _BUDGET_ORACLE,
@@ -140,27 +174,5 @@ def pipe_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not rows:  # empty corpus -> empty allocation (matches the SQL oracle)
         return spark.createDataFrame([], schema)
-    t = sum(r["t_s"] for r in rows)
-    w = sum(r["w_s"] for r in rows)
-    b = BUDGET_X2 * t
-    # w == 0 (no doc passes the gate): weights fall back to raw token mass
-    # so the allocator degrades to plain proportional shares
-    weight = (lambda r: r["w_s"]) if w > 0 else (lambda r: r["t_s"])
-    wt = w if w > 0 else t
-    out = []
-    for r in rows:
-        cap = (r["t_s"] * CAP_NUM) // CAP_DEN
-        a1 = min(cap, (b * weight(r)) // wt)
-        out.append([r["source"], r["t_s"], r["w_s"], cap, a1, weight(r)])
-    leftover = b - sum(o[4] for o in out)
-    u = sum(o[5] for o in out if o[4] < o[3])
-    for o in out:
-        if o[4] < o[3] and u > 0:
-            o[4] = min(o[3], o[4] + (leftover * o[5]) // u)
-    return spark.createDataFrame(
-        [
-            (src, t_s, w_s, cap, alloc, alloc * 1_000_000 // t_s)
-            for src, t_s, w_s, cap, alloc, _ in out
-        ],
-        schema,
-    ).orderBy("source")
+    alloc = waterfill([(r["source"], r["t_s"], r["w_s"]) for r in rows])
+    return spark.createDataFrame(alloc, schema).orderBy("source")

@@ -564,3 +564,85 @@ def test_kn_bigram_probability_mass_bounded(spark):
         assert p > 0
         mass[w1] = mass.get(w1, 0) + p
     assert mass and all(m <= KN_PPM for m in mass.values())
+
+
+# --------------------------------------------------------------------------
+# Property-based coverage of the round-8 math (hypothesis)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**9),  # t_s
+            st.integers(min_value=0, max_value=10**9),  # w_s raw
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_waterfill_invariants_hold_for_any_distribution(rows):
+    """For ANY per-source token distribution: allocations respect the
+    per-source cap, never exceed the budget in total, are non-negative,
+    and epochs_ppm never exceeds the repeat cap."""
+    from doc2vec_spark.operators.budget import (
+        BUDGET_X2,
+        CAP_DEN,
+        CAP_NUM,
+        waterfill,
+    )
+
+    per = [
+        (f"s{i}", t, min(w, t))  # quality tokens can never exceed tokens
+        for i, (t, w) in enumerate(rows)
+    ]
+    out = waterfill(per)
+    b = BUDGET_X2 * sum(t for _, t, _ in per)
+    assert len(out) == len(per)
+    total = 0
+    for (_, t_s, w_s, cap, alloc, ppm) in out:
+        assert cap == (t_s * CAP_NUM) // CAP_DEN
+        assert 0 <= alloc <= cap
+        assert ppm == alloc * 1_000_000 // t_s
+        assert ppm <= (CAP_NUM * 1_000_000) // CAP_DEN
+        total += alloc
+    assert total <= b
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=2, max_size=30),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_kn_probability_mass_bounded_for_any_corpus(docs):
+    """KN model validity on ANY corpus over a small alphabet: per-context
+    observed-continuation mass stays <= 1 and every probability > 0."""
+    from doc2vec_spark.operators.lm import KN_PPM
+
+    texts = [" ".join(d) for d in docs]
+    _, p_ppm, c12, _ = _python_kn(texts)
+    mass: dict = {}
+    for (w1, w2) in c12:
+        p = p_ppm(w1, w2)
+        assert p > 0
+        mass[w1] = mass.get(w1, 0) + p
+    assert all(m <= KN_PPM for m in mass.values())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), max_size=300))
+def test_hll_replay_estimate_always_positive_and_exact_under_k(keys):
+    """HLL replay sanity on ANY key set: estimate is a positive integer,
+    and register values stay within the 37-position range."""
+    from doc2vec_spark.operators.sketches import _HLL_W_BITS
+
+    regs, est = _python_hll([str(k) for k in keys])
+    assert est > 0
+    assert all(1 <= r <= _HLL_W_BITS + 1 for r in regs.values())
