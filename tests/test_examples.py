@@ -1,0 +1,18 @@
+"""The examples must keep running — they are the migration story for a
+reference user (`examples/quickstart.py` mirrors `doc2vec run` + the MCP
+query loop)."""
+
+from __future__ import annotations
+
+import runpy
+from pathlib import Path
+
+
+def test_quickstart_example_runs_end_to_end(spark, capsys):
+    path = Path(__file__).resolve().parent.parent / "examples" / "quickstart.py"
+    runpy.run_path(str(path), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "run 1: ok=True added=2" in out
+    assert "run 2: ok=True added=0" in out  # W3: unchanged -> no re-embed
+    assert "run 3: ok=True added=1" in out  # only the edited doc re-syncs
+    assert "reconstructed page starts: [Topic: Install]" in out
