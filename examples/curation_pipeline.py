@@ -1,0 +1,68 @@
+"""Curation-pipeline tour: the LLM-training-data plane on the test corpus.
+
+Chains the operators a 100 TB curation run would schedule, each one a
+registry entry with a DuckDB oracle (see COVERAGE.md): near-dup detection,
+line-level cleaning, quality gating, token-budget allocation, split
+assignment, and a windowed-HLL traffic readout — printed as a one-screen
+corpus report.
+
+Run:  python examples/curation_pipeline.py [sf_dir]
+Defaults to /root/testdata/sf0.001; tests/test_examples.py executes it.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.registry import all_queries
+    from doc2vec_spark.session import get_spark
+
+    spark = get_spark("doc2vec-spark-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = all_queries()
+
+    print(f"== corpus report: {sf_dir} ==")
+
+    dups = q["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+    print(f"near-duplicate pairs (MinHash LSH): {dups}")
+
+    cleaned = q["dedup_line_level"].fn(spark, sf_dir)
+    removed = cleaned.agg(F.sum("removed_lines")).first()[0]
+    print(f"line-level dedup: {removed} duplicated lines removed corpus-wide")
+
+    quality = q["pipe_quality_classifier"].fn(spark, sf_dir)
+    kept = quality.filter(F.col("keep")).count()
+    print(f"quality gate: {kept}/{quality.count()} documents kept")
+
+    print("token-budget allocation (repeat-capped waterfill):")
+    for r in q["pipe_data_budget"].fn(spark, sf_dir).collect():
+        print(
+            f"  {r.source}: {r.alloc_tokens} of budget "
+            f"({r.epochs_ppm / 1e6:.2f} epochs of its {r.tokens} tokens)"
+        )
+
+    splits = (
+        q["pipe_split_assign"]
+        .fn(spark, sf_dir)
+        .groupBy("split")
+        .count()
+        .orderBy("split")
+        .collect()
+    )
+    print("split assignment:", {r["split"]: r["count"] for r in splits})
+
+    hll = q["stream_hll_users"].fn(spark, sf_dir).limit(3).collect()
+    print("windowed distinct-user HLL (first 3 windows):")
+    for r in hll:
+        print(f"  {r.window_start}: ~{r.hll_users} users (exact {r.exact_users})")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

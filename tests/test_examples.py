@@ -16,3 +16,16 @@ def test_quickstart_example_runs_end_to_end(spark, capsys):
     assert "run 2: ok=True added=0" in out  # W3: unchanged -> no re-embed
     assert "run 3: ok=True added=1" in out  # only the edited doc re-syncs
     assert "reconstructed page starts: [Topic: Install]" in out
+
+
+def test_curation_pipeline_example_runs(spark, capsys, monkeypatch):
+    path = (
+        Path(__file__).resolve().parent.parent / "examples" / "curation_pipeline.py"
+    )
+    monkeypatch.setattr("sys.argv", [str(path)])  # argv[1:] is the sf_dir
+    runpy.run_path(str(path), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "corpus report" in out
+    assert "line-level dedup:" in out
+    assert "split assignment:" in out and "'train'" in out
+    assert "windowed distinct-user HLL" in out
