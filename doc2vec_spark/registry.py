@@ -112,6 +112,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         domain,
         extensions,
         linedup,
+        manifest,
         pipeline,
         lm,
         quality,
@@ -148,6 +149,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         domain,
         extensions,
         linedup,
+        manifest,
         pipeline,
         multimodal,
         reference_parity,

@@ -646,3 +646,46 @@ def test_hll_replay_estimate_always_positive_and_exact_under_k(keys):
     regs, est = _python_hll([str(k) for k in keys])
     assert est > 0
     assert all(1 <= r <= _HLL_W_BITS + 1 for r in regs.values())
+
+
+def test_shard_manifest_partition_invariance(spark, tmp_path):
+    """The manifest's whole point: identical content in any row order /
+    partitioning produces identical fingerprints, and a single changed
+    document flips exactly its shard's fingerprint and the corpus one."""
+    import duckdb
+
+    from doc2vec_spark.operators.manifest import QUERIES
+
+    base = [(i, f"doc {i} body tokens here", "en", "s", 20) for i in range(40)]
+
+    def write(d, rows):
+        d.mkdir()
+        vals = ", ".join(
+            "(%d, '%s', '%s', '%s', %d)" % r for r in rows
+        )
+        duckdb.sql(
+            "COPY (SELECT * FROM (VALUES %s) "
+            "t(doc_id, text, lang, source, n_chars)) TO '%s' (FORMAT PARQUET)"
+            % (vals, d / "documents.parquet")
+        )
+
+    a, b, c = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+    write(a, base)
+    write(b, list(reversed(base)))  # same content, reversed order
+    changed = [
+        (i, t if i != 7 else t + " CHANGED", l, s, n) for i, t, l, s, n in base
+    ]
+    write(c, changed)
+
+    fn = QUERIES["pipe_shard_manifest"].fn
+    ma = {r.shard: r for r in fn(spark, str(a)).collect()}
+    mb = {r.shard: r for r in fn(spark, str(b)).collect()}
+    mc = {r.shard: r for r in fn(spark, str(c)).collect()}
+
+    assert {s: (r.n_docs, r.n_tokens, r.fp_xor, r.corpus_fp) for s, r in ma.items()} == {
+        s: (r.n_docs, r.n_tokens, r.fp_xor, r.corpus_fp) for s, r in mb.items()
+    }
+    diff = [s for s in ma if ma[s].fp_xor != mc[s].fp_xor]
+    assert len(diff) == 1  # exactly doc 7's shard diverged
+    assert ma[diff[0]].n_docs == mc[diff[0]].n_docs  # same membership
+    assert ma[0].corpus_fp != mc[0].corpus_fp
