@@ -90,10 +90,16 @@ def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").alias("fp_xor"),
     )
     # the corpus fingerprint folds the <= MANIFEST_SHARDS shard rows — a
-    # bounded scalar (Q15/KMV precedent), re-entering the plan as a literal
-    corpus_fp = int(
-        shards.agg(F.expr("bit_xor(fp_xor)").alias("x")).first()["x"]
-    )
+    # bounded scalar (Q15/KMV precedent), re-entering the plan as a literal.
+    # bit_xor over ZERO shard rows is NULL (empty corpus): short-circuit to
+    # the empty manifest the SQL oracle also returns, mirroring
+    # pipe_data_budget's empty-corpus branch (ADVICE r8).
+    fold = shards.agg(F.expr("bit_xor(fp_xor)").alias("x")).first()["x"]
+    if fold is None:
+        return spark.createDataFrame(
+            [], "shard long, n_docs long, n_tokens long, fp_xor long, corpus_fp long"
+        )
+    corpus_fp = int(fold)
     return (
         shards.select(
             "shard",
