@@ -113,6 +113,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         extensions,
         linedup,
         manifest,
+        mmr,
         pipeline,
         lm,
         quality,
@@ -127,6 +128,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         tpch_extra,
         trending,
         windows,
+        wordpiece,
     )
 
     modules = [
@@ -139,11 +141,13 @@ def merged_queries() -> dict[str, QuerySpec]:
         textanalysis,
         textrank,
         tokenizer,
+        wordpiece,
         trending,
         lm,
         quality,
         sessions,
         similarity,
+        mmr,
         sketches,
         windows,
         domain,

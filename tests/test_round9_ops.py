@@ -42,3 +42,207 @@ def test_shard_manifest_empty_corpus_yields_empty_manifest(spark, tmp_path):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
     assert con.sql(spec.oracle).fetchall() == []
+
+
+# ---------------------------------------------------------------------------
+# wordpiece tokenizer APPLY
+# ---------------------------------------------------------------------------
+
+
+def _py_wordpiece(word, pair_vocab, word_vocab, max_chars=16, unk="[UNK]"):
+    """Pure-Python replay of the greedy longest-match walk — the reference
+    implementation the Spark fold and the recursive-CTE oracle must both
+    agree with."""
+    if len(word) > max_chars:
+        return [unk]
+    if word in word_vocab:
+        return [word]
+    pieces, pos = [], 0  # 0-based here; engine walks are 1-based
+    while pos < len(word):
+        if pos + 2 <= len(word) and word[pos : pos + 2] in pair_vocab:
+            pieces.append(word[pos : pos + 2])
+            pos += 2
+        else:
+            pieces.append(word[pos])
+            pos += 1
+    return pieces
+
+
+def test_wordpiece_encode_matches_pure_python_replay(spark):
+    """Every distinct corpus word's (pieces, n_pieces) equals the greedy
+    walk replayed in plain Python over the SAME collected vocab."""
+    from doc2vec_spark.operators.wordpiece import (
+        _collect_vocab,
+        _corpus_words,
+        encode_words,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    words = _corpus_words(spark, sf)
+    pair_vocab, word_vocab = _collect_vocab(words)
+    got = {r.word: (r.pieces, r.n_pieces) for r in encode_words(spark, sf).collect()}
+    assert len(got) > 10
+    for word, (pieces, n) in got.items():
+        want = _py_wordpiece(word, set(pair_vocab), set(word_vocab))
+        assert pieces == "|".join(want), (word, pieces, want)
+        assert n == len(want)
+
+
+def test_wordpiece_unk_and_whole_word_paths(spark, tmp_path):
+    """Words over MAX_WORD_CHARS become a single [UNK]; the most frequent
+    words encode as one whole-word piece; everything else genuinely mixes
+    2-char and 1-char pieces."""
+    from doc2vec_spark.operators.wordpiece import (
+        MAX_WORD_CHARS,
+        QUERIES,
+        UNK,
+    )
+
+    long_word = "x" * (MAX_WORD_CHARS + 4)
+    rows = [
+        (0, f"hello hello hello {long_word}", "en", "s", 40),
+        (1, "hello world world abab abab cdcd", "en", "s", 30),
+    ]
+    d = tmp_path / "wp"
+    _write_docs(d, rows)
+    spec = QUERIES["ta_wordpiece_encode"]
+    got = {r.word: r for r in spec.fn(spark, str(d)).collect()}
+    assert got[long_word].pieces == UNK and got[long_word].n_pieces == 1
+    assert got["hello"].pieces == "hello"  # top-freq word -> whole piece
+    # a walked word: pieces reassemble the word exactly
+    for w, r in got.items():
+        if r.pieces not in (UNK, w):
+            assert "".join(r.pieces.split("|")) == w
+            assert r.n_pieces == len(r.pieces.split("|"))
+    # oracle agreement on this synthetic corpus too
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = {r[0]: r for r in con.sql(spec.oracle).fetchall()}
+    assert {w: (r.pieces, r.n_pieces) for w, r in got.items()} == {
+        w: (r[2], r[3]) for w, r in want.items()
+    }
+
+
+def test_subword_counts_are_at_least_word_counts(spark):
+    """Subword tokenization never produces fewer tokens than words (each
+    word maps to >= 1 piece) — the invariant that makes the subword budget
+    and packing variants conservative upgrades."""
+    from doc2vec_spark.operators.wordpiece import QUERIES
+
+    rows = QUERIES["ta_subword_doc_counts"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_subword_tokens >= r.n_words > 0
+
+
+def test_sequence_pack_subword_tiles_every_token_exactly_once(spark):
+    """Per-doc segment lengths sum to the doc's subword count; offsets stay
+    inside [0, SEQ_LEN); every segment is nonempty (the dataloader
+    invariants, mirrored from the whitespace variant's test)."""
+    from doc2vec_spark.operators.wordpiece import SW_SEQ_LEN, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    segs = QUERIES["pipe_sequence_pack_subword"].fn(spark, sf).collect()
+    counts = {
+        r.doc_id: r.n_subword_tokens
+        for r in QUERIES["ta_subword_doc_counts"].fn(spark, sf).collect()
+    }
+    per_doc = {}
+    for s in segs:
+        assert 0 <= s.tok_offset < SW_SEQ_LEN
+        assert s.n_tok_in_seq > 0
+        per_doc[s.doc_id] = per_doc.get(s.doc_id, 0) + s.n_tok_in_seq
+    assert per_doc == counts
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(d, vecs):
+    """vecs: {vec_id: 64-dim list of doubles}"""
+    d.mkdir(parents=True, exist_ok=True)
+    vals = ", ".join(
+        "(%d, %s::DOUBLE[])" % (vid, "[" + ", ".join(repr(x) for x in v) + "]")
+        for vid, v in sorted(vecs.items())
+    )
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES %s) t(vec_id, embedding)) TO '%s' "
+        "(FORMAT PARQUET)" % (vals, d / "embeddings.parquet")
+    )
+
+
+def _axis(i, scale=1.0):
+    v = [0.0] * 64
+    v[i] = scale
+    return v
+
+
+def test_mmr_prefers_diverse_pick_over_near_duplicate(spark, tmp_path):
+    """A near-duplicate of the first pick is deferred behind a less relevant
+    but diverse candidate — the defining MMR behavior a pure top-k lacks —
+    and both engines agree on the exact selection order."""
+    import math
+
+    a = [0.9, math.sqrt(1 - 0.81), 0.0] + [0.0] * 61
+    b = [0.85, -math.sqrt(1 - 0.7225), 0.0] + [0.0] * 61
+    d = tmp_path / "mmr"
+    _write_embeddings(d, {0: _axis(0), 1: a, 2: list(a), 3: b})
+    from doc2vec_spark.operators.mmr import QUERIES
+
+    spec = QUERIES["ann_mmr_rerank"]
+    got = spec.fn(spark, str(d)).collect()
+    # pure top-k order would be [1, 2, 3] (rel 0.9, 0.9, 0.85); MMR demotes
+    # the exact duplicate vec 2 behind the diverse vec 3
+    assert [r.vec_id for r in got] == [1, 3, 2]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    want = con.sql(spec.oracle).fetchall()
+    assert [(r.step, r.vec_id, r.relevance, r.mmr_score) for r in got] == want
+
+
+def test_mmr_scores_replay_from_raw_vectors(spark):
+    """Independent replay on real data: re-derive every pick's score from
+    the raw embeddings with the left-fold cosine and the literal 0.7/0.3
+    weights; selection must be the true greedy argmax at every step."""
+    from doc2vec_spark.operators.mmr import (
+        LAMBDA,
+        MMR_POOL,
+        ONE_MINUS_LAMBDA,
+        QUERIES,
+        _cos_sim,
+        _p6,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["ann_mmr_rerank"].fn(spark, sf).collect()
+    assert len(got) == 10 and len({r.vec_id for r in got}) == 10
+    vecs = {
+        r[0]: [float(x) for x in r[1]]
+        for r in duckdb.sql(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM '{sf}/embeddings.parquet'"
+        ).fetchall()
+    }
+    q = vecs[0]
+    rel = {vid: _cos_sim(v, q) for vid, v in vecs.items() if vid != 0}
+    pool = dict(sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:MMR_POOL])
+    picked = []
+    for row in got:
+        scores = {}
+        for vid in pool:
+            if vid in picked:
+                continue
+            pen = max(_cos_sim(vecs[vid], vecs[p]) for p in picked) if picked else 0.0
+            scores[vid] = (
+                LAMBDA * rel[vid] - ONE_MINUS_LAMBDA * pen
+                if picked
+                else LAMBDA * rel[vid]
+            )
+        best = max(scores.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert row.vec_id == best[0], (row.step, row.vec_id, best)
+        assert row.mmr_score == _p6(best[1])
+        assert row.relevance == _p6(rel[best[0]])
+        picked.append(best[0])
