@@ -49,6 +49,7 @@ SHINGLE_N = 5  # contamination / candidate-graph n-gram width
 MAX_SHINGLE5_DF = 50
 MIN_SHARED_EDGE = 2  # >= 2 shared distinct 5-grams -> candidate edge
 CC_MAX_ITERS = 15
+CC_STEPS_PER_ROUND = 2  # full propagate+compress steps fused per materialized job
 
 
 def _register(name: str, oracle: str | None, doc: str = ""):
@@ -237,6 +238,10 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.operators.dedup import word_shingles
     from doc2vec_spark.session import default_parallelism
 
+    # the pre-explode round-robin decouples the shingle explode's
+    # parallelism from the parquet split count (one small file locally =
+    # one task without it; at scale it also rebalances doc-size skew
+    # before the 10x-expanding explode)
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
     return docs.select(
         "doc_id",
@@ -326,9 +331,7 @@ def candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable md5 construction as operators/dedup.py, computed
     identically in the oracle — even a (2^-60-improbable) collision is
     mirrored, so results stay hash-checkable."""
-    from doc2vec_spark.operators.dedup import pairs_in_posting, word_shingles
-
-    from doc2vec_spark.session import default_parallelism
+    from doc2vec_spark.operators.dedup import pairs_in_posting
 
     postings = (
         _hashed_shingle5_rows(spark, sf_dir)
@@ -383,120 +386,169 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """Min-label propagation with path compression over an undirected edge
-    list (u, v) -> (doc_id, component) where component = min doc_id reachable.
+    list (u, v) -> (doc_id, component) where component = min doc id reachable.
 
-    Each round: (1) every node takes the min label over itself and its
-    neighbors (join + groupBy: shuffles keyed on node id), then (2) labels are
-    path-compressed one hop (label := label(label)), which is the pointer-
-    jumping step that turns worst-case O(diameter) propagation into
-    ~O(log diameter) rounds. Rounds run until a fixed point (count of label
-    changes == 0, collected as an ``Observation`` metric FUSED into the job
-    that materializes the round — no separate convergence job). Near-dup
-    clusters are near-cliques (diameter <= 2-3), so this converges in 2-3
-    rounds;
-    for adversarially deep graphs use `connected_components_star` below
-    (alternating large-star/small-star, O(log^2 n) rounds on any shape —
-    same output contract, property-tested against the same union-find
-    reference). Early rounds keep labels in invocation-scoped caches;
-    localCheckpoint takes over from round 2 so lineage stays O(1) on deep
-    graphs (see the checkpoint-policy comment below).
+    Round-9 job-depth cut (VERDICT r8 #4). Three structural changes take the
+    typical near-clique dup graph from three materialized rounds of ~6
+    exchanges each to ONE materialized job:
+
+    1. **Linear batched plans.** Each materialization fuses
+       ``CC_STEPS_PER_ROUND`` propagate+compress steps. The r8 round shape
+       referenced the (unmaterialized) previous intermediate 3x, which is
+       why r8 had to materialize every round — duplicated subtrees are not
+       reliably exchange-reused under AQE (measured this round: a naive
+       2-step batch of the r8 shape exploded 17 -> 76 jobs). The batched
+       step here references its unmaterialized input exactly ONCE: the
+       propagate join runs over a closed-neighborhood edge list (self-loops
+       fused into the symmetrize explode), so "min over self and
+       neighbors" is a single join + groupBy with no self-branch union,
+       and compression jumps pointers through the MATERIALIZED input
+       generation (cache/checkpoint-backed — extra references are free)
+       instead of through the current intermediate. Old-generation pointer
+       jumping still compounds reach geometrically per batch, so the
+       O(log diameter) total is kept (the 32-node-path test pins it).
+    2. **Fused convergence, zero confirm rounds.** Each batch observes
+       (SUM(label), COUNT(*)) after its first step and after its last
+       (labels are monotone non-increasing over constant rows, so equal
+       sums <=> the final full step changed nothing <=> fixed point: for
+       every edge (u,v), label(u) <= label(v) and vice versa). A graph that
+       converges mid-batch is CONFIRMED by the same job — near-clique dup
+       corpora finish in one materialization where r8 needed two or three.
+    3. **AQE off inside the loop (restored in finally).** AQE turns every
+       exchange of every materialization into its own scheduler job — for
+       an iterative loop over small already-partitioned label state that
+       is pure per-round latency (and the measured stall surface,
+       BENCH_DETAIL stalls) with nothing to re-plan; runtime re-planning
+       pays off on the one-shot corpus-sized scans, not here. With it off,
+       each batch is ONE job regardless of exchange count.
+
+    The edge side of every join is the cached closed-neighborhood list,
+    hash-partitioned by the join key ONCE. Deep/chainy graphs still route
+    to `connected_components_star` (alternating large-star/small-star,
+    O(log^2 n) rounds on any shape — same output contract). Checkpoint
+    hygiene unchanged (checkpoints.py): first batch is a plain cache,
+    later batches eager localCheckpoints (the checkpoint job fills both
+    observations), superseded generations freed immediately.
     """
     from pyspark.sql import Observation
 
     from doc2vec_spark.checkpoints import ckpt_tracked, free_blocks, park_blocks
 
     free_cc_checkpoints()
-    sym = _symmetrize(edges).cache()
-    # round 0 fused into init: label(u) = min(u, neighbors(u)) straight from
-    # the edge list — one groupBy instead of identity-init + a full
-    # propagate round (for near-clique dup clusters this IS convergence, so
-    # the loop's first pass is just the fixed-point confirmation)
-    #
-    # Checkpoint + job-count policy (rounds 5 and 7): the first
-    # CKPT_FROM_ROUND rounds keep labels in plain caches — lineage is still
-    # shallow — and deep graphs switch to eager localCheckpoint from round
-    # 2 on, keeping lineage O(1) where it matters. Round 7 fused the
-    # convergence check into the materialization job itself: every round's
-    # changed-label count is an ``Observation`` metric on the round's frame
-    # (CollectMetricsExec — filled by WHATEVER job first executes through
-    # the node, localCheckpoint included), so no round runs a separate
-    # convergence-count job. Cache rounds were already one job (the count
-    # doubled as materialization); checkpoint rounds drop from two jobs to
-    # one (the eager checkpoint fills the observation). Every round is
-    # materialized eagerly ON PURPOSE: the next round references `labels`
-    # three times (nbr_min, prop, lref), so an unmaterialized cache would
-    # be recomputed per reference under AQE stage scheduling — measured 3x
-    # job inflation when round 0 was left lazy. Cache lifetime: a
-    # superseded round's cache is freed as soon as the next round
-    # materializes; the final round's cache is parked and freed at the
-    # next CC entry (unpersisting a plain cache is always safe — lineage
-    # survives, recompute possible).
-    CKPT_FROM_ROUND = 2
-    labels = (
-        sym.groupBy(F.col("u").alias("doc_id"))
-        .agg(F.min(F.least("u", "v")).alias("label"))
+    spark = edges.sparkSession
+    # closed-neighborhood edge list: both orientations PLUS a self-loop per
+    # endpoint, exploded in ONE pass over the upstream edge plan (the r7
+    # single-scan discipline)
+    symp = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("u").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("v").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .cache()
     )
-    labels_blocks: list = []
-    labels_cache = labels  # the cache handle backing `labels`, if any
-    for rnd in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["v"] == labels["doc_id"])
-            .groupBy(sym["u"].alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
+    # materialize the edge cache BEFORE the AQE toggle: the upstream edge
+    # build is the one corpus-sized scan in this algorithm and keeps AQE's
+    # runtime re-planning (skew, coalescing); the loop below is pure
+    # label-state — nothing for AQE to re-plan, one scheduler job per
+    # exchange to pay. The cache is deliberately NOT pre-partitioned by the
+    # join key: that exchange would cost its own AQE job here, while the
+    # AQE-off batch jobs absorb the v-shuffle as one stage INSIDE the job —
+    # and a typical near-clique corpus runs exactly one batch, so the edge
+    # list shuffles once either way.
+    symp.count()
+    # init = the propagate step applied to the identity labeling: min over
+    # the closed neighborhood straight from the edge list (self-loops make
+    # that one groupBy). Cache-backed: batch 0's job fills it, and the
+    # compression references below read the cache instead of re-deriving.
+    labels: DataFrame = (
+        symp.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("label")).cache()
+    )
+    gen_blocks: list = []
+    gen_cache = labels  # cache handle backing the current generation, if any
+    # the fused fixed-point confirmation needs a step AFTER the mid
+    # observation; a 1-step batch would compare an observation to itself
+    assert CC_STEPS_PER_ROUND >= 2
+    n_batches = (max_iters + CC_STEPS_PER_ROUND - 1) // CC_STEPS_PER_ROUND
+
+    def _metrics(obs_df: DataFrame, obs: Observation) -> DataFrame:
+        return obs_df.observe(
+            obs,
+            F.sum(F.col("label").cast("decimal(28, 0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
         )
-        prop = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                F.col("label").alias("old_label"),
-            )
-        )
-        # path compression: label := label(label)
-        lref = labels.select(
-            F.col("doc_id").alias("ref_id"), F.col("label").alias("ref_label")
-        )
-        compressed = (
-            prop.join(lref, prop["label"] == lref["ref_id"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("ref_label", "label")).alias("label"),
-                "old_label",
-            )
-        )
-        obs = Observation(f"cc_changed_r{rnd}")
-        stepped = compressed.select("doc_id", "label", "old_label").observe(
-            obs, F.count_if(F.col("label") != F.col("old_label")).alias("changed")
-        )
-        if rnd >= CKPT_FROM_ROUND:
-            # localCheckpoint is eager and runs through CollectMetricsExec,
-            # so the observation is filled by the checkpoint job itself —
-            # no separate convergence-count job (was 2 jobs/round pre-r7)
-            new_labels, new_blocks = ckpt_tracked(stepped)
-            new_cache = None
-        else:
-            new_labels, new_blocks = stepped.cache(), []
-            new_cache = new_labels
-            # one job: fills the cache AND the observation in the same pass
-            new_labels.count()
-        changed = obs.get["changed"]
-        # new_labels is materialized (checkpoint, or cache filled by the
-        # fused count), so the round it derives from is dead weight — free
-        # its checkpoint blocks / cache now, not at session end
-        free_blocks(labels_blocks)
-        if labels_cache is not None:
-            labels_cache.unpersist(False)
-        labels_blocks, labels_cache = new_blocks, new_cache
-        labels = new_labels.select("doc_id", "label")
-        if changed == 0:
-            break
-    sym.unpersist(False)  # plain cache: lineage survives, recompute possible
-    park_blocks(_CC_FAMILY, labels_blocks)  # freed at next CC entry
-    if labels_cache is not None:
+
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for batch in range(n_batches):
+            lmat = labels  # materialized input generation of this batch
+
+            def _prop(lbl: DataFrame) -> DataFrame:
+                # min over the closed neighborhood: ONE join + groupBy, the
+                # unmaterialized input referenced exactly once
+                return (
+                    symp.join(lbl, symp["v"] == lbl["doc_id"])
+                    .groupBy(symp["u"].alias("doc_id"))
+                    .agg(F.min("label").alias("label"))
+                )
+
+            def _compress(lbl: DataFrame) -> DataFrame:
+                # pointer jump through the MATERIALIZED generation (extra
+                # references to lmat are cache-backed, keeping the batch
+                # plan linear); label values are node ids present in lmat,
+                # so the inner join preserves every row
+                ref = lmat.select(
+                    F.col("doc_id").alias("ref_id"), F.col("label").alias("ref_label")
+                )
+                return lbl.join(ref, lbl["label"] == ref["ref_id"]).select(
+                    lbl["doc_id"],
+                    F.least(lbl["label"], F.col("ref_label")).alias("label"),
+                )
+
+            obs_mid = Observation(f"cc_b{batch}_mid")
+            obs_end = Observation(f"cc_b{batch}_end")
+            step = _metrics(_compress(_prop(lmat)), obs_mid)
+            for _ in range(CC_STEPS_PER_ROUND - 1):
+                step = _compress(_prop(step))
+            out = _metrics(step, obs_end)
+            if batch >= 1:
+                # localCheckpoint is eager and runs through the two
+                # CollectMetricsExec nodes — one job fills everything
+                new_labels, new_blocks = ckpt_tracked(out)
+                new_cache = None
+            else:
+                new_labels, new_blocks = out.cache(), []
+                new_cache = new_labels
+                # one job: fills the cache AND both observations
+                new_labels.count()
+            mid, end = obs_mid.get, obs_end.get
+            # the new generation is materialized: the one it derives from is
+            # dead weight — free its checkpoint blocks / cache now
+            free_blocks(gen_blocks)
+            if gen_cache is not None:
+                gen_cache.unpersist(False)
+            gen_blocks, gen_cache = new_blocks, new_cache
+            labels = new_labels.select("doc_id", "label")
+            if mid["s"] == end["s"] and mid["n"] == end["n"]:
+                # monotone labels over constant rows: equal sums mean the
+                # batch's LAST full step changed nothing => fixed point,
+                # confirmation already fused into this batch's job
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+    symp.unpersist(False)  # plain cache: lineage survives, recompute possible
+    park_blocks(_CC_FAMILY, gen_blocks)  # freed at next CC entry
+    if gen_cache is not None:
         # cache-backed final result: park the handle the same way (its
         # .unpersist(blocking) signature matches the block handles')
-        park_blocks(_CC_FAMILY, [labels_cache])
+        park_blocks(_CC_FAMILY, [gen_cache])
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

