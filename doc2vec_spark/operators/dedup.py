@@ -1158,6 +1158,59 @@ def _wide_band_val_sql(band_id: int) -> str:
     )
 
 
+# Third routing tier (round 9: the 30x rehearsal measured the 8x8-bit tier
+# saturating — 72.7M band candidates for ~3k true pairs at 63k vectors,
+# chance collisions ~ bands * n^2 / 2^bits taking over). Keeping recall
+# while cutting chance needs MORE bands of MORE bits: 16 bands x 12 bits
+# (192 planes) holds >= 0.9-pair recall at the 8x8 level (per-band hit
+# p^12 ~ 0.157, miss (1-p^12)^16 ~ 6.5% vs 6.7%) while chance collisions
+# drop 8x (16/2^12 vs 8/2^8). The per-decade rule this encodes: every ~10x
+# corpus growth adds ~3-4 band bits and ~2x bands — constants-only growth,
+# plan shape identical.
+EMB_LSH_WIDE2_MIN_VECS = 30_000
+W2_PLANES_N = 192
+W2_BANDS = 16
+_W2_BITS = W2_PLANES_N // W2_BANDS
+_w2_rng = _np.random.RandomState(1729)
+W2_PLANES: list[list[float]] = [
+    [float(x) for x in _w2_rng.randn(64)] for _ in range(W2_PLANES_N)
+]
+
+
+def _w2_band_vals_expr(vcol: Column) -> Column:
+    """array<long> of the 16 wide2 band values via ONE Arrow-batched matmul
+    (same blas-sign caveat as _pair_sig_expr)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = _np.asarray(W2_PLANES)  # (192, DIM)
+    weights = 1 << _np.arange(_W2_BITS, dtype=_np.int64)  # within-band
+
+    @pandas_udf("array<long>")
+    def w2_bands(vs):
+        vm = _np.vstack(vs.to_numpy())
+        bits = (vm @ planes.T) > 0  # n x 192
+        vals = (
+            bits.reshape(len(vm), W2_BANDS, _W2_BITS) * weights[None, None, :]
+        ).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return w2_bands(vcol)
+
+
+def _w2_band_val_sql(band_id: int) -> str:
+    lo = band_id * _W2_BITS
+    return (
+        "("
+        + " + ".join(
+            f"((CASE WHEN list_dot_product(v, {_sql_dvec(W2_PLANES[lo + j])}) > 0"
+            f" THEN 1 ELSE 0 END)::BIGINT << {j})"
+            for j in range(_W2_BITS)
+        )
+        + ")"
+    )
+
+
 def _exact_grid_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> DataFrame:
     """Exact all-pairs cosine >= threshold inside each label, sharded on the
     adaptive g x g salt grid (see dedup_embedding_cosine docstring).
@@ -1246,12 +1299,13 @@ def _exact_grid_pairs(spark: SparkSession, e: DataFrame, threshold: float) -> Da
 
 
 def _srp_band_pairs(
-    spark: SparkSession, e: DataFrame, threshold: float, wide: bool = False
+    spark: SparkSession, e: DataFrame, threshold: float, wide: bool | str = False
 ) -> DataFrame:
     """SRP-banded candidate join + exact cosine confirm — the >= 0.9 path.
     One shuffle keyed (label, band_id, band_val); candidates are only bucket
     collisions, so cost tracks collision rate, never n^2. ``wide`` selects
-    the 8x8-bit large-corpus band configuration (see WIDE_PAIR_PLANES)."""
+    the band configuration: False = 4x4-bit, True/"wide" = 8x8-bit
+    (WIDE_PAIR_PLANES), "wide2" = 16x12-bit (W2_PLANES, the 30x tier)."""
     from doc2vec_spark.functions.vectors import dot, l2_norm
 
     from doc2vec_spark.caching import scoped_cache
@@ -1268,8 +1322,13 @@ def _srp_band_pairs(
         e.withColumn("nrm", l2_norm(F.col("v"))).select("vec_id", "v", "nrm")
     )
     if wide:
+        band_expr = (
+            _w2_band_vals_expr(F.col("v"))
+            if wide == "wide2"
+            else _wide_band_vals_expr(F.col("v"))
+        )
         banded = (
-            e.withColumn("bands", _wide_band_vals_expr(F.col("v")))
+            e.withColumn("bands", band_expr)
             .select(
                 "vec_id",
                 "label",
@@ -1329,12 +1388,13 @@ def embedding_near_dup_pairs(
     spark: SparkSession,
     e: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
-    wide_bands: bool = False,
+    wide_bands: bool | str = False,
 ) -> DataFrame:
     """Routed entry point over (vec_id, label, v double-array) rows:
     threshold >= SRP_ROUTE_THRESHOLD -> SRP band join (collision-bounded;
-    ``wide_bands`` selects the large-corpus 8x8-bit configuration);
-    below -> exact salt-grid shard (O(n^2) FLOPs is the semantics there)."""
+    ``wide_bands`` selects the large-corpus configuration: True/"wide" =
+    8x8-bit, "wide2" = 16x12-bit); below -> exact salt-grid shard (O(n^2)
+    FLOPs is the semantics there)."""
     if threshold >= SRP_ROUTE_THRESHOLD:
         return _srp_band_pairs(spark, e, threshold, wide=wide_bands)
     return _exact_grid_pairs(spark, e, threshold)
@@ -1375,12 +1435,22 @@ def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(planted)
 
 
-def _emb_lsh_oracle(cutoff: int = EMB_LSH_ROUTE_MAX_VECS) -> str:
+def _emb_lsh_oracle(
+    cutoff: int = EMB_LSH_ROUTE_MAX_VECS,
+    w2_cutoff: int = EMB_LSH_WIDE2_MIN_VECS,
+) -> str:
     wide_band_val = (
         "CASE band_id "
         + " ".join(
             f"WHEN {b} THEN {_wide_band_val_sql(b)}"
             for b in range(WIDE_PAIR_BANDS)
+        )
+        + " END"
+    )
+    w2_band_val = (
+        "CASE band_id "
+        + " ".join(
+            f"WHEN {b} THEN {_w2_band_val_sql(b)}" for b in range(W2_BANDS)
         )
         + " END"
     )
@@ -1401,16 +1471,24 @@ def _emb_lsh_oracle(cutoff: int = EMB_LSH_ROUTE_MAX_VECS) -> str:
     wide_banded = f"""
       SELECT vec_id, label, v, band_id, {wide_band_val} AS band_val
       FROM corpus, unnest([{", ".join(map(str, range(WIDE_PAIR_BANDS)))}]) t(band_id)"""
+    w2_banded = f"""
+      SELECT vec_id, label, v, band_id, {w2_band_val} AS band_val
+      FROM corpus, unnest([{", ".join(map(str, range(W2_BANDS)))}]) t(band_id)"""
     return f"""
     WITH nn AS (SELECT COUNT(*) AS c FROM embeddings),
     corpus AS ({_LSH_CORPUS_SQL}),
     narrow AS ({branch(narrow_banded)}),
-    wide AS ({branch(wide_banded)})
+    wide AS ({branch(wide_banded)}),
+    wide2 AS ({branch(w2_banded)})
     SELECT vec_a, vec_b, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
     FROM narrow WHERE sim >= {SRP_ROUTE_THRESHOLD} AND (SELECT c FROM nn) <= {cutoff}
     UNION ALL
     SELECT vec_a, vec_b, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
-    FROM wide WHERE sim >= {SRP_ROUTE_THRESHOLD} AND (SELECT c FROM nn) > {cutoff}
+    FROM wide WHERE sim >= {SRP_ROUTE_THRESHOLD}
+     AND (SELECT c FROM nn) > {cutoff} AND (SELECT c FROM nn) <= {w2_cutoff}
+    UNION ALL
+    SELECT vec_a, vec_b, floor(sim * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+    FROM wide2 WHERE sim >= {SRP_ROUTE_THRESHOLD} AND (SELECT c FROM nn) > {w2_cutoff}
     """
 
 
@@ -1419,15 +1497,17 @@ def _emb_lsh_oracle(cutoff: int = EMB_LSH_ROUTE_MAX_VECS) -> str:
     _emb_lsh_oracle(),
     "Embedding near-dup at threshold {t} through the ROUTED entry point -> "
     "SRP band join, with corpus-size-routed band WIDTH (the simhash-band "
-    "lesson): <= {n} vectors uses 16 planes as 4 bands x 4 bits; above — "
-    "where 16 buckets/band make chance collisions grow ~n^2/16 (measured "
-    "~100x candidate noise at the 10x rehearsal) — 64 planes as 8 bands x "
-    "8 bits (256 buckets/band, near-identical >= 0.9 recall). One shuffle "
-    "keyed (label, band_id, band_val), exact cosine confirm on collisions "
-    "only, either way. Planted clone vectors (cos ~0.95+) make the result "
-    "falsifiable; the oracle replays planes, banding, planting and the "
-    "COUNT(*) route verbatim.".format(
-        t=SRP_ROUTE_THRESHOLD, n=EMB_LSH_ROUTE_MAX_VECS
+    "lesson): <= {n} vectors uses 16 planes as 4 bands x 4 bits; above, "
+    "64 planes as 8 bands x 8 bits; above {n2} — where the 30x rehearsal "
+    "measured the 8-bit tier saturating (72.7M band candidates for ~3k "
+    "true pairs at 63k vectors) — 192 planes as 16 bands x 12 bits (same "
+    ">= 0.9 recall ~93.5%, 8x fewer chance collisions; the per-decade "
+    "widening rule: ~3-4 more band bits and ~2x bands per 10x corpus). "
+    "One shuffle keyed (label, band_id, band_val), exact cosine confirm on "
+    "collisions only, every tier. Planted clone vectors (cos ~0.95+) make "
+    "the result falsifiable; the oracle replays planes, banding, planting "
+    "and the COUNT(*) route verbatim.".format(
+        t=SRP_ROUTE_THRESHOLD, n=EMB_LSH_ROUTE_MAX_VECS, n2=EMB_LSH_WIDE2_MIN_VECS
     ),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,9 +1515,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_simhash_pairs; the derived planted-clone corpus is never
     # materialized for the route). Oracle binding: the registered SQL bakes
     # EMB_LSH_ROUTE_MAX_VECS in at import time, like the simhash cutoff.
-    wide = (
-        load(spark, sf_dir, "embeddings").count() > EMB_LSH_ROUTE_MAX_VECS
-    )
+    n = load(spark, sf_dir, "embeddings").count()
+    wide: bool | str = False
+    if n > EMB_LSH_WIDE2_MIN_VECS:
+        wide = "wide2"
+    elif n > EMB_LSH_ROUTE_MAX_VECS:
+        wide = "wide"
     return embedding_near_dup_pairs(
         spark, _lsh_corpus(spark, sf_dir), SRP_ROUTE_THRESHOLD, wide_bands=wide
     )

@@ -1,5 +1,14 @@
-"""Build a 10x replica of the sf0.1 documents/embeddings tables for the
-scale rehearsal (VERDICT r03 #6) — the driver ships no sf1.
+"""Build an Nx replica of the sf0.1 documents/embeddings tables for the
+scale rehearsal (VERDICT r03 #6; factor parameterized for the r8 #5
+30-50x decade) — the driver ships no sf1. Usage:
+
+    python scripts/make_scale10.py [factor]    # default 10 -> .scale10/
+
+Output: .scale{factor}/ (gitignored). The factor is capped at 32: the
+embedding replica transform is a cyclic rotation by 6*k mod 64, which is
+injective for k < 32 (gcd(6,64)=2) — beyond that, replicas would repeat
+earlier rotations bit-for-bit and inject spurious exact cross-replica
+duplicates, breaking the linear-dup-structure invariant below.
 
 Replication preserves per-replica structure so linear scaling is the
 CORRECT expectation:
@@ -23,9 +32,12 @@ from pathlib import Path
 
 import duckdb
 
+import sys
+
 SRC = Path("/root/testdata/sf0.1")
-DST = Path(__file__).resolve().parent.parent / ".scale10"
-REPLICAS = 10
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+assert 2 <= REPLICAS <= 32, "embedding rotations repeat beyond 32 replicas"
+DST = Path(__file__).resolve().parent.parent / f".scale{REPLICAS}"
 
 def main() -> None:
     DST.mkdir(exist_ok=True)

@@ -246,3 +246,59 @@ def test_mmr_scores_replay_from_raw_vectors(spark):
         assert row.mmr_score == _p6(best[1])
         assert row.relevance == _p6(rel[best[0]])
         picked.append(best[0])
+
+
+# ---------------------------------------------------------------------------
+# embedding-LSH wide2 tier (30x rehearsal finding)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_lsh_wide2_plan_routing(spark, monkeypatch):
+    """Third band-width tier (r9: the 30x rehearsal measured the 8x8-bit
+    tier at 72.7M candidates for ~3k true pairs): above
+    EMB_LSH_WIDE2_MIN_VECS the plan must carry the 192-plane w2_bands
+    signature, same (label, band_id, band_val)-keyed join shape."""
+    from doc2vec_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(dedup, "EMB_LSH_ROUTE_MAX_VECS", 5)
+    monkeypatch.setattr(dedup, "EMB_LSH_WIDE2_MIN_VECS", 10)
+    plan = (
+        dedup.QUERIES["dedup_embedding_lsh"]
+        .fn(spark, sf)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "w2_bands" in plan and "wide_bands" not in plan
+    joins = [l for l in plan.splitlines() if "Join Inner" in l]
+    assert any("band_val" in c and "band_id" in c for c in joins), joins
+
+
+def test_embedding_lsh_wide2_matches_oracle(spark):
+    """Engine parity of the wide2 path itself (dormant at driver SFs, like
+    the wide tier): Spark's 16x12-bit banded join + exact confirm equals
+    the w2 oracle branch with the route cutoffs lowered so DuckDB takes
+    the same tier."""
+    from doc2vec_spark.operators.dedup import (
+        SRP_ROUTE_THRESHOLD,
+        _emb_lsh_oracle,
+        _lsh_corpus,
+        embedding_near_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs(
+            spark, _lsh_corpus(spark, sf), SRP_ROUTE_THRESHOLD, wide_bands="wide2"
+        ).collect()
+    )
+    assert got, "planted clones must collide in some 12-bit band"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(_emb_lsh_oracle(cutoff=1, w2_cutoff=2)).fetchall()
+    )
+    assert got == want
