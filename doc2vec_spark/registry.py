@@ -101,7 +101,7 @@ def merged_queries() -> dict[str, QuerySpec]:
     # swallowed ImportError would silently shrink queries()/oracle_sql() and
     # with it the driver correctness gate. Optional third-party deps are
     # gated inside the modules themselves, never here.
-    from doc2vec_spark import multimodal
+    from doc2vec_spark import embedding_native, multimodal
     from doc2vec_spark.operators import (
         analytics,
         anomaly,
@@ -156,6 +156,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         manifest,
         pipeline,
         multimodal,
+        embedding_native,
         reference_parity,
         asof,
         curation,

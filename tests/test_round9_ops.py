@@ -302,3 +302,54 @@ def test_embedding_lsh_wide2_matches_oracle(spark):
         for r in con.sql(_emb_lsh_oracle(cutoff=1, w2_cutoff=2)).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JVM-native stub-embedding path
+# ---------------------------------------------------------------------------
+
+
+def test_native_embedding_bit_exact_with_udf_path(spark):
+    """The native column-expression embedding equals embed_text float32
+    bit-for-bit (integer components, exact-integer norm, correctly-rounded
+    divide/cast — the equivalence embedding.py's design promises)."""
+    from doc2vec_spark.embedding import embed_text
+    from doc2vec_spark.embedding_native import with_embeddings_native
+
+    texts = ["hello world", "", "x" * 40000, "Unicode Ünï test", "a b c"]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    for r in with_embeddings_native(df).collect():
+        assert [float(x) for x in r["embedding"]] == [
+            float(x) for x in embed_text(r["content"])
+        ], repr(r["content"][:30])
+
+
+def test_native_embedding_plan_has_no_python_stage(spark):
+    """with_embeddings_native is one whole-stage-codegen projection: no
+    ArrowEval/BatchEval/Python node anywhere; and the full
+    doc_knn_query_native plan carries ONLY the chunker's mapInPandas (the
+    _embed UDF is gone from the ingest plan)."""
+    from doc2vec_spark.embedding_native import QUERIES, with_embeddings_native
+
+    df = spark.createDataFrame([("t",)], "content string")
+    plan = with_embeddings_native(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan and "_embed" not in plan
+    knn_plan = (
+        QUERIES["doc_knn_query_native"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_embed" not in knn_plan  # the embed stage is native...
+    assert "MapInPandas" in knn_plan  # ...the chunker legitimately is not
+
+
+def test_native_knn_oracle_is_verbatim_udf_oracle(spark):
+    """doc_knn_query_native registers the IDENTICAL oracle SQL string as
+    doc_knn_query_documentation — both paths hash-check against the same
+    DuckDB ground truth, so the driver proves same-hashes equivalence."""
+    from doc2vec_spark.embedding_native import QUERIES as NQ
+    from doc2vec_spark.operators.domain import QUERIES as DQ
+
+    assert NQ["doc_knn_query_native"].oracle == DQ["doc_knn_query_documentation"].oracle
