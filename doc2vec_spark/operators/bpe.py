@@ -1,0 +1,251 @@
+"""True BPE train -> apply (round 9): multi-level greedy merge learning.
+
+``ta_bpe_pairs`` (tokenizer.py) computes the FIRST iteration's statistic
+(adjacent char-pair counts); ``wordpiece.py`` applies a static vocabulary
+with greedy longest-match. This module closes the remaining gap: the
+actual BPE training loop (Sennrich et al. 2016) — iteratively pick the
+highest-count adjacent SYMBOL pair under the current segmentation, merge
+it everywhere, recount — so later merges combine already-merged symbols
+(multi-level, e.g. 'a'+'b' -> 'ab', then 'ab'+'c' -> 'abc'), which no
+single-pass pair statistic can produce. The reference has no tokenizer at
+all (its token arithmetic is 4 chars/token, doc2vec.ts:2006-2008).
+
+Deterministic, engine-identical semantics (documented contract):
+- training corpus = the DISTINCT-word frequency table (ONE corpus-sized
+  token shuffle — the same table every ta_* operator reuses), filtered to
+  words of <= MAX_WORD_CHARS chars containing none of the three sentinel
+  chars (chr(1) cell separator, chr(2) pair separator, chr(3) merge-list
+  separator — unprintable, absent from natural text);
+- a segmentation under a merge list applies ONE all-occurrence
+  left-to-right replace pass PER MERGE in rank order (exactly SQL
+  ``replace`` semantics, identical in Spark and DuckDB);
+- each of the NUM_MERGES training steps recomputes every word's
+  segmentation under the merges learned so far, counts adjacent cell
+  pairs weighted by word frequency, and appends the best pair not already
+  in the list (count DESC, then (a, b) lexicographic).
+
+Engine-exactness: counts are integers, tie-breaks lexicographic, and the
+replace chain is bytewise-identical in both engines, so the learned merge
+table and every segmentation hash-match without tolerance. The oracle
+replays TRAINING as a recursive CTE whose step is a correlated aggregation
+subquery over the words table, and APPLY as a ``list_reduce`` fold of the
+learned merge string — fully self-contained SQL.
+
+100 TB story: the corpus collapses to the word-frequency table first;
+training touches only that vocabulary-sized table (NUM_MERGES bounded
+driver-paced iterations, each one small job — merge state is NUM_MERGES
+rows, the literal-LUT discipline); apply is map-only native `replace`
+expressions over distinct words. Corpus size never enters the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2vec_spark.operators.wordpiece import MAX_WORD_CHARS, _corpus_words
+from doc2vec_spark.spec import QuerySpec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+NUM_MERGES = 8
+SEP = "\x01"  # cell separator inside a segmented word
+PSEP = "\x02"  # a<PSEP>b inside one encoded merge
+MSEP = "\x03"  # between encoded merges in the merge-list string
+
+# words eligible for training/apply (mirrored in _CAND_SQL)
+_SENTINELS = (SEP, PSEP, MSEP)
+
+_WORDS_SQL = r"""
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+"""
+
+_CAND_SQL = f"""
+  SELECT word, freq FROM words
+  WHERE len(word) <= {MAX_WORD_CHARS}
+    AND NOT contains(word, chr(1))
+    AND NOT contains(word, chr(2))
+    AND NOT contains(word, chr(3))
+"""
+
+# segmentation of ``word`` under the merge-list string ``m`` (SQL): start
+# from the char split joined by chr(1), then one replace pass per merge in
+# rank order via list_reduce (the initial state is prepended, so an empty
+# merge list folds to the initial state itself)
+def _seg_sql(word_expr: str, merges_expr: str) -> str:
+    return f"""list_reduce(
+      list_prepend(array_to_string(regexp_split_to_array({word_expr}, ''), chr(1)),
+        CASE WHEN {merges_expr} = '' THEN []::VARCHAR[]
+             ELSE string_split({merges_expr}, chr(3)) END),
+      (acc, m) -> replace(acc,
+          split_part(m, chr(2), 1) || chr(1) || split_part(m, chr(2), 2),
+          split_part(m, chr(2), 1) || split_part(m, chr(2), 2)))"""
+
+
+def _train_cte() -> str:
+    """Recursive training CTE -> st(step, merges); final merges at
+    step = NUM_MERGES. The recursive term's best-pair pick is a correlated
+    scalar subquery aggregating over the words table segmented under the
+    merges learned so far."""
+    return f"""
+words AS ({_WORDS_SQL}),
+cand AS ({_CAND_SQL}),
+st(step, merges) AS (
+  SELECT 0, ''
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN best IS NULL THEN merges
+              WHEN merges = '' THEN best
+              ELSE merges || chr(3) || best END
+  FROM (
+    SELECT s0.step, s0.merges,
+           (SELECT a || chr(2) || b FROM (
+              SELECT cells[i] AS a, cells[i + 1] AS b,
+                     CAST(SUM(freq) AS BIGINT) AS n
+              FROM (SELECT freq,
+                           string_split({_seg_sql('word', 's0.merges')}, chr(1))
+                             AS cells
+                    FROM cand),
+                   unnest(generate_series(1, len(cells) - 1)) t(i)
+              GROUP BY a, b)
+            WHERE NOT contains(chr(3) || s0.merges || chr(3),
+                               chr(3) || a || chr(2) || b || chr(3))
+            ORDER BY n DESC, a, b LIMIT 1) AS best
+    FROM st s0 WHERE s0.step < {NUM_MERGES})),
+final AS (SELECT merges FROM st WHERE step = {NUM_MERGES})
+"""
+
+
+def _seg_col(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Native segmentation under a LITERAL merge list: the char split joined
+    by SEP, then one F.replace pass per merge in rank order — a linear chain
+    of native expressions (each wraps the previous exactly once)."""
+    s = F.array_join(F.split(word, ""), SEP)
+    for a, b in merges:
+        s = F.replace(s, F.lit(a + SEP + b), F.lit(a + b))
+    return s
+
+
+def _cand_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _corpus_words(spark, sf_dir).filter(F.length("word") <= MAX_WORD_CHARS)
+    for ch in _SENTINELS:
+        w = w.filter(~F.col("word").contains(ch))
+    return w
+
+
+def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """NUM_MERGES greedy merges learned on the word-frequency table.
+
+    Driver-paced by design: each step is ONE vocabulary-sized job (explode
+    adjacent cells of the current segmentation, sum word frequencies, take
+    the ordered head) and the carried state is a <= NUM_MERGES-row literal
+    — the bounded-summary discipline of the waterfill/KMV operators. The
+    corpus-sized work happened once, in the word-frequency aggregation."""
+    cand = _cand_words(spark, sf_dir).cache()
+    merges: list[tuple[str, str]] = []
+    for _ in range(NUM_MERGES):
+        cells = F.split(_seg_col(F.col("word"), merges), SEP)
+        pairs = (
+            cand.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(cells, 1, F.size(cells) - 1),
+                        F.slice(cells, 2, F.size(cells) - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        head = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(
+            len(merges) + 1
+        )
+        best = next(
+            (
+                (r["a"], r["b"])
+                for r in head.collect()
+                if (r["a"], r["b"]) not in merges
+            ),
+            None,
+        )
+        if best is None:
+            break
+        merges.append(best)
+    cand.unpersist(False)
+    return merges
+
+
+@_register(
+    "ta_bpe_train_merges",
+    f"""
+    WITH RECURSIVE
+    {_train_cte()}
+    SELECT CAST(i AS BIGINT) AS rank,
+           split_part(ms[i], chr(2), 1) AS pair_a,
+           split_part(ms[i], chr(2), 2) AS pair_b
+    FROM (SELECT string_split(merges, chr(3)) AS ms FROM final WHERE merges <> ''),
+         unnest(generate_series(1, len(ms))) t(i)
+    ORDER BY rank
+    """,
+    f"TRUE BPE training (Sennrich et al. 2016): {NUM_MERGES} greedy merges "
+    "learned iteratively on the word-frequency table — each step re-segments "
+    "the vocabulary under the merges so far, so later merges combine "
+    "already-merged symbols (multi-level; ta_bpe_pairs is exactly this "
+    "loop's FIRST iteration). Vocabulary-sized jobs only; the oracle "
+    "replays training as a recursive CTE with a correlated aggregation "
+    "subquery.",
+)
+def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = train_merges(spark, sf_dir)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, pair_a string, pair_b string"
+    ).orderBy("rank")
+
+
+@_register(
+    "ta_bpe_apply",
+    f"""
+    WITH RECURSIVE
+    {_train_cte()}
+    SELECT word, freq,
+           replace(seg, chr(1), '|') AS pieces,
+           CAST(len(string_split(seg, chr(1))) AS BIGINT) AS n_pieces
+    FROM (SELECT word, freq, {_seg_sql('word', '(SELECT merges FROM final)')} AS seg
+          FROM cand)
+    ORDER BY word
+    """,
+    "BPE APPLY: every eligible distinct word segmented under the "
+    f"{NUM_MERGES} trained merges — one all-occurrence replace pass per "
+    "merge in rank order, as a linear chain of native replace expressions "
+    "over the vocabulary-sized word table (map-only; no UDF). Completes "
+    "the train->apply loop for true multi-level BPE alongside the "
+    "wordpiece greedy longest-match encoder.",
+)
+def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = train_merges(spark, sf_dir)
+    seg = _seg_col(F.col("word"), merges)
+    return (
+        _cand_words(spark, sf_dir)
+        .select(
+            "word",
+            "freq",
+            F.replace(seg, F.lit(SEP), F.lit("|")).alias("pieces"),
+            F.size(F.split(seg, SEP)).cast("long").alias("n_pieces"),
+        )
+        .orderBy("word")
+    )

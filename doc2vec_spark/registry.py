@@ -106,6 +106,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         analytics,
         anomaly,
         asof,
+        bpe,
         budget,
         curation,
         dedup,
@@ -142,6 +143,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         textrank,
         tokenizer,
         wordpiece,
+        bpe,
         trending,
         lm,
         quality,

@@ -353,3 +353,95 @@ def test_native_knn_oracle_is_verbatim_udf_oracle(spark):
     from doc2vec_spark.operators.domain import QUERIES as DQ
 
     assert NQ["doc_knn_query_native"].oracle == DQ["doc_knn_query_documentation"].oracle
+
+
+# ---------------------------------------------------------------------------
+# true BPE train -> apply
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_train(word_freqs, num_merges=8, max_chars=16):
+    """Pure-Python replay of the documented training contract: re-segment
+    under merges-so-far (one all-occurrence replace pass per merge in rank
+    order), count adjacent cell pairs weighted by freq, append the best
+    new pair (count DESC, then (a, b) lexicographic)."""
+
+    def seg(word, merges):
+        cells = list(word)
+        for a, b in merges:
+            out = []
+            for c in cells:
+                if out and out[-1] == a and c == b:
+                    out[-1] = a + b
+                else:
+                    out.append(c)
+            cells = out
+        return cells
+
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            if len(w) > max_chars:
+                continue
+            cells = seg(w, merges)
+            for a, b in zip(cells, cells[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        cand = [(p, n) for p, n in counts.items() if p not in merges]
+        if not cand:
+            break
+        best = min(cand, key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+    return merges, seg
+
+
+def test_bpe_learns_multilevel_merges(spark, tmp_path):
+    """The defining property ta_bpe_pairs cannot express: a later merge
+    combines an ALREADY-MERGED symbol with another cell. A corpus dominated
+    by 'abc' must learn ('a','b') then ('ab','c'), and apply must segment
+    'abc' as one piece."""
+    rows = [
+        (0, "abc abc abc abc abc abc", "en", "s", 23),
+        (1, "abc abc abc xy xy", "en", "s", 17),
+    ]
+    d = tmp_path / "bpe"
+    _write_docs(d, rows)
+    from doc2vec_spark.operators.bpe import QUERIES
+
+    merges = [
+        (r.pair_a, r.pair_b)
+        for r in QUERIES["ta_bpe_train_merges"].fn(spark, str(d)).collect()
+    ]
+    assert merges[0] == ("a", "b") and merges[1] == ("ab", "c"), merges
+    applied = {r.word: r for r in QUERIES["ta_bpe_apply"].fn(spark, str(d)).collect()}
+    assert applied["abc"].pieces == "abc" and applied["abc"].n_pieces == 1
+    # oracle agreement on the synthetic corpus
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    for name in ["ta_bpe_train_merges", "ta_bpe_apply"]:
+        spec = QUERIES[name]
+        got = sorted(tuple(r) for r in spec.fn(spark, str(d)).collect())
+        want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
+        assert got == want, name
+
+
+def test_bpe_matches_pure_python_replay(spark):
+    """Merges and every segmentation on the corpus equal the pure-Python
+    replay of the documented contract; pieces always reassemble the word."""
+    from doc2vec_spark.operators.bpe import NUM_MERGES, QUERIES
+    from doc2vec_spark.operators.wordpiece import _corpus_words
+
+    sf = "/root/testdata/sf0.001"
+    wf = {
+        r["word"]: r["freq"] for r in _corpus_words(spark, sf).collect()
+    }
+    merges, seg = _py_bpe_train(wf, NUM_MERGES)
+    got_merges = [
+        (r.pair_a, r.pair_b)
+        for r in QUERIES["ta_bpe_train_merges"].fn(spark, sf).collect()
+    ]
+    assert got_merges == merges
+    for r in QUERIES["ta_bpe_apply"].fn(spark, sf).collect():
+        want = seg(r.word, merges)
+        assert r.pieces.split("|") == want and r.n_pieces == len(want), r.word
+        assert "".join(r.pieces.split("|")) == r.word
