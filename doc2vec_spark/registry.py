@@ -111,6 +111,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         curation,
         dedup,
         domain,
+        evalmetrics,
         extensions,
         linedup,
         manifest,
@@ -150,6 +151,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         sessions,
         similarity,
         mmr,
+        evalmetrics,
         sketches,
         windows,
         domain,

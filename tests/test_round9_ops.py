@@ -445,3 +445,38 @@ def test_bpe_matches_pure_python_replay(spark):
         want = seg(r.word, merges)
         assert r.pieces.split("|") == want and r.n_pieces == len(want), r.word
         assert "".join(r.pieces.split("|")) == r.word
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_invariants_and_perfect_bucket_case(spark, tmp_path):
+    """recall accounting invariants on the real corpus (0 <= n_hits <=
+    n_ann <= k, ppm = hits * 1e6 // k), and a constructed corpus where all
+    vectors share one SRP bucket so the bucket search IS exact: recall must
+    be 1.0 for every query."""
+    from doc2vec_spark.operators.evalmetrics import NUM_Q, RECALL_K, QUERIES
+
+    rows = QUERIES["ann_recall_at_k"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == NUM_Q
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_ann <= RECALL_K
+        assert r.recall_ppm == r.n_hits * 1000000 // RECALL_K
+    # same-direction vectors (positive multiples of one base) -> same sign
+    # pattern -> one bucket -> ANN candidates == full corpus -> recall 1.0
+    base = [(i % 7) - 3.0 + 0.1 for i in range(64)]
+    vecs = {
+        vid: [x * (1.0 + 0.01 * vid) for x in base] for vid in range(NUM_Q + 5)
+    }
+    d = tmp_path / "recall"
+    _write_embeddings(d, vecs)
+    for r in QUERIES["ann_recall_at_k"].fn(spark, str(d)).collect():
+        assert r.recall_ppm == 1000000, r
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    spec = QUERIES["ann_recall_at_k"]
+    got = sorted(tuple(r) for r in spec.fn(spark, str(d)).collect())
+    want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
+    assert got == want
