@@ -478,3 +478,57 @@ def pipe_data_budget_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], schema)
     alloc = waterfill([(r["source"], r["t_s"], r["w_s"]) for r in rows])
     return spark.createDataFrame(alloc, schema).orderBy("source")
+
+
+@_register(
+    "ta_tokenizer_fertility",
+    f"""
+    {_VOCAB_CTES},
+    occ AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents) WHERE word <> '')
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(CASE WHEN e.pieces = '{UNK}' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk_words,
+           CAST(SUM(e.n_pieces) * 1000000 // COUNT(*) AS BIGINT)
+             AS fertility_ppm,
+           CAST(SUM(CASE WHEN e.pieces = '{UNK}' THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS unk_ppm
+    FROM occ o JOIN enc e USING (word)
+    JOIN documents d ON d.doc_id = o.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    "Tokenizer-fit monitor: per-source subword FERTILITY (pieces per word, "
+    "integer ppm — the standard metric for how well a vocabulary fits a "
+    "domain) and [UNK]-word rate under the wordpiece encoder. Occurrences "
+    "broadcast-join the distinct-word encoding; one map-side-combinable "
+    "per-source aggregation — the drift check a 100 TB pipeline runs when "
+    "a new source lands.",
+)
+def ta_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    enc = encode_words(spark, sf_dir).select("word", "pieces", "n_pieces")
+    occ = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    unk = F.count_if(F.col("pieces") == UNK)
+    n_words = F.count(F.lit(1))
+    n_pieces = F.sum("n_pieces")
+    return (
+        occ.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            n_words.cast("long").alias("n_words"),
+            n_pieces.cast("long").alias("n_pieces"),
+            unk.cast("long").alias("n_unk_words"),
+            F.floor(n_pieces * 1000000 / n_words).cast("long").alias("fertility_ppm"),
+            F.floor(unk * 1000000 / n_words).cast("long").alias("unk_ppm"),
+        )
+        .orderBy("source")
+    )

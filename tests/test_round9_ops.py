@@ -480,3 +480,22 @@ def test_ann_recall_invariants_and_perfect_bucket_case(spark, tmp_path):
     got = sorted(tuple(r) for r in spec.fn(spark, str(d)).collect())
     want = sorted(tuple(r) for r in con.sql(spec.oracle).fetchall())
     assert got == want
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """Fertility is >= 1.0 by construction (every word maps to >= 1 piece),
+    and per-source word/piece totals reconcile with the per-doc subword
+    counts."""
+    from doc2vec_spark.operators.wordpiece import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    fert = QUERIES["ta_tokenizer_fertility"].fn(spark, sf).collect()
+    assert fert
+    for r in fert:
+        assert r.fertility_ppm >= 1000000
+        assert 0 <= r.n_unk_words <= r.n_words
+        assert r.fertility_ppm == r.n_pieces * 1000000 // r.n_words
+        assert r.unk_ppm == r.n_unk_words * 1000000 // r.n_words
+    per_doc = QUERIES["ta_subword_doc_counts"].fn(spark, sf).collect()
+    assert sum(r.n_pieces for r in fert) == sum(r.n_subword_tokens for r in per_doc)
+    assert sum(r.n_words for r in fert) == sum(r.n_words for r in per_doc)
