@@ -3,7 +3,8 @@
 Chains the operators a 100 TB curation run would schedule, each one a
 registry entry with a DuckDB oracle (see COVERAGE.md): near-dup detection,
 line-level cleaning, quality gating, token-budget allocation, split
-assignment, and a windowed-HLL traffic readout — printed as a one-screen
+assignment, tokenizer training/fit, retrieval-quality readouts, and a
+windowed-HLL traffic readout — printed as a one-screen
 corpus report.
 
 Run:  python examples/curation_pipeline.py [sf_dir]
@@ -57,6 +58,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         .collect()
     )
     print("split assignment:", {r["split"]: r["count"] for r in splits})
+
+    # round-9 additions: the tokenizer plane and retrieval-quality readouts
+    merges = q["ta_bpe_train_merges"].fn(spark, sf_dir).collect()
+    print(
+        "BPE merges learned:",
+        " ".join(f"{r.pair_a}+{r.pair_b}" for r in merges) or "(none)",
+    )
+    fert = q["ta_tokenizer_fertility"].fn(spark, sf_dir).limit(3).collect()
+    print("tokenizer fit (first 3 sources):")
+    for r in fert:
+        print(
+            f"  {r.source}: fertility {r.fertility_ppm / 1e6:.2f} "
+            f"pieces/word, unk {r.unk_ppm / 1e6:.1%}"
+        )
+    rec = q["ann_recall_at_k"].fn(spark, sf_dir).collect()
+    mean_ppm = sum(r.recall_ppm for r in rec) // max(len(rec), 1)
+    print(f"ANN index quality: mean recall@10 = {mean_ppm / 1e6:.0%} over {len(rec)} sample queries")
+    mmr = q["ann_mmr_rerank"].fn(spark, sf_dir).limit(3).collect()
+    print("MMR-diversified top picks:", [int(r.vec_id) for r in mmr])
 
     hll = q["stream_hll_users"].fn(spark, sf_dir).limit(3).collect()
     print("windowed distinct-user HLL (first 3 windows):")
