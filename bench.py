@@ -33,6 +33,7 @@ HEADLINE = [
     "ext_cube_orders",
     "doc_chunk_pipeline",
     "doc_knn_query_documentation",
+    "doc_knn_query_native",
     "doc_hybrid_search_rrf",
     "doc_bm25_topk",
     "tpch_q10_returned_items",
