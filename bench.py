@@ -19,7 +19,10 @@ if _REPO not in sys.path:
 
 # Headline set: scan-agg, multi-join, window, incremental-diff, KNN, dedup,
 # multi-dim aggs, and the pandas-UDF chunk+embed pipeline.
-HEADLINE = [
+# The round-stable CORE comparator (r7s2): FROZEN at these 22 queries so
+# cross-round core_headline numbers compare like for like — new queries
+# join HEADLINE (benched + reported) but never CORE.
+CORE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_revenue_topk",
     "tpch_q5_regional_revenue",
@@ -33,7 +36,6 @@ HEADLINE = [
     "ext_cube_orders",
     "doc_chunk_pipeline",
     "doc_knn_query_documentation",
-    "doc_knn_query_native",
     "doc_hybrid_search_rrf",
     "doc_bm25_topk",
     "tpch_q10_returned_items",
@@ -44,6 +46,7 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
 ]
+HEADLINE = [*CORE, "doc_knn_query_native"]
 
 
 # Stall policy constants + pure decision helpers (unit-tested in
@@ -241,7 +244,7 @@ def main() -> None:
     # ann_/stream_/pipe_ query adds its median); core_headline is the
     # round-stable 22-query subset so cross-round comparisons separate
     # "engine got slower" from "engine got bigger".
-    core = round(sum(t for n, t in timings.items() if n in HEADLINE), 3)
+    core = round(sum(t for n, t in timings.items() if n in CORE), 3)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
