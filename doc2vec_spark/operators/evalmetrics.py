@@ -148,3 +148,231 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_vec_id")
     )
+
+
+def _ivf_recall_oracle() -> str:
+    from doc2vec_spark.operators.similarity import _nearest_centroid_sql
+
+    cell = _nearest_centroid_sql()
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, ({cell}) AS cell FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell
+          FROM b WHERE vec_id < {NUM_Q}),
+    scored AS (
+      SELECT q.qid, b.vec_id, b.cell = q.qcell AS in_cell,
+             1 - list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS dist
+      FROM b, q WHERE b.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, in_cell,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+               AS exact_rnk,
+             ROW_NUMBER() OVER (PARTITION BY qid, in_cell
+                                ORDER BY dist, vec_id) AS ann_rnk
+      FROM scored)
+    SELECT qid AS q_vec_id,
+           CAST(COUNT(*) FILTER (WHERE in_cell AND ann_rnk <= {RECALL_K})
+                AS BIGINT) AS n_ann,
+           CAST(COUNT(*) FILTER (WHERE in_cell AND ann_rnk <= {RECALL_K}
+                                   AND exact_rnk <= {RECALL_K})
+                AS BIGINT) AS n_hits,
+           CAST(COUNT(*) FILTER (WHERE in_cell AND ann_rnk <= {RECALL_K}
+                                   AND exact_rnk <= {RECALL_K})
+                * 1000000 // {RECALL_K} AS BIGINT) AS recall_ppm
+    FROM ranked GROUP BY qid ORDER BY q_vec_id
+    """
+
+
+@_register(
+    "ann_ivf_recall",
+    _ivf_recall_oracle(),
+    f"recall@{RECALL_K} of the IVF nprobe=1 search rule (exact cosine "
+    "inside the query's nearest-centroid cell, ann_ivf_search's candidate "
+    "rule) against exact brute-force top-k — the second index type's "
+    "quality monitor, same map-side scoring shape as ann_recall_at_k. "
+    "Together the two recall jobs tell a 100 TB operator which index "
+    "family fits their corpus geometry.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.operators.similarity import _nearest_centroid_expr
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    b = e.select("vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell"))
+    qrows = sorted(
+        b.filter(F.col("vec_id") < NUM_Q).collect(), key=lambda r: r["vec_id"]
+    )
+    scored = b.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(r["vec_id"])).alias("qid"),
+                        (F.col("cell") == F.lit(int(r["cell"]))).alias("in_cell"),
+                        cosine_distance(F.col("v"), lit_vector(r["v"])).alias(
+                            "dist"
+                        ),
+                    )
+                    for r in qrows
+                ]
+            ).alias("qs")
+        ).alias("s"),
+    ).filter(F.col("vec_id") != F.col("s.qid")).select(
+        "vec_id", "s.qid", "s.in_cell", "s.dist"
+    )
+    w_exact = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    w_ann = Window.partitionBy("qid", "in_cell").orderBy(
+        F.asc("dist"), F.asc("vec_id")
+    )
+    ranked = scored.select(
+        "qid",
+        "in_cell",
+        F.row_number().over(w_exact).alias("exact_rnk"),
+        F.row_number().over(w_ann).alias("ann_rnk"),
+    )
+    ann_hit = F.col("in_cell") & (F.col("ann_rnk") <= RECALL_K)
+    true_hit = ann_hit & (F.col("exact_rnk") <= RECALL_K)
+    return (
+        ranked.groupBy(F.col("qid").alias("q_vec_id"))
+        .agg(
+            F.count_if(ann_hit).cast("long").alias("n_ann"),
+            F.count_if(true_hit).cast("long").alias("n_hits"),
+            F.floor(F.count_if(true_hit) * 1000000 / RECALL_K)
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("q_vec_id")
+    )
+
+
+def _minhash_quality_oracle() -> str:
+    from doc2vec_spark.operators.dedup import (
+        _BAND_JOIN_SQL,
+        _HASHED_SHINGLES_SQL,
+        _MINHASH_SIG_SQL,
+        JACCARD_THRESHOLD,
+        NUM_MINHASH,
+    )
+
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(NUM_MINHASH)
+    )
+    return f"""
+    WITH sig AS ({_MINHASH_SIG_SQL}),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM ({_BAND_JOIN_SQL})
+             WHERE est_jaccard >= {JACCARD_THRESHOLD}),
+    m AS (SELECT c.doc_a, c.doc_b, CAST({matches} AS BIGINT) AS matches
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.doc_a
+          JOIN sig b ON b.doc_id = c.doc_b),
+    sh AS (SELECT DISTINCT doc_id, h FROM ({_HASHED_SHINGLES_SQL})),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+              FROM cand c
+              JOIN sh x ON x.doc_id = c.doc_a
+              JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+              GROUP BY c.doc_a, c.doc_b)
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.matches * 1000000 // {NUM_MINHASH} AS BIGINT) AS est_ppm,
+           CAST(COALESCE(inter.i, 0) * 1000000
+                // (sa.n + sb.n - COALESCE(inter.i, 0)) AS BIGINT) AS true_ppm,
+           CAST(abs(m.matches * 1000000 // {NUM_MINHASH}
+                    - COALESCE(inter.i, 0) * 1000000
+                      // (sa.n + sb.n - COALESCE(inter.i, 0))) AS BIGINT)
+             AS err_ppm
+    FROM m
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    LEFT JOIN inter ON inter.doc_a = m.doc_a AND inter.doc_b = m.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """
+
+
+@_register(
+    "dedup_minhash_quality",
+    _minhash_quality_oracle(),
+    "Estimator-quality monitor for the MinHash+LSH dedup path: for every "
+    "pair the band join reports, the signature-estimated Jaccard (exact "
+    "integer matches/k, ppm) next to the TRUE 3-gram-shingle Jaccard "
+    "(set intersection over union, ppm) and the absolute error — the "
+    "sibling of the recall@k jobs for the dedup family. All work after "
+    "candidate generation is keyed on the bounded candidate-pair set "
+    "(shingle joins on (doc_id, h)); at 100 TB this is the audit job that "
+    "tells you whether k=12 signatures still bound the estimator error "
+    "your dedup threshold assumes.",
+)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.operators.dedup import (
+        NUM_MINHASH,
+        _minhash_sig,
+        _tokens,
+        dedup_minhash_lsh,
+        word_shingles_from,
+    )
+    from doc2vec_spark.tables import load as _load
+
+    cand = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig = _minhash_sig(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(NUM_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(NUM_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+        for i in range(NUM_MINHASH)
+    ).cast("long")
+    m = cand.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", matches.alias("matches")
+    )
+    sh = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    word_shingles_from(F.col("ws"), 3),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    est_ppm = F.floor(F.col("matches") * 1000000 / NUM_MINHASH).cast("long")
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    true_ppm = F.floor(i0 * 1000000 / (F.col("na") + F.col("nb") - i0)).cast("long")
+    return (
+        m.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            est_ppm.alias("est_ppm"),
+            true_ppm.alias("true_ppm"),
+            F.abs(est_ppm - true_ppm).alias("err_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

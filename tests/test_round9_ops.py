@@ -499,3 +499,35 @@ def test_tokenizer_fertility_consistency(spark):
     per_doc = QUERIES["ta_subword_doc_counts"].fn(spark, sf).collect()
     assert sum(r.n_pieces for r in fert) == sum(r.n_subword_tokens for r in per_doc)
     assert sum(r.n_words for r in fert) == sum(r.n_words for r in per_doc)
+
+
+def test_ann_ivf_recall_invariants(spark):
+    """IVF-cell recall: same accounting invariants as the SRP variant; and
+    with nprobe=1 over 8 cells the candidate pool is bounded by the cell
+    population, so n_ann <= k always and hits never exceed candidates."""
+    from doc2vec_spark.operators.evalmetrics import NUM_Q, RECALL_K, QUERIES
+
+    rows = QUERIES["ann_ivf_recall"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == NUM_Q
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_ann <= RECALL_K
+        assert r.recall_ppm == r.n_hits * 1000000 // RECALL_K
+
+
+def test_minhash_quality_exact_duplicates_have_zero_error(spark, tmp_path):
+    """For byte-identical documents the signature estimate AND the true
+    shingle Jaccard are both exactly 1.0 — err_ppm must be 0; and on the
+    real corpus est/true/err stay in [0, 1e6] with err = |est - true|."""
+    from doc2vec_spark.operators.evalmetrics import QUERIES
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, text, "en", "s", len(text)), (1, text, "en", "s", len(text)),
+            (2, "totally different words here now", "en", "s", 32)]
+    d = tmp_path / "mq"
+    _write_docs(d, rows)
+    got = QUERIES["dedup_minhash_quality"].fn(spark, str(d)).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
+    assert got[0].est_ppm == got[0].true_ppm == 1000000 and got[0].err_ppm == 0
+    for r in QUERIES["dedup_minhash_quality"].fn(spark, "/root/testdata/sf0.001").collect():
+        assert 0 <= r.est_ppm <= 1000000 and 0 <= r.true_ppm <= 1000000
+        assert r.err_ppm == abs(r.est_ppm - r.true_ppm)
