@@ -16,9 +16,25 @@ Deterministic, engine-identical semantics (documented contract):
   words of <= MAX_WORD_CHARS chars containing none of the three sentinel
   chars (chr(1) cell separator, chr(2) pair separator, chr(3) merge-list
   separator — unprintable, absent from natural text);
-- a segmentation under a merge list applies ONE all-occurrence
-  left-to-right replace pass PER MERGE in rank order (exactly SQL
-  ``replace`` semantics, identical in Spark and DuckDB);
+- a segmentation under a merge list applies, PER MERGE in rank order,
+  TWO all-occurrence left-to-right replace passes of the SEP-ANCHORED
+  pattern ``SEP||a||SEP||b||SEP -> SEP||a||b||SEP`` over the
+  segmentation wrapped in leading/trailing SEP (exactly SQL ``replace``
+  semantics, identical in Spark and DuckDB). Anchoring both sides means
+  a merge can only ever join two complete adjacent CELLS — it cannot
+  match across a cell boundary (ADVICE r9: unanchored replace could turn
+  'xa|b' into one piece 'xab' with no ('xa','b') merge learned,
+  polluting training counts and emitting pieces underivable from the
+  merge table). Two passes are required because adjacent merge sites
+  share their boundary SEP: pass one greedily consumes alternating
+  sites in a run, pass two picks up the skipped sites, after which no
+  anchored occurrence remains (a replacement cell ``a||b`` is strictly
+  longer than ``a`` and ``b``, so no pass creates new sites of the same
+  pair). The one divergence from single-scan cell-greedy merging is
+  piece ORDER inside an odd-length run of >= 5 identical symbols under
+  a self-merge (e.g. 'aaaaa' under ('a','a') -> aa|a|aa, not aa|aa|a);
+  the piece MULTISET is identical and every multi-char piece is still
+  exactly ``a||b`` of a learned merge;
 - each of the NUM_MERGES training steps recomputes every word's
   segmentation under the merges learned so far, counts adjacent cell
   pairs weighted by word frequency, and appends the best pair not already
@@ -81,17 +97,18 @@ _CAND_SQL = f"""
 """
 
 # segmentation of ``word`` under the merge-list string ``m`` (SQL): start
-# from the char split joined by chr(1), then one replace pass per merge in
-# rank order via list_reduce (the initial state is prepended, so an empty
-# merge list folds to the initial state itself)
+# from the char split joined by chr(1) and WRAPPED in leading/trailing
+# chr(1), then TWO SEP-anchored replace passes per merge in rank order via
+# list_reduce (the initial state is prepended, so an empty merge list folds
+# to the initial state itself); the outer wrap is trimmed at the end
 def _seg_sql(word_expr: str, merges_expr: str) -> str:
-    return f"""list_reduce(
-      list_prepend(array_to_string(regexp_split_to_array({word_expr}, ''), chr(1)),
+    pat = "chr(1) || split_part(m, chr(2), 1) || chr(1) || split_part(m, chr(2), 2) || chr(1)"
+    rep = "chr(1) || split_part(m, chr(2), 1) || split_part(m, chr(2), 2) || chr(1)"
+    return f"""trim(list_reduce(
+      list_prepend(chr(1) || array_to_string(regexp_split_to_array({word_expr}, ''), chr(1)) || chr(1),
         CASE WHEN {merges_expr} = '' THEN []::VARCHAR[]
              ELSE string_split({merges_expr}, chr(3)) END),
-      (acc, m) -> replace(acc,
-          split_part(m, chr(2), 1) || chr(1) || split_part(m, chr(2), 2),
-          split_part(m, chr(2), 1) || split_part(m, chr(2), 2)))"""
+      (acc, m) -> replace(replace(acc, {pat}, {rep}), {pat}, {rep})), chr(1))"""
 
 
 def _train_cte() -> str:
@@ -130,12 +147,16 @@ final AS (SELECT merges FROM st WHERE step = {NUM_MERGES})
 
 def _seg_col(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Native segmentation under a LITERAL merge list: the char split joined
-    by SEP, then one F.replace pass per merge in rank order — a linear chain
-    of native expressions (each wraps the previous exactly once)."""
-    s = F.array_join(F.split(word, ""), SEP)
+    by SEP and wrapped in leading/trailing SEP, then two SEP-anchored
+    F.replace passes per merge in rank order (see module contract), the
+    outer wrap trimmed at the end — a linear chain of native expressions
+    (each wraps the previous exactly once)."""
+    s = F.concat(F.lit(SEP), F.array_join(F.split(word, ""), SEP), F.lit(SEP))
     for a, b in merges:
-        s = F.replace(s, F.lit(a + SEP + b), F.lit(a + b))
-    return s
+        pat = F.lit(SEP + a + SEP + b + SEP)
+        rep = F.lit(SEP + a + b + SEP)
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    return F.btrim(s, F.lit(SEP))
 
 
 def _cand_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,9 +251,11 @@ def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY word
     """,
     "BPE APPLY: every eligible distinct word segmented under the "
-    f"{NUM_MERGES} trained merges — one all-occurrence replace pass per "
-    "merge in rank order, as a linear chain of native replace expressions "
-    "over the vocabulary-sized word table (map-only; no UDF). Completes "
+    f"{NUM_MERGES} trained merges — two SEP-anchored all-occurrence "
+    "replace passes per merge in rank order (merges join complete cells "
+    "only, never across a boundary), as a linear chain of native replace "
+    "expressions over the vocabulary-sized word table (map-only; no UDF). "
+    "Completes "
     "the train->apply loop for true multi-level BPE alongside the "
     "wordpiece greedy longest-match encoder.",
 )

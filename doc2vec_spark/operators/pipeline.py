@@ -484,7 +484,16 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             F.count(F.lit(1)).alias("n"),
         )
 
-    adaptive = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # ADVICE r9 scoping: capture whether the conf was EXPLICITLY set —
+    # RuntimeConfig.get with a None default returns None for an unset key —
+    # so the finally below restores the true prior state (unset stays
+    # unset) instead of writing a literal default. The override is still
+    # session-visible for the loop's duration; that is safe here because
+    # the engine runs registry queries sequentially on one session (the
+    # _scoped wrapper enforces one-at-a-time cache scopes) — a caller
+    # driving concurrent queries on this session should clone it with
+    # spark.newSession() first.
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", None)
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         for batch in range(n_batches):
@@ -542,7 +551,10 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 # confirmation already fused into this batch's job
                 break
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+        if adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", adaptive)
     symp.unpersist(False)  # plain cache: lineage survives, recompute possible
     park_blocks(_CC_FAMILY, gen_blocks)  # freed at next CC entry
     if gen_cache is not None:

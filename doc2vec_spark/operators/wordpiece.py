@@ -348,6 +348,15 @@ def pipe_sequence_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = _subword_doc_counts(spark, sf_dir).select(
         "doc_id", F.col("n_subword_tokens").alias("n_tok")
     )
+    # Documented row-set asymmetry vs pipe_sequence_pack (ADVICE r9): this
+    # INNER join drops documents with zero eligible words entirely (the
+    # subword-count table has no row for them), whereas the whitespace
+    # variant assigns empty/whitespace-only docs n_tok=1 (split('') has
+    # size 1). Deliberate: a subword dataloader has nothing to pack for an
+    # empty doc, so excluding it is the truthful accounting — padding it to
+    # one phantom token would misstate the training-token budget. The
+    # oracle's inner JOIN in the CTE above encodes the same exclusion, so
+    # both engines agree row-for-row.
     tok = docs.select(
         "doc_id", "lang", _sw_pack_group_col().alias("pack_group")
     ).join(sw, "doc_id")

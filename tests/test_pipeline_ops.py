@@ -8,6 +8,7 @@ invariants, and exact stratified-sample sizes.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from doc2vec_spark.operators.pipeline import (
@@ -254,6 +255,25 @@ def test_cc_batches_are_single_jobs_with_fused_convergence(spark, monkeypatch):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_cc_aqe_override_restores_unset_conf(spark):
+    """ADVICE r9: the label loop's AQE override must restore the TRUE prior
+    state — a key that was not explicitly set stays unset afterwards (the
+    old code wrote a literal "true", turning an inherited default into an
+    explicit session setting)."""
+    key = "spark.sql.adaptive.enabled"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        if spark.conf.get(key, None) is not None:
+            pytest.skip("environment pins the conf at the context level")
+        comp = connected_components(_edges(spark, [(1, 2), (2, 3)]))
+        assert {r.doc_id: r.component for r in comp.collect()} == {1: 1, 2: 1, 3: 1}
+        assert spark.conf.get(key, None) is None, "override leaked an explicit set"
+    finally:
+        if prior is not None:
+            spark.conf.set(key, prior)
+
+
 def test_cc_near_clique_converges_in_one_materialization(spark, monkeypatch):
     """The typical near-dup candidate graph (near-clique, diameter <= 2-3)
     must converge AND confirm inside batch 0: one cache count, ZERO
@@ -289,8 +309,8 @@ def test_cc_clusters_corpus_job_count_cut(spark):
     of ~6 exchanges to ONE non-AQE job; the remaining jobs are the
     AQE-planned corpus-sized edge build, which is worth keeping adaptive —
     disabling AQE there measured 1.6x slower at 10x). The deep-graph probe
-    above carries the >= 30% bar (39 -> 13); this one pins the corpus
-    query's end-to-end count."""
+    above carries the >= 30% bar (r8 shape 39 jobs -> r9 measured 10, bar
+    set at 27); this one pins the corpus query's end-to-end count."""
     sc = spark.sparkContext
     group = "cc_corpus_probe"
     sc.setJobGroup(group, "job-count probe", False)

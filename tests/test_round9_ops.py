@@ -361,22 +361,21 @@ def test_native_knn_oracle_is_verbatim_udf_oracle(spark):
 
 
 def _py_bpe_train(word_freqs, num_merges=8, max_chars=16):
-    """Pure-Python replay of the documented training contract: re-segment
-    under merges-so-far (one all-occurrence replace pass per merge in rank
-    order), count adjacent cell pairs weighted by freq, append the best
-    new pair (count DESC, then (a, b) lexicographic)."""
+    """Pure-Python replay of the documented training contract (ADVICE r9:
+    the contract is TWO SEP-anchored all-occurrence replace passes per
+    merge in rank order over the SEP-wrapped segmentation — merges join
+    complete cells only, never across a cell boundary; this replay uses
+    the same str.replace primitive as both engines): re-segment under
+    merges-so-far, count adjacent cell pairs weighted by freq, append the
+    best new pair (count DESC, then (a, b) lexicographic)."""
+    SEP = "\x01"
 
     def seg(word, merges):
-        cells = list(word)
+        s = SEP + SEP.join(word) + SEP
         for a, b in merges:
-            out = []
-            for c in cells:
-                if out and out[-1] == a and c == b:
-                    out[-1] = a + b
-                else:
-                    out.append(c)
-            cells = out
-        return cells
+            pat, rep = SEP + a + SEP + b + SEP, SEP + a + b + SEP
+            s = s.replace(pat, rep).replace(pat, rep)
+        return s.strip(SEP).split(SEP)
 
     merges = []
     for _ in range(num_merges):
@@ -425,6 +424,45 @@ def test_bpe_learns_multilevel_merges(spark, tmp_path):
         assert got == want, name
 
 
+def test_bpe_merges_never_cross_cell_boundaries(spark, tmp_path):
+    """ADVICE r9 regression: with learned merges ('x','a') then ('a','b'),
+    the word 'xab' segments 'x|a|b' -> 'xa|b' and must STAY 'xa|b' — an
+    unanchored replace would match 'a<SEP>b' inside the suffix of cell
+    'xa' and emit the single piece 'xab' though no ('xa','b') merge was
+    learned. Corpus engineered so exactly those two merges are learned
+    first; Spark and the DuckDB oracle must both produce the anchored
+    segmentation. Checked at the segmentation-primitive level with a FIXED
+    two-merge list (a trained corpus can't isolate the property: training
+    would just learn ('xa','b') as a later merge and legitimately fuse the
+    word), in both engines, plus the adjacent-site pass-structure cases."""
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.operators.bpe import MSEP, PSEP, SEP, _seg_col, _seg_sql
+
+    merges = [("x", "a"), ("a", "b")]
+    mstr = MSEP.join(a + PSEP + b for a, b in merges)
+    cases = {
+        "xab": "xa|b",  # the ADVICE r9 boundary-crossing word
+        "ab": "ab",
+        "xaab": "xa|ab",  # both merges fire on disjoint cells
+        "abab": "ab|ab",  # adjacent sites sharing a boundary SEP: 2 passes
+        "ababab": "ab|ab|ab",
+    }
+    words = list(cases)
+    got = {
+        r["w"]: r["s"]
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", F.replace(_seg_col(F.col("w"), merges), F.lit(SEP), F.lit("|")).alias("s"))
+        .collect()
+    }
+    assert got == cases, got
+    con = duckdb.connect()
+    for w, want in cases.items():
+        seg = _seg_sql(f"'{w}'", f"'{mstr}'".replace(PSEP, "' || chr(2) || '").replace(MSEP, "' || chr(3) || '"))
+        (o,) = con.sql(f"SELECT replace({seg}, chr(1), '|')").fetchone()
+        assert o == want, (w, o, want)
+
+
 def test_bpe_matches_pure_python_replay(spark):
     """Merges and every segmentation on the corpus equal the pure-Python
     replay of the documented contract; pieces always reassemble the word."""
@@ -441,10 +479,16 @@ def test_bpe_matches_pure_python_replay(spark):
         for r in QUERIES["ta_bpe_train_merges"].fn(spark, sf).collect()
     ]
     assert got_merges == merges
+    derivable = {a + b for a, b in merges}
     for r in QUERIES["ta_bpe_apply"].fn(spark, sf).collect():
         want = seg(r.word, merges)
         assert r.pieces.split("|") == want and r.n_pieces == len(want), r.word
         assert "".join(r.pieces.split("|")) == r.word
+        # the invariant SEP-anchoring buys (ADVICE r9): every multi-char
+        # piece is exactly a||b of a learned merge — a boundary-crossing
+        # replace could emit pieces underivable from the merge table
+        for piece in r.pieces.split("|"):
+            assert len(piece) == 1 or piece in derivable, (r.word, piece)
 
 
 # ---------------------------------------------------------------------------
