@@ -18,8 +18,13 @@ Equivalence is pinned three ways:
   beyond the chunker's mapInPandas;
 - ``doc_knn_query_native`` below registers the VERBATIM oracle SQL of
   ``doc_knn_query_documentation`` (imported, not copied), so the driver
-  hash-checks both paths against the same DuckDB ground truth — same
-  hashes, Python stage gone.
+  hash-checks both embed paths against the same DuckDB ground truth.
+
+Round 11 flipped the DEFAULTS: ``operators/domain.py`` (KNN plane, hybrid
+corpus leg) and ``sync.py`` (incremental ingest) now embed via
+``with_embeddings_native``; ``doc_knn_query_native`` correspondingly
+swapped to exercising the Arrow-UDF provider seam, keeping one driver
+entry per path.
 
 Component math (embedding.py:12-24, mirrored):
   comps[i] = int16(md5(text[:32764] + '#' + str(i // 8)).hex[4*(i%8):+4]) - 32768
@@ -135,21 +140,26 @@ def _knn_native_oracle() -> str:
 @_register(
     "doc_knn_query_native",
     _knn_native_oracle(),
-    "The doc_knn_query_documentation plane (chunk -> embed -> filter -> "
-    "exact cosine top-4) with the embed stage as NATIVE column expressions "
-    "(md5/conv/substring + integer-norm fold) instead of the Arrow pandas "
-    "UDF — identical oracle SQL, identical hashes, Python gone from the "
-    "embedding stage. The UDF path stays as the pluggable-provider seam "
-    "(embedding.py); this is the shape batch ingest runs at 100 TB.",
+    "Both-paths pin for the KNN plane (chunk -> embed -> filter -> exact "
+    "cosine top-4). Since round 11 the DEFAULT plane "
+    "(doc_knn_query_documentation) runs the native column-expression embed "
+    "this module introduced; this entry therefore now exercises the "
+    "PLUGGABLE-PROVIDER Arrow-UDF seam (embedding.with_embeddings — the "
+    "path a real OpenAI/Azure endpoint plugs into) against the VERBATIM "
+    "same oracle, so the driver keeps hash-checking BOTH embed paths, one "
+    "registry slot each. The name records the entry's round-9 origin "
+    "(proving native parity); the roles swapped in round 11, the oracle "
+    "and hashes did not.",
 )
 def doc_knn_query_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.chunking import chunk_documents
+    from doc2vec_spark.embedding import with_embeddings
     from doc2vec_spark.operators.domain import _doc_corpus
     from doc2vec_spark.query import query_documentation
 
     corpus = _doc_corpus(spark, sf_dir)
     query_text = corpus.filter(F.col("doc_id") == 7).select("text").first()["text"]
-    chunks = with_embeddings_native(chunk_documents(corpus))
+    chunks = with_embeddings(chunk_documents(corpus))
     out = query_documentation(chunks, query_text, k=4)
     return out.select(
         "url",

@@ -30,11 +30,19 @@ Deterministic, engine-identical semantics (documented contract):
   sites in a run, pass two picks up the skipped sites, after which no
   anchored occurrence remains (a replacement cell ``a||b`` is strictly
   longer than ``a`` and ``b``, so no pass creates new sites of the same
-  pair). The one divergence from single-scan cell-greedy merging is
-  piece ORDER inside an odd-length run of >= 5 identical symbols under
-  a self-merge (e.g. 'aaaaa' under ('a','a') -> aa|a|aa, not aa|aa|a);
-  the piece MULTISET is identical and every multi-char piece is still
-  exactly ``a||b`` of a learned merge;
+  pair). The divergence from single-scan cell-greedy merging: inside a
+  run of >= 5 identical symbols under a self-merge, two-pass anchored
+  replace UNDER-MERGES relative to greedy — pass one takes alternating
+  sites, pass two can only pair up what's left, so 'aaaaa' ->
+  aa|a|aa (greedy: aa|aa|a — same multiset, different order) but
+  'aaaaaa' -> aa|a|aa|a where greedy yields aa|aa|aa (a DIFFERENT
+  piece multiset: every even run >= 6 and odd run >= 9 under-merges,
+  shifting downstream training pair counts; regression-pinned in
+  tests/test_round9_ops.py). What IS guaranteed — and what the
+  engine-exactness story rests on — is derivability (every multi-char
+  piece is exactly ``a||b`` of a learned merge) plus bytewise
+  engine-identical segmentation (both engines and the replay run the
+  same two-pass contract, so hashes match regardless);
 - each of the NUM_MERGES training steps recomputes every word's
   segmentation under the merges learned so far, counts adjacent cell
   pairs weighted by word frequency, and appends the best pair not already

@@ -224,19 +224,21 @@ def _doc_knn_oracle(k: int = 4) -> str:
     "Full query plane: chunk -> deterministic embed -> metadata filter -> "
     "exact cosine top-k (the reference's query_documentation, "
     "mcp/src/server.ts:117-151). Self-query: top-1 must be the planted doc "
-    "at distance 0 (asserted in tests/test_query_api.py). The digest-"
-    "arithmetic embedding (embedding.py) is SQL-expressible, so the whole "
-    "chunk -> pandas-UDF embed -> KNN plane is value-hash-checked against "
+    "at distance 0 (asserted in tests/test_query_api.py). Round 11: the "
+    "embed stage defaults to the JVM-native column-expression path "
+    "(embedding_native.py) — no Python boundary beyond the chunker's "
+    "mapInPandas; the digest arithmetic is SQL-expressible, so the whole "
+    "chunk -> native embed -> KNN plane is value-hash-checked against "
     "DuckDB recomputing identical float32 vectors.",
 )
 def doc_knn_query_documentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.chunking import chunk_documents
-    from doc2vec_spark.embedding import with_embeddings
+    from doc2vec_spark.embedding_native import with_embeddings_native
     from doc2vec_spark.query import query_documentation
 
     corpus = _doc_corpus(spark, sf_dir)
     query_text = corpus.filter(F.col("doc_id") == 7).select("text").first()["text"]
-    chunks = with_embeddings(chunk_documents(corpus))
+    chunks = with_embeddings_native(chunk_documents(corpus))
     out = query_documentation(chunks, query_text, k=4)
     return out.select(
         "url", "chunk_id", "chunk_index",
@@ -338,7 +340,8 @@ def _ranked_pool(df: DataFrame, order_cols: list, rank_name: str) -> DataFrame:
     ),
 )
 def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc2vec_spark.embedding import embed_text, with_embeddings
+    from doc2vec_spark.embedding import embed_text
+    from doc2vec_spark.embedding_native import with_embeddings_native
     from doc2vec_spark.functions.rounding import pround
     from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
 
@@ -370,7 +373,7 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     qvec = [float(x) for x in embed_text(q_text)]
-    scored = with_embeddings(base, text_col="content").select(
+    scored = with_embeddings_native(base, text_col="content").select(
         "doc_id",
         cosine_distance(as_double_array(F.col("embedding")), lit_vector(qvec)).alias("dist"),
     )

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc2vec_spark.chunking import chunk_documents
-from doc2vec_spark.embedding import DEFAULT_DIM, with_embeddings
+from doc2vec_spark.embedding import DEFAULT_DIM
+from doc2vec_spark.embedding_native import with_embeddings_native
 from doc2vec_spark.store import ChunkStore
 
 
@@ -60,8 +61,17 @@ def sync_documents(
     dim: int = DEFAULT_DIM,
     cleanup_prefix: str | None = None,
     full_listing: bool = True,
+    embed_fn=None,
 ) -> SyncCounters:
     """One ingestion run: chunk -> diff -> embed only changed -> commit.
+
+    ``embed_fn(df, text_col=, dim=)`` is the pluggable embedding provider.
+    Default: the JVM-native column-expression path
+    (``embedding_native.with_embeddings_native`` — bit-identical to the
+    stub Arrow UDF, proven by the doc_knn_query_native oracle hashes, with
+    no Python boundary in the ingest plan). A real provider (OpenAI/Azure:
+    an API call per Arrow batch) plugs in ``embedding.with_embeddings``
+    with its ``embed_texts`` swapped — that seam is WHY the UDF path stays.
 
     ``docs`` carries (url, markdown, product_name, version). The diff (and
     therefore every deletion and counter) is SCOPED to the store rows whose
@@ -98,7 +108,8 @@ def sync_documents(
         # without the persist the store write below would recompute them all —
         # 2x provider cost on the most expensive stage, the exact thing W3
         # (embed-only-changed) exists to avoid
-        embedded = with_embeddings(to_embed, text_col="content", dim=dim).persist()
+        embed = embed_fn if embed_fn is not None else with_embeddings_native
+        embedded = embed(to_embed, text_col="content", dim=dim).persist()
 
         chunks_added = embedded.count()
 

@@ -1,12 +1,9 @@
-"""Round-10 tests: SRP sign-margin proof (ADVICE r9 dedup.py:1180),
-vocabulary-scale tokenizer encode, and knn-graph tier routing."""
+"""Round-10 tests: SRP sign-margin proof (ADVICE r9 dedup.py:1180)."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
-
-from tests.conftest import SF_DIR
 
 
 # ---------------------------------------------------------------------------
@@ -62,6 +59,13 @@ def test_srp_sign_margins_dominate_summation_order_error(spark, sf):
         # same 64 products, any association: each order errs <=
         # (n-1)*eps*sum|products| from the exact value
         bound = 2 * (vm.shape[1] - 1) * eps * (np.abs(vm) @ np.abs(p).T)
+        # ADVICE r10: an all-zero embedding row would make bound 0 and the
+        # margin nan/inf — fail that degenerate corpus with a clear message
+        # instead of a numpy warning
+        assert bound.min() > 0, (
+            f"tier {tier}: corpus contains an all-zero embedding row — "
+            "sign-margin analysis undefined"
+        )
         margin = np.abs(fold) / bound
         assert margin.min() >= 1e3, (
             f"tier {tier}: min sign margin {margin.min():.1f}x the "

@@ -326,23 +326,34 @@ def test_native_embedding_bit_exact_with_udf_path(spark):
 
 def test_native_embedding_plan_has_no_python_stage(spark):
     """with_embeddings_native is one whole-stage-codegen projection: no
-    ArrowEval/BatchEval/Python node anywhere; and the full
-    doc_knn_query_native plan carries ONLY the chunker's mapInPandas (the
-    _embed UDF is gone from the ingest plan)."""
+    ArrowEval/BatchEval/Python node anywhere; and the DEFAULT ingest plane
+    (doc_knn_query_documentation — native since the round-11 flip) carries
+    ONLY the chunker's mapInPandas (the _embed UDF is gone), while
+    doc_knn_query_native — the provider-seam entry since the same flip —
+    still carries the Arrow UDF stage it exists to pin."""
     from doc2vec_spark.embedding_native import QUERIES, with_embeddings_native
+    from doc2vec_spark.operators.domain import QUERIES as DQ
 
     df = spark.createDataFrame([("t",)], "content string")
     plan = with_embeddings_native(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan and "_embed" not in plan
     knn_plan = (
+        DQ["doc_knn_query_documentation"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_embed" not in knn_plan  # the default embed stage is native...
+    assert "MapInPandas" in knn_plan  # ...the chunker legitimately is not
+    seam_plan = (
         QUERIES["doc_knn_query_native"]
         .fn(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "_embed" not in knn_plan  # the embed stage is native...
-    assert "MapInPandas" in knn_plan  # ...the chunker legitimately is not
+    assert "_embed" in seam_plan  # the seam entry still exercises the UDF
 
 
 def test_native_knn_oracle_is_verbatim_udf_oracle(spark):
@@ -429,8 +440,7 @@ def test_bpe_merges_never_cross_cell_boundaries(spark, tmp_path):
     the word 'xab' segments 'x|a|b' -> 'xa|b' and must STAY 'xa|b' — an
     unanchored replace would match 'a<SEP>b' inside the suffix of cell
     'xa' and emit the single piece 'xab' though no ('xa','b') merge was
-    learned. Corpus engineered so exactly those two merges are learned
-    first; Spark and the DuckDB oracle must both produce the anchored
+    learned. Spark and the DuckDB oracle must both produce the anchored
     segmentation. Checked at the segmentation-primitive level with a FIXED
     two-merge list (a trained corpus can't isolate the property: training
     would just learn ('xa','b') as a later merge and legitimately fuse the
@@ -459,6 +469,30 @@ def test_bpe_merges_never_cross_cell_boundaries(spark, tmp_path):
     con = duckdb.connect()
     for w, want in cases.items():
         seg = _seg_sql(f"'{w}'", f"'{mstr}'".replace(PSEP, "' || chr(2) || '").replace(MSEP, "' || chr(3) || '"))
+        (o,) = con.sql(f"SELECT replace({seg}, chr(1), '|')").fetchone()
+        assert o == want, (w, o, want)
+
+    # ADVICE r10 regression: identical-symbol runs >= 6 under a self-merge
+    # UNDER-MERGE relative to cell-greedy (different piece MULTISET, not
+    # just order): 'aaaaaa' -> aa|a|aa|a where greedy would give aa|aa|aa.
+    # Pins the two-pass contract result in both engines so a future
+    # "optimization" to greedy semantics trips this instead of silently
+    # changing training pair counts.
+    self_cases = {"aaaaa": "aa|a|aa", "aaaaaa": "aa|a|aa|a"}
+    got2 = {
+        r["w"]: r["s"]
+        for r in spark.createDataFrame([(w,) for w in self_cases], "w string")
+        .select(
+            "w",
+            F.replace(
+                _seg_col(F.col("w"), [("a", "a")]), F.lit(SEP), F.lit("|")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got2 == self_cases, got2
+    for w, want in self_cases.items():
+        seg = _seg_sql(f"'{w}'", "'a' || chr(2) || 'a'")
         (o,) = con.sql(f"SELECT replace({seg}, chr(1), '|')").fetchone()
         assert o == want, (w, o, want)
 
