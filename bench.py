@@ -105,6 +105,34 @@ def needs_rerep(times: list[float], extra: int) -> bool:
     return med > MEDIAN_RESIDUAL * lo and floor_ok
 
 
+def normalized_medians(
+    names: list[str],
+    medians: dict[str, float],
+    calibration: list[float],
+    probe_every: int,
+) -> dict[str, float]:
+    """Per-query calibration-normalized medians (VERDICT r9 #2b): each
+    query's median divided by the mean of the two environment probes
+    bracketing its position in the run. The probe is a FIXED trivial query,
+    so the ratio is a weather-independent speed figure: a query recorded
+    inside a co-tenant degradation window divides by the inflated probes
+    that bracketed it, and the ratio lands where a calm-window record
+    would. Probes run before query 0, before every ``probe_every``-th
+    query, and once after the last — query qi is bracketed by probes
+    qi // probe_every and qi // probe_every + 1 (clamped)."""
+    out: dict[str, float] = {}
+    for qi, name in enumerate(names):
+        if name not in medians:
+            continue
+        k = qi // probe_every
+        before = calibration[min(k, len(calibration) - 1)]
+        after = calibration[min(k + 1, len(calibration) - 1)]
+        cal = (before + after) / 2
+        if cal > 0:
+            out[name] = round(medians[name] / cal, 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from doc2vec_spark.registry import all_queries
@@ -245,6 +273,8 @@ def main() -> None:
     # round-stable 22-query subset so cross-round comparisons separate
     # "engine got slower" from "engine got bigger".
     core = round(sum(t for n, t in timings.items() if n in CORE), 3)
+    calibration.append(_probe())
+    norm = normalized_medians(names, timings, calibration, PROBE_EVERY)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -255,7 +285,8 @@ def main() -> None:
         "spread": spreads,
         "stalls": stall_log,
         "reps": reps,
-        "calibration": calibration + [_probe()],
+        "calibration": calibration,
+        "normalized": norm,
         "sf": sf_val,
     }
     # Subset runs (SPARK_GRAFT_BENCH_ONLY — scaling rehearsals, one-off
@@ -286,6 +317,14 @@ def main() -> None:
                 "calibration_median": round(
                     median_of(sorted(detail["calibration"])), 3
                 ),
+                # per-query calibration-normalized medians (median / mean of
+                # the probes bracketing that query — VERDICT r9 #2b) for the
+                # expensive watch class: a record cut inside a degradation
+                # window still shows steady-state conformance here. Full
+                # dict in BENCH_DETAIL.json "normalized".
+                "norm": {
+                    k: v for k, v in norm.items() if timings.get(k, 0) >= 1.5
+                },
             }
         )
 

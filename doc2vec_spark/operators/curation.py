@@ -282,13 +282,37 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 8-plane configuration shared with ann_srp_buckets, above it switches
 # to a 12-plane / 4096-bucket signature (pair work /16). The oracle routes
 # on the same count, so both paths stay hash-checked.
+#
+# Third tier (round 11, VERDICT r9 #5): the 30x rehearsal measured 4096-
+# bucket occupancy 14.6 at ~60k vectors, i.e. occupancy ~= n / 4096. Pair
+# work per vector IS the occupancy, so the tier is due when occupancy
+# drifts past ~2x its design point — n / 4096 > 32 -> n > ~130k. The next
+# signature adds 2 planes (14 planes / 16384 buckets, pair work /4), and
+# the switch point must respect the OCCUPANCY >= K+1 invariant: a bucket
+# with fewer than k+1 members cannot fill a vector's top-k, so the finer
+# tier is only valid once n / 16384 >= k + 1 = 4 (n >= 65,536). At the
+# 130k threshold the 16384-bucket occupancy is ~8 = 2(k+1) — the same
+# occupancy the 12-plane tier had at ITS activation point (5k / 4096 ~= 1
+# was narrow-tier headroom; 130k / 16384 ~= 8 carries margin). Per-decade
+# rule: each ~4x growth in n adds 2 planes, holding occupancy in the
+# [k+1, 32] window; n = 130k-520k rides 14 planes, 520k-2M would ride 16.
+# This tier cannot be rehearsed locally (make_scale10 caps the replica
+# factor at 32 -> ~63k vectors max), so like the emb-LSH wide2 tier it is
+# pinned by a monkeypatched routing + value-parity test instead
+# (tests/test_round11_ops.py).
 
 KNN_GRAPH_K = 3
 KNN_ROUTE_MAX_VECS = 5_000
+KNN_ROUTE_WIDE2_VECS = 130_000  # 16384-bucket tier threshold (see above)
 KNN_WIDE_PLANES_N = 12
+KNN_W2_PLANES_N = 14
 _kg_rng = _np.random.RandomState(7)
 KNN_WIDE_PLANES: list[list[float]] = [
     [float(x) for x in _kg_rng.randn(64)] for _ in range(KNN_WIDE_PLANES_N)
+]
+# drawn from the SAME stream, so the first 12 wide2 planes != the wide ones
+KNN_W2_PLANES: list[list[float]] = [
+    [float(x) for x in _kg_rng.randn(64)] for _ in range(KNN_W2_PLANES_N)
 ]
 
 
@@ -304,6 +328,15 @@ _KNN_WIDE_BUCKET_SQL = (
     + ")"
 )
 
+_KNN_W2_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"((CASE WHEN list_dot_product(v, {_sql_dvec(p)}) > 0 THEN 1 ELSE 0 END)::BIGINT << {i})"
+        for i, p in enumerate(KNN_W2_PLANES)
+    )
+    + ")"
+)
+
 _KNN_PAIR_SIM_SQL = sql_round(
     "list_dot_product(a.v, n.v)"
     " / (sqrt(list_dot_product(a.v, a.v))"
@@ -312,7 +345,10 @@ _KNN_PAIR_SIM_SQL = sql_round(
 )
 
 
-def _knn_graph_oracle(cutoff: int = KNN_ROUTE_MAX_VECS) -> str:
+def _knn_graph_oracle(
+    cutoff: int = KNN_ROUTE_MAX_VECS,
+    w2_cutoff: int = KNN_ROUTE_WIDE2_VECS,
+) -> str:
     def branch(bucket_sql: str) -> str:
         return f"""
       SELECT vec_id, neighbor_id, cosine_sim,
@@ -331,35 +367,54 @@ def _knn_graph_oracle(cutoff: int = KNN_ROUTE_MAX_VECS) -> str:
     WITH nn AS (SELECT COUNT(*) AS c FROM embeddings),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     narrow AS ({branch(_SRP_BUCKET_SQL)}),
-    wide AS ({branch(_KNN_WIDE_BUCKET_SQL)})
+    wide AS ({branch(_KNN_WIDE_BUCKET_SQL)}),
+    wide2 AS ({branch(_KNN_W2_BUCKET_SQL)})
     SELECT * FROM narrow
     WHERE rank <= {KNN_GRAPH_K} AND (SELECT c FROM nn) <= {cutoff}
     UNION ALL
     SELECT * FROM wide
-    WHERE rank <= {KNN_GRAPH_K} AND (SELECT c FROM nn) > {cutoff}
+    WHERE rank <= {KNN_GRAPH_K}
+      AND (SELECT c FROM nn) > {cutoff} AND (SELECT c FROM nn) <= {w2_cutoff}
+    UNION ALL
+    SELECT * FROM wide2
+    WHERE rank <= {KNN_GRAPH_K} AND (SELECT c FROM nn) > {w2_cutoff}
     """
 
 
-def _wide_bucket_expr(vcol: Column) -> Column:
-    """12-plane SRP bucket via ONE Arrow-batched matmul (the _pair_sig_expr
-    pattern from operators/dedup.py: 12 interpreted HOF dots per row would
+def _matmul_bucket_expr(
+    vcol: Column, plane_rows: list[list[float]], name: str
+) -> Column:
+    """n-plane SRP bucket via ONE Arrow-batched matmul (the _pair_sig_expr
+    pattern from operators/dedup.py: 12+ interpreted HOF dots per row would
     dominate the query; a blas sign can differ from the oracle's sequential
     fold only when a plane dot sits within ulps of 0.0 — the ~1e-15-per-
-    dataset event class the parity suite and driver gate would surface)."""
+    dataset event class the parity suite and driver gate would surface).
+    ``name`` becomes the UDF's plan-visible name so routing tests can pin
+    which tier a plan took."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    planes = np.asarray(KNN_WIDE_PLANES)  # (12, 64)
-    weights = 1 << np.arange(KNN_WIDE_PLANES_N, dtype=np.int64)
+    planes = np.asarray(plane_rows)  # (n_planes, 64)
+    weights = 1 << np.arange(len(plane_rows), dtype=np.int64)
 
-    @pandas_udf("long")
-    def srp12(vs):
+    def _bucket(vs):
         vm = np.vstack(vs.to_numpy())
         bits = (vm @ planes.T) > 0
         return pd.Series((bits * weights[None, :]).sum(axis=1))
 
-    return srp12(vcol)
+    _bucket.__name__ = name
+    return pandas_udf(_bucket, "long")(vcol)
+
+
+def _wide_bucket_expr(vcol: Column) -> Column:
+    """12-plane / 4096-bucket tier signature (plans render srp12(v))."""
+    return _matmul_bucket_expr(vcol, KNN_WIDE_PLANES, "srp12")
+
+
+def _w2_bucket_expr(vcol: Column) -> Column:
+    """14-plane / 16384-bucket tier signature (plans render srp14(v))."""
+    return _matmul_bucket_expr(vcol, KNN_W2_PLANES, "srp14")
 
 
 @_register(
@@ -371,10 +426,15 @@ def _wide_bucket_expr(vcol: Column) -> Column:
     "256-bucket signature shared with ann_srp_buckets; above it (where "
     "fixed buckets saturate: pair work ~ n^2/256, measured 24x wall at 10x "
     "corpus) a 12-plane / 4096-bucket signature keeps bucket occupancy — "
-    "and with it candidate count — constant-per-vector. Emitted sims are "
+    "and with it candidate count — constant-per-vector; past {n2} vectors "
+    "(4096-bucket occupancy ~2x its design point per the 30x rehearsal's "
+    "occupancy-14.6-at-60k row) a 14-plane / 16384-bucket signature takes "
+    "over, valid because occupancy stays >= k+1 there. Emitted sims are "
     "exact sequential-fold dots; ranking uses the ROUNDED sim with a "
     "neighbor-id tiebreak so the order is engine-exact. The oracle routes "
-    "on the same COUNT(*).".format(k=KNN_GRAPH_K, n=KNN_ROUTE_MAX_VECS),
+    "on the same COUNT(*).".format(
+        k=KNN_GRAPH_K, n=KNN_ROUTE_MAX_VECS, n2=KNN_ROUTE_WIDE2_VECS
+    ),
 )
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
@@ -382,13 +442,15 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # parquet-footer metadata count, same routing idiom as
     # dedup_simhash_pairs (and the same import-time oracle binding note:
-    # the registered oracle bakes KNN_ROUTE_MAX_VECS in at registration)
-    wide = (
-        load(spark, sf_dir, "embeddings").count() > KNN_ROUTE_MAX_VECS
-    )
-    bucket = (
-        _wide_bucket_expr(F.col("v")) if wide else srp_bucket_expr(F.col("v"))
-    )
+    # the registered oracle bakes KNN_ROUTE_MAX_VECS / KNN_ROUTE_WIDE2_VECS
+    # in at registration)
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    if n_vecs > KNN_ROUTE_WIDE2_VECS:
+        bucket = _w2_bucket_expr(F.col("v"))
+    elif n_vecs > KNN_ROUTE_MAX_VECS:
+        bucket = _wide_bucket_expr(F.col("v"))
+    else:
+        bucket = srp_bucket_expr(F.col("v"))
     b = e.select("vec_id", "v", bucket.alias("bucket"))
     a, n = b.alias("a"), b.alias("n")
     sim = dot(F.col("a.v"), F.col("n.v")) / (

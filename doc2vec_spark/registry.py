@@ -129,6 +129,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         tokenizer,
         tpch_extra,
         trending,
+        vocab_encode,
         windows,
         wordpiece,
     )
@@ -144,6 +145,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         textrank,
         tokenizer,
         wordpiece,
+        vocab_encode,
         bpe,
         trending,
         lm,

@@ -68,3 +68,29 @@ def test_subset_runs_write_a_separate_detail_file():
         "BENCH_SUBSET.json",
         "subset_queries_total",
     )
+
+
+def test_normalized_medians_divide_by_bracketing_probes():
+    """VERDICT r9 #2b: each query's median divides by the mean of the two
+    fixed-probe timings bracketing its run position, so a query recorded
+    inside a degradation window (inflated probes around it) normalizes
+    back to its steady-state ratio."""
+    names = [f"q{i}" for i in range(12)]
+    medians = {n: 2.0 for n in names}
+    # probes: before q0, before q10, after the last query
+    calibration = [0.2, 0.4, 0.4]
+    norm = bench.normalized_medians(names, medians, calibration, 10)
+    # q0..q9 bracketed by (0.2, 0.4) -> 2.0 / 0.3
+    assert norm["q0"] == norm["q9"] == round(2.0 / 0.3, 2)
+    # q10, q11 bracketed by (0.4, 0.4) -> 2.0 / 0.4
+    assert norm["q10"] == norm["q11"] == 5.0
+    # a query inside a 2x-degraded window with a 2x-inflated median
+    # normalizes to the calm-window figure
+    calm = bench.normalized_medians(["a"], {"a": 2.0}, [0.2, 0.2], 10)["a"]
+    hot = bench.normalized_medians(["a"], {"a": 4.0}, [0.4, 0.4], 10)["a"]
+    assert calm == hot
+
+
+def test_normalized_medians_skip_missing_and_zero_cal():
+    norm = bench.normalized_medians(["a", "b"], {"a": 1.0}, [0.0, 0.0], 10)
+    assert norm == {}  # zero probes -> no ratio rather than a div-by-zero
