@@ -122,12 +122,17 @@ def test_sync_is_single_commit_and_deletes_fold_in(spark, tmp_path):
     assert urls == {"https://d/a", "https://d/b"}
 
 
-def test_embed_udf_runs_once_per_changed_chunk(spark, tmp_path, monkeypatch):
+def test_embed_udf_runs_once_per_changed_chunk(spark, tmp_path):
     """W3 at provider-cost level: counting via accumulator, each changed chunk
     is embedded exactly once per sync (not once for the counter and again for
-    the store write — the r01 double-materialization bug)."""
-    import doc2vec_spark.sync as sync_mod
+    the store write — the r01 double-materialization bug). Since the r11
+    native flip, the counting provider is injected through the
+    ``sync_documents(embed_fn=...)`` seam — the same seam a real
+    OpenAI/Azure provider uses — instead of monkeypatching a module
+    attribute (ADVICE r11 high: the old monkeypatch target no longer
+    exists)."""
     from doc2vec_spark.store import ChunkStore
+    from doc2vec_spark.sync import sync_documents
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -145,14 +150,12 @@ def test_embed_udf_runs_once_per_changed_chunk(spark, tmp_path, monkeypatch):
 
         return df.withColumn(out_col, _embed(F.col(text_col)))
 
-    monkeypatch.setattr(sync_mod, "with_embeddings", counting_with_embeddings)
-
     store = ChunkStore(spark, str(tmp_path / "chunks"), num_buckets=4)
     docs = _docs(
         spark,
         [(f"https://d/{i}", f"# D{i}\n{BODY} doc {i}.", "prod", "1.0") for i in range(8)],
     )
-    c1 = sync_mod.sync_documents(spark, store, docs)
+    c1 = sync_documents(spark, store, docs, embed_fn=counting_with_embeddings)
     assert acc.value == c1.chunks_added > 0
 
     # second sync: one url changed -> only its chunks embed, once each
@@ -169,9 +172,28 @@ def test_embed_udf_runs_once_per_changed_chunk(spark, tmp_path, monkeypatch):
             for i in range(8)
         ],
     )
-    c2 = sync_mod.sync_documents(spark, store, docs2)
+    c2 = sync_documents(spark, store, docs2, embed_fn=counting_with_embeddings)
     assert c2.items_updated == 1 and c2.items_unchanged == 7
     assert acc.value == c2.chunks_added > 0
+
+
+def test_default_ingest_embed_plan_has_no_python_stage(spark):
+    """The flip's companion invariant: the DEFAULT ingest embedding path
+    (embed_fn=None -> with_embeddings_native) plans as pure JVM column
+    expressions — no ArrowEvalPython / BatchEvalPython stage. An
+    accumulator can't count a native fold, so W3's provider-cost
+    invariant splits into (a) the embed_fn-seam count above and (b) this
+    plan assertion that the default path never crosses into Python."""
+    from doc2vec_spark.chunking import chunk_documents
+    from doc2vec_spark.embedding_native import with_embeddings_native
+
+    docs = _docs(spark, [("https://d/p", f"# P\n{BODY} plan.", "prod", "1.0")])
+    embedded = with_embeddings_native(chunk_documents(docs), text_col="content", dim=64)
+    plan = embedded._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # and it actually produces normalized vectors of the requested dim
+    row = embedded.select("embedding").first()
+    assert len(row["embedding"]) == 64
 
 
 def test_gc_defers_one_commit_for_inflight_readers(spark, tmp_path):
