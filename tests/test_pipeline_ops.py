@@ -323,6 +323,45 @@ def test_cc_clusters_corpus_job_count_cut(spark):
     assert n_jobs <= 12, f"job count regressed: {n_jobs} (r8 was 17)"
 
 
+def test_canonical_select_fused_no_window_and_job_bar(spark):
+    """VERDICT r11 #3: canonical-survivor selection rides the CC output as
+    ONE sort-free hash aggregate, not a corpus-wide window. Three pins:
+    (a) the executed plan after the CC pass contains NO Window operator —
+    survivor = max_by over a hash agg keyed on component (the r10 window
+    partitioned by a mostly-singleton key, forcing a full corpus
+    shuffle+sort: calm-window-confirmed 6.4x at 10x, now 3.5x);
+    (b) a SortAggregate never sneaks in for the component agg (the max_by
+    ordering is packed into one long so the agg buffer stays mutable);
+    (c) the end-to-end scheduler job count stays at the fused measurement
+    (the extra work beyond CC is one corpus scan + one hash agg)."""
+    from doc2vec_spark.operators.pipeline import pipe_canonical_select
+
+    sc = spark.sparkContext
+    group = "canon_corpus_probe"
+    sc.setJobGroup(group, "job-count probe", False)
+    try:
+        df = pipe_canonical_select(spark, SF_DIR)
+        rows = df.collect()
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert rows
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "canonical select regressed to a window pass"
+    assert "SortAggregate" not in plan, "component agg must stay hash-based"
+    assert "max_by" in plan or "MaxBy" in plan or "HashAggregate" in plan
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    # measured 15 on this env: the cc pipeline's jobs plus the AQE-staged
+    # corpus quality scan + final agg/collect — the window shape measured
+    # the same pipeline PLUS a corpus-wide sort stage
+    assert n_jobs <= 15, f"job count regressed: {n_jobs} (measured 15 fused)"
+    # singleton components select themselves with zero drops
+    by_comp = {r["component"]: r for r in rows}
+    singles = [r for r in rows if r["n_members"] == 1]
+    assert singles and all(
+        r["survivor_doc_id"] == r["component"] and r["n_dropped"] == 0 for r in singles
+    )
+
+
 def test_cc_star_deep_path_converges_fast(spark):
     # a 33-node path has diameter 32: min-label would need many rounds;
     # star alternation must finish well inside its iteration budget
