@@ -199,19 +199,30 @@ def encode_against_vocab(
         )
         return F.when(pos > wlen, acc).otherwise(advanced)
 
+    # ADVICE r11: the fold must be referenced ONCE — a select that reads
+    # walked['pieces'] / walked['n'] directly re-inlines the whole greedy
+    # walk per reference (the plan-linearity anti-pattern
+    # embedding_native.py documents as 6x slower). The finish lambda does
+    # the strip/cast over the accumulator VALUE (variable reads, not
+    # re-evaluations), the fold lands as ONE aliased struct column, and a
+    # second select projects its fields — GetStructField on an attribute
+    # is cheap, so CollapseProject keeps the two projections separate and
+    # the walk evaluates exactly once per word.
     walked = F.aggregate(
         F.sequence(F.lit(1), wlen),
         F.struct(
             F.lit(1).alias("pos"), F.lit("").alias("pieces"), F.lit(0).alias("n")
         ),
         step_fn,
-    )
-    enc = steps.select(
-        "word",
-        walked["pieces"].substr(F.lit(2), F.length(walked["pieces"])).alias(
-            "_pieces"
+        lambda acc: F.struct(
+            acc["pieces"].substr(F.lit(2), F.length(acc["pieces"])).alias("pieces"),
+            acc["n"].cast("long").alias("n"),
         ),
-        walked["n"].cast("long").alias("_n_pieces"),
+    )
+    enc = steps.select("word", walked.alias("_w")).select(
+        "word",
+        F.col("_w")["pieces"].alias("_pieces"),
+        F.col("_w")["n"].alias("_n_pieces"),
     )
     joined = df.join(enc, df[word_col] == enc["word"], "left")
     too_long = F.length(df[word_col]) > max_word_chars

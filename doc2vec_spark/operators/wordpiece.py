@@ -30,6 +30,15 @@ boundary — and rejoins occurrences via a broadcast hash join. Corpus size
 enters the word-count aggregation and the final per-doc sum; never the
 walk. The two vocab tables collected to the driver are bounded literal
 LUTs (20 + 8 rows — the ann_pq LUT precedent).
+
+Round-12 split (VERDICT r11 #4): the literal-LUT walk above survives ONLY
+as ``ta_wordpiece_encode``'s own registry entry — it pins the unrolled-
+expression plan shape at toy vocab size. Every subword ACCOUNTING query in
+this module (``ta_subword_doc_counts``, ``pipe_sequence_pack_subword``,
+``pipe_data_budget_subword``, ``ta_tokenizer_fertility``) now reads
+``_table_enc`` — the vocab-TABLE encoder (``vocab_encode.py``), whose plan
+is identical at a 40-piece registry vocab and a 64k-piece production one —
+with oracles re-specced onto the matching CTE chain.
 """
 
 from __future__ import annotations
@@ -108,6 +117,20 @@ _VOCAB_CTES = (
     f"pvocab AS ({_PVOCAB_SQL}),\nwvocab AS ({_WVOCAB_SQL}),\n{_ENC_SQL}"
 )
 
+
+def _tbl_ctes() -> str:
+    """The vocab-TABLE encoder's words/vocab/grid/steps/walk/enc CTE chain
+    (vocab_encode._enc_ctes at the registry vocabulary size) — the `enc`
+    the subword ACCOUNTING oracles below read since round 12, mirroring the
+    engine-side `_table_enc` switch. Same enc(word, pieces, n_pieces)
+    contract as the legacy chain, so the downstream CTEs are unchanged."""
+    from doc2vec_spark.operators.vocab_encode import REGISTRY_VOCAB_K, _enc_ctes
+
+    return _enc_ctes(REGISTRY_VOCAB_K)
+
+
+_TBL_CTES = _tbl_ctes()
+
 # Per-doc subword totals over the enc CTE — shared by the packing and
 # budget oracles below.
 _SW_DOC_TOK_SQL = """
@@ -130,6 +153,28 @@ def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def _table_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, pieces, n_pieces) from the vocab-TABLE encoder — the
+    production encode path (VERDICT r11 #4). The subword ACCOUNTING queries
+    below (doc counts, packing, budget, fertility) consume this table, so
+    the numbers a dataloader/budget pass reads come from the encoder that
+    actually scales to a 64k-piece vocabulary (vocab_encode.py: broadcast
+    length-sliced joins + one native fold; nothing collected). The
+    literal-LUT walk above remains only as ta_wordpiece_encode's own
+    parity-legacy registry entry — it proves the unrolled-expression shape,
+    but nothing downstream consumes it anymore."""
+    from doc2vec_spark.operators.vocab_encode import (
+        REGISTRY_VOCAB_K,
+        corpus_words,
+        derive_vocab,
+        encode_against_vocab,
+    )
+
+    words = corpus_words(spark, sf_dir)
+    vocab = derive_vocab(words, REGISTRY_VOCAB_K)
+    return encode_against_vocab(words, vocab).select("word", "pieces", "n_pieces")
 
 
 def _collect_vocab(words: DataFrame) -> tuple[list[str], list[str]]:
@@ -226,9 +271,10 @@ def encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _subword_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_words, n_subword_tokens): occurrences broadcast-join the
-    distinct-word encoding, then one map-side-combinable per-doc sum."""
+    distinct-word encoding (vocab-TABLE path), then one map-side-combinable
+    per-doc sum."""
     docs = load(spark, sf_dir, "documents")
-    enc = encode_words(spark, sf_dir).select("word", "n_pieces")
+    enc = _table_enc(spark, sf_dir).select("word", "n_pieces")
     occ = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
     ).filter(F.col("word") != "")
@@ -266,7 +312,7 @@ def ta_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ta_subword_doc_counts",
     f"""
-    {_VOCAB_CTES},
+    {_TBL_CTES},
     occ AS (
       SELECT doc_id, word FROM (
         SELECT doc_id,
@@ -279,9 +325,11 @@ def ta_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.doc_id ORDER BY o.doc_id
     """,
     "Per-document subword token counts: occurrences broadcast-join the "
-    "distinct-word encoding table, then one map-side-combinable per-doc "
-    "sum — the REAL token accounting the packing/budget plane needs "
-    "(whitespace words undercount what a subword model trains on).",
+    "distinct-word encoding table (the vocab-TABLE encoder since r12 — "
+    "the path that carries a production vocabulary), then one map-side-"
+    "combinable per-doc sum — the REAL token accounting the packing/"
+    "budget plane needs (whitespace words undercount what a subword "
+    "model trains on).",
 )
 def ta_subword_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _subword_doc_counts(spark, sf_dir).orderBy("doc_id")
@@ -318,7 +366,7 @@ def _sw_pack_group_col() -> Column:
 @_register(
     "pipe_sequence_pack_subword",
     f"""
-    {_VOCAB_CTES},
+    {_TBL_CTES},
     {_SW_DOC_TOK_SQL},
     tok AS (
       SELECT d.doc_id, d.lang, {_sw_pack_group_sql('d.doc_id')} AS pack_group, sw.n_tok
@@ -338,7 +386,7 @@ def _sw_pack_group_col() -> Column:
     """,
     "Sequence packing in SUBWORD tokens: the pipe_sequence_pack plan "
     "(windowed cumsum -> interval explode, integer-exact) with per-doc "
-    "token counts from the wordpiece encoder instead of whitespace words — "
+    "token counts from the vocab-TABLE encoder instead of whitespace words — "
     "sequences a subword-model dataloader can actually consume. One extra "
     "broadcast join (the distinct-word encoding) on top of the original's "
     "single window shuffle.",
@@ -401,7 +449,7 @@ def _budget_subword_oracle() -> str:
     )
 
     return f"""
-    {_VOCAB_CTES},
+    {_TBL_CTES},
     {_SW_DOC_TOK_SQL},
     per_doc AS (
       SELECT d.source, sw.n_tok AS toks
@@ -452,7 +500,7 @@ def _budget_subword_oracle() -> str:
     _budget_subword_oracle(),
     "Token-budget waterfill (Muennighoff et al. 2023 repeat-cap rule, "
     "identical integer arithmetic to pipe_data_budget) over SUBWORD token "
-    "mass from the wordpiece encoder — budgets that match what a subword "
+    "mass from the vocab-TABLE encoder — budgets that match what a subword "
     "model actually trains on. Corpus collapses to one row per source; the "
     "waterfill stays bounded driver-side arithmetic.",
 )
@@ -492,7 +540,7 @@ def pipe_data_budget_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ta_tokenizer_fertility",
     f"""
-    {_VOCAB_CTES},
+    {_TBL_CTES},
     occ AS (
       SELECT doc_id, word FROM (
         SELECT doc_id,
@@ -513,14 +561,14 @@ def pipe_data_budget_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Tokenizer-fit monitor: per-source subword FERTILITY (pieces per word, "
     "integer ppm — the standard metric for how well a vocabulary fits a "
-    "domain) and [UNK]-word rate under the wordpiece encoder. Occurrences "
+    "domain) and [UNK]-word rate under the vocab-TABLE encoder. Occurrences "
     "broadcast-join the distinct-word encoding; one map-side-combinable "
     "per-source aggregation — the drift check a 100 TB pipeline runs when "
     "a new source lands.",
 )
 def ta_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    enc = encode_words(spark, sf_dir).select("word", "pieces", "n_pieces")
+    enc = _table_enc(spark, sf_dir)
     occ = docs.select(
         "doc_id",
         "source",
