@@ -288,6 +288,17 @@ def main() -> None:
         "calibration": calibration,
         "normalized": norm,
         "sf": sf_val,
+        # ADVICE r11: cross-round reader note — since round 11 the embed
+        # implementations under these two names are ROLE-SWAPPED (the
+        # ingest default flipped to the JVM-native fold):
+        # doc_knn_query_documentation now embeds native (was Arrow-UDF
+        # through r10) and doc_knn_query_native exercises the Arrow-UDF
+        # provider seam (was native). Round-over-round deltas across the
+        # r10/r11 boundary compare different embed paths by design.
+        "notes": {
+            "doc_knn_query_documentation": "embeds JVM-native since r11 (was Arrow UDF)",
+            "doc_knn_query_native": "exercises the Arrow-UDF provider seam since r11 (was native)",
+        },
     }
     # Subset runs (SPARK_GRAFT_BENCH_ONLY — scaling rehearsals, one-off
     # probes) must not clobber the full-registry record: they go to a
@@ -301,7 +312,7 @@ def main() -> None:
     except OSError as exc:  # never let the side file kill the contract line
         print(f"# {detail_name} write failed: {exc}", file=sys.stderr)
 
-    def contract_line(q: dict[str, float]) -> str:
+    def contract_line(q: dict[str, float], full_norm: bool = True) -> str:
         return json.dumps(
             {
                 "metric": "headline_queries_total",
@@ -322,8 +333,16 @@ def main() -> None:
                 # expensive watch class: a record cut inside a degradation
                 # window still shows steady-state conformance here. Full
                 # dict in BENCH_DETAIL.json "normalized".
+                # ADVICE r11: the final fallback trims norm to the two
+                # frozen watch-class rows so a registry with many >=1.5s
+                # queries can't push even the HEADLINE-only line past the
+                # tail-capture limit (full dict always in BENCH_DETAIL.json
+                # "normalized")
                 "norm": {
-                    k: v for k, v in norm.items() if timings.get(k, 0) >= 1.5
+                    k: v
+                    for k, v in norm.items()
+                    if timings.get(k, 0) >= 1.5
+                    and (full_norm or k in ("dedup_cc_clusters", "pipe_canonical_select"))
                 },
             }
         )
@@ -333,7 +352,8 @@ def main() -> None:
         line = contract_line({k: round(v, 2) for k, v in timings.items()})
     if len(line) > 1900:
         line = contract_line(
-            {k: round(v, 2) for k, v in timings.items() if k in HEADLINE}
+            {k: round(v, 2) for k, v in timings.items() if k in HEADLINE},
+            full_norm=False,
         )
         print(
             "# stdout queries dict truncated to HEADLINE set; full timings in "

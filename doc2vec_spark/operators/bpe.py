@@ -246,6 +246,214 @@ def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# ---------------------------------------------------------------------------
+# batched BPE training (round 12 — the 32k-merge job-count story)
+# ---------------------------------------------------------------------------
+# ``train_merges`` is exact Sennrich: ONE vocabulary-sized Spark job per
+# merge. Correct, but a production 32k-merge vocabulary means 32k scheduler
+# jobs — a driver-side scale-killer even though every job is tiny (at
+# ~0.1 s/job overhead that is ~an hour of pure scheduling). The standard
+# relaxation (the max-matching batching used by parallel BPE trainers) is
+# to accept up to BPE_BATCH_CAP merges per recount round, restricted to
+# pairs that are PAIRWISE SYMBOL-DISJOINT within the round (no accepted
+# pair consumes or produces a symbol another accepted pair consumes or
+# produces). Disjointness makes the batch exact-by-construction for the
+# pairs it accepts: merging (a, b) can only destroy adjacencies that
+# involve a or b and can only create adjacencies that involve the new
+# symbol a||b, so the count of every symbol-disjoint pair (x, y) is
+# INVARIANT under the merge — each accepted pair's count is still its true
+# count under the round-start segmentation. The deviation from sequential
+# greedy is only that pairs CONFLICTING with an earlier acceptance (and
+# pairs involving just-produced symbols) wait for the next round's
+# recount. Merge ORDER can therefore differ from sequential BPE — this is
+# a documented semantics change with its own oracle, not a drop-in
+# replacement (VERDICT r11 #5).
+#
+# Scale math: rounds ~= merges / (accepted per round). Natural-language
+# top pairs share symbols heavily, so early rounds accept few, but symbol
+# diversity grows with the vocab: at cap 64 a 32k-merge train needs ~500-
+# 1500 recount rounds instead of 32k — a 20-60x job-count cut, each round
+# still one vocabulary-sized job. Expression depth stays bounded by
+# carrying the segmentation as DATA (re-derived per round from the merge
+# list here at registry size; a production loop materializes the seg
+# column and localCheckpoints every ~64 rounds — checkpoints.py
+# discipline). Apply at production vocab size routes through the
+# vocab-TABLE greedy encoder (vocab_encode.py), not a 64k-deep replace
+# chain.
+
+BPE_BATCH_CAP = 3  # registry size: forces 3 rounds (3+3+2) at NUM_MERGES=8
+BPE_BATCH_OVERFETCH = 32  # ordered candidates scanned per round (both engines)
+
+
+def train_merges_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    num_merges: int = NUM_MERGES,
+    cap: int = BPE_BATCH_CAP,
+) -> list[tuple[str, str]]:
+    """Batched greedy BPE: per round ONE vocabulary-sized job counts pairs
+    under the current segmentation; the driver scans the top
+    ``BPE_BATCH_OVERFETCH`` candidates in (count DESC, a, b) order and
+    accepts up to ``min(cap, remaining)`` that are symbol-disjoint from
+    every pair already accepted this round (consumed symbols a, b and the
+    produced symbol a||b all tracked). Deterministic: the outcome is a
+    pure function of the ordered candidate list, so the oracle replays the
+    scan with a ``list_reduce`` fold."""
+    cand = _cand_words(spark, sf_dir).cache()
+    merges: list[tuple[str, str]] = []
+    for _round in range(num_merges):  # <= one round per merge: termination
+        if len(merges) >= num_merges:
+            break
+        cells = F.split(_seg_col(F.col("word"), merges), SEP)
+        pairs = (
+            cand.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(cells, 1, F.size(cells) - 1),
+                        F.slice(cells, 2, F.size(cells) - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        # already-learned pairs leave the candidate pool BEFORE the head cut
+        # (a merged pair can reappear in counts via the under-merge runs
+        # case) — mirrors the oracle's WHERE, so both engines scan the same
+        # OVERFETCH fresh candidates
+        if merges:
+            pairs = pairs.filter(
+                ~F.concat(F.col("a"), F.lit(PSEP), F.col("b")).isin(
+                    [a + PSEP + b for a, b in merges]
+                )
+            )
+        head = (
+            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(BPE_BATCH_OVERFETCH)
+            .collect()
+        )
+        room = min(cap, num_merges - len(merges))
+        used: set[str] = set()
+        accepted: list[tuple[str, str]] = []
+        for r in head:
+            if len(accepted) >= room:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used or (a + b) in used:
+                continue
+            accepted.append((a, b))
+            used |= {a, b, a + b}
+        if not accepted:
+            break
+        merges.extend(accepted)
+    cand.unpersist(False)
+    return merges
+
+
+def _batched_train_cte() -> str:
+    """Recursive batched-training CTE -> stb(round, merges). The per-round
+    disjoint scan is a ``list_reduce`` over the ordered candidate head;
+    fold state is ``accepted-this-round (chr(3)-joined) || chr(4) ||
+    used-symbol set (chr(5)-wrapped)``. Candidate words additionally
+    exclude the chr(4)/chr(5) state sentinels (mirrored engine-side —
+    no-ops on natural text, airtight on adversarial input)."""
+    # fold state: ROOM(countdown dots) || chr(4) || ACCEPTED(chr(3)-joined)
+    # || chr(4) || USED(chr(5)-wrapped symbol set). The lambda is
+    # correlation-free (DuckDB cannot bind s0 inside a lambda): the
+    # already-in-global-merges filter is a correlated WHERE like the
+    # sequential CTE's, and the per-round acceptance budget arrives as the
+    # initial state's dot count.
+    a_of = "split_part(c, chr(2), 1)"
+    b_of = "split_part(c, chr(2), 2)"
+    ab_of = "replace(c, chr(2), '')"
+    acc_r = "split_part(acc, chr(4), 1)"
+    acc_m = "split_part(acc, chr(4), 2)"
+    acc_u = "split_part(acc, chr(4), 3)"
+    step = f"""CASE
+      WHEN {acc_r} = '' THEN acc
+      WHEN contains({acc_u}, chr(5) || {a_of} || chr(5)) THEN acc
+      WHEN contains({acc_u}, chr(5) || {b_of} || chr(5)) THEN acc
+      WHEN contains({acc_u}, chr(5) || {ab_of} || chr(5)) THEN acc
+      ELSE substr({acc_r}, 2) || chr(4)
+           || (CASE WHEN {acc_m} = '' THEN c ELSE {acc_m} || chr(3) || c END)
+           || chr(4)
+           || (CASE WHEN {acc_u} = '' THEN chr(5) ELSE {acc_u} END)
+           || {a_of} || chr(5) || {b_of} || chr(5) || {ab_of} || chr(5)
+    END"""
+    room = (
+        f"LEAST({BPE_BATCH_CAP}, {NUM_MERGES} - "
+        "CASE WHEN s0.merges = '' THEN 0 "
+        "ELSE len(string_split(s0.merges, chr(3))) END)"
+    )
+    return f"""
+words AS ({_WORDS_SQL}),
+cand AS ({_CAND_SQL}
+    AND NOT contains(word, chr(4))
+    AND NOT contains(word, chr(5))),
+stb(round, merges) AS (
+  SELECT 0, ''
+  UNION ALL
+  SELECT round + 1,
+         CASE WHEN batch = '' THEN merges
+              WHEN merges = '' THEN batch
+              ELSE merges || chr(3) || batch END
+  FROM (
+    SELECT s0.round, s0.merges,
+           (SELECT split_part(
+              list_reduce(
+                list_prepend(repeat('.', {room}) || chr(4) || chr(4),
+                             list_slice(list(a || chr(2) || b ORDER BY n DESC, a, b),
+                                        1, {BPE_BATCH_OVERFETCH})),
+                (acc, c) -> {step}),
+              chr(4), 2)
+            FROM (SELECT cells[i] AS a, cells[i + 1] AS b,
+                         CAST(SUM(freq) AS BIGINT) AS n
+                  FROM (SELECT freq,
+                               string_split({_seg_sql('word', 's0.merges')}, chr(1))
+                                 AS cells
+                        FROM cand),
+                       unnest(generate_series(1, len(cells) - 1)) t(i)
+                  GROUP BY a, b)
+            WHERE NOT contains(chr(3) || s0.merges || chr(3),
+                               chr(3) || a || chr(2) || b || chr(3))) AS batch
+    FROM stb s0 WHERE s0.round < {NUM_MERGES})),
+finalb AS (SELECT merges FROM stb WHERE round = {NUM_MERGES})
+"""
+
+
+@_register(
+    "ta_bpe_train_merges_batched",
+    f"""
+    WITH RECURSIVE
+    {_batched_train_cte()}
+    SELECT CAST(i AS BIGINT) AS rank,
+           split_part(ms[i], chr(2), 1) AS pair_a,
+           split_part(ms[i], chr(2), 2) AS pair_b
+    FROM (SELECT string_split(merges, chr(3)) AS ms FROM finalb WHERE merges <> ''),
+         unnest(generate_series(1, len(ms))) t(i)
+    ORDER BY rank
+    """,
+    f"BATCHED BPE training: up to {BPE_BATCH_CAP} pairwise SYMBOL-DISJOINT "
+    "merges accepted per recount round (consumed and produced symbols all "
+    "distinct within a round) — the standard max-matching relaxation that "
+    "cuts the job count from one per merge to one per round. Disjointness "
+    "keeps every accepted pair's count exact under the round-start "
+    "segmentation (a merge can't touch a symbol-disjoint pair's "
+    "adjacencies); conflicting pairs defer to the next recount. Merge "
+    "order may differ from sequential ta_bpe_train_merges — a documented "
+    "semantics change with its own oracle, the route a 32k-merge "
+    "production train takes.",
+)
+def ta_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = train_merges_batched(spark, sf_dir)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, pair_a string, pair_b string"
+    ).orderBy("rank")
+
+
 @_register(
     "ta_bpe_apply",
     f"""
