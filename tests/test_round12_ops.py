@@ -68,6 +68,39 @@ def test_batched_bpe_apply_pieces_derivable(spark):
             assert len(c) == 1 or c in pieces, c
 
 
+def test_quality_surrogate_exactly_monotone_with_q(spark):
+    """The canonical-select fusion rests on one claim: the integer surrogate
+    s = 4a+3b+3c orders EXACTLY like the double q = 0.4a+0.3b+0.3c — equal
+    s <=> equal double q, and s < s' <=> q < q' — so max_by over the packed
+    long key picks the same survivor the oracle's ORDER BY q DESC does.
+    Exhaustive over all 8 indicator combinations, evaluated through Spark's
+    own double arithmetic (the engine that produces both columns)."""
+    from itertools import product
+
+    rows = []
+    for i, (a, b, c) in enumerate(product([0, 1], repeat=3)):
+        rows.append((i, a, b, c))
+    df = spark.createDataFrame(rows, "id long, a int, b int, c int")
+    got = df.select(
+        "id",
+        (
+            F.when(F.col("a") == 1, 0.4).otherwise(0.0)
+            + F.when(F.col("b") == 1, 0.3).otherwise(0.0)
+            + F.when(F.col("c") == 1, 0.3).otherwise(0.0)
+        ).alias("q"),
+        (
+            F.when(F.col("a") == 1, 4).otherwise(0)
+            + F.when(F.col("b") == 1, 3).otherwise(0)
+            + F.when(F.col("c") == 1, 3).otherwise(0)
+        ).alias("s"),
+    ).collect()
+    pairs = [(r["q"], r["s"]) for r in got]
+    for q1, s1 in pairs:
+        for q2, s2 in pairs:
+            assert (q1 == q2) == (s1 == s2), (q1, s1, q2, s2)
+            assert (q1 < q2) == (s1 < s2), (q1, s1, q2, s2)
+
+
 def test_batched_bpe_job_count_cut(spark):
     """THE point of the variant: scheduler jobs scale with RECOUNT ROUNDS,
     not merges. Measured on this env at NUM_MERGES=8/cap=3: sequential 19
