@@ -108,6 +108,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         asof,
         bpe,
         budget,
+        coreset,
         curation,
         dedup,
         domain,
@@ -161,6 +162,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         linedup,
         manifest,
         pipeline,
+        coreset,
         multimodal,
         embedding_native,
         reference_parity,

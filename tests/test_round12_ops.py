@@ -125,3 +125,54 @@ def test_batched_bpe_job_count_cut(spark):
     n_bat = len(sc.statusTracker().getJobIdsForGroup("bpe_bat_probe"))
     assert n_bat <= 12, f"batched job count regressed: {n_bat} (measured 9)"
     assert n_bat <= n_seq - 4, f"batched {n_bat} vs sequential {n_seq}: cut lost"
+
+
+def test_coreset_fps_invariants(spark):
+    """k-center contracts: (a) selected ids distinct, ranks 1..K; (b) the
+    coverage radius is monotone NON-INCREASING over ranks (each added
+    center can only shrink the farthest gap); (c) coverage populations sum
+    to the full table and every center sits at distance 0 in its own cell;
+    (d) the max assigned distance is bounded by the LAST selection radius
+    (the Gonzalez guarantee: after k centers, no point is farther than the
+    k-th pick's max-min distance)."""
+    from doc2vec_spark.operators.coreset import (
+        CORESET_K,
+        pipe_coreset_coverage,
+        pipe_coreset_fps,
+    )
+    from doc2vec_spark.tables import load
+
+    sel = pipe_coreset_fps(spark, SF_DIR).collect()
+    assert [r["rank"] for r in sel] == list(range(1, CORESET_K + 1))
+    ids = [r["vec_id"] for r in sel]
+    assert len(set(ids)) == CORESET_K
+    radii = [r["radius"] for r in sel]
+    assert radii[0] is None and all(r is not None for r in radii[1:])
+    assert all(a >= b for a, b in zip(radii[1:], radii[2:]))
+
+    cov = pipe_coreset_coverage(spark, SF_DIR).collect()
+    n_total = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_assigned"] for r in cov) == n_total
+    assert {r["center_vec_id"] for r in cov} <= set(ids)
+    # the Gonzalez bound, in integer micro-units
+    last_radius_d6 = round(radii[-1] * 1_000_000)
+    assert all(r["mean_dist_ppm"] <= last_radius_d6 for r in cov)
+
+
+def test_coreset_fps_is_map_only_per_round(spark):
+    """Plan shape: one job per selection round (seed + K-1 picks + cache
+    fill), each a map-only scan + TakeOrderedAndProject — no shuffle
+    inside a round. Bar allows scheduling variance over the measured
+    count."""
+    from doc2vec_spark.operators.coreset import CORESET_K, fps_select
+
+    sc = spark.sparkContext
+    group = "coreset_probe"
+    sc.setJobGroup(group, "p", False)
+    try:
+        sel = fps_select(spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert len(sel) == CORESET_K
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert n_jobs <= CORESET_K + 3, f"FPS fanned out: {n_jobs} jobs"
