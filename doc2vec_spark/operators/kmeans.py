@@ -1,0 +1,258 @@
+"""K-means training for the IVF coarse quantizer (round 12).
+
+``ann_ivf_cells``/``ann_ivf_search`` (similarity.py) quantize against
+FIXED seeded centroids — the right demonstration of the search plan, but a
+production IVF index TRAINS its coarse quantizer (Lloyd's k-means) on the
+corpus. This module adds that training loop, deterministic and
+hash-checkable across engines:
+
+- **init** = the FPS k-centers (coreset.fps_select / its oracle CTE) — the
+  standard good-spread seeding, already engine-exact;
+- **KM_ITERS bounded Lloyd iterations** (the fixed-iteration discipline of
+  every iterative operator here: TextRank's integer PageRank, BPE's
+  NUM_MERGES). Each iteration: assign every vector to its nearest centroid
+  on INTEGER micro-unit distances (one MIN(d6 * 100 + cell) per vector —
+  the coreset.py trick, no argmin ties possible), then recompute each
+  cell's mean IN INTEGER NANO-UNITS: every component is fixed-pointed to
+  floor(v * 1e9 + 0.5) BEFORE summing, so the per-cell per-dimension sum
+  is an exact integer in BOTH engines regardless of aggregation order —
+  the cross-engine float-SUM hazard (partial-agg order, det_avg's reason
+  for existing) never arises. The new centroid component is the exact
+  floor quotient sum/n — BOTH engines compute floor(s * 1.0 / n), which
+  at these magnitudes IS the exact floor (a nonzero remainder shifts the
+  true quotient by >= 1/n ~ 5e-4 while the division ulp is ~1e-6). The
+  SQL side needs the explicit floor(): DuckDB's BIGINT // truncates
+  toward zero on negatives where floor must go to -inf (a one-nano-unit
+  centroid skew the parity gate caught);
+- empty cells keep their previous centroid (deterministic fallback,
+  mirrored in both engines).
+
+Outputs are ALL-INTEGER (cell, dim, fp) centroid rows and (vec_id, cell,
+d6) assignments — nothing float crosses the hash gate.
+
+100 TB story: per iteration, assignment is one map-only scan against k
+broadcast literal centroids (k * dim doubles — LUT-sized); the mean
+update is one posexplode to (cell, dim) keyed rows and one
+map-side-combinable integer SUM — two narrow shuffles per iteration,
+iterations bounded. The collected state per iteration is k * dim longs
+(512 here) — the waterfill/PQ-LUT bounded-driver-state discipline. For
+k in the thousands train on the standard bounded sample, then assign the
+full corpus with the final literals (one map-only pass).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2vec_spark.operators.coreset import _FPS_CTES, _d6_int, fps_select
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+KM_K = 8  # cells — matches CORESET_K so the FPS oracle CTE is reused as-is
+KM_ITERS = 2  # bounded Lloyd iterations (fixed-iteration discipline)
+_FP = 1_000_000_000.0  # nano-unit fixed point for centroid components
+
+
+def _fp_int(v: float) -> int:
+    """floor(v * 1e9 + 0.5) — the same IEEE double ops the oracle's SQL
+    floor(v * 1000000000.0 + 0.5) performs, so literals agree bitwise."""
+    return int(math.floor(v * _FP + 0.5))
+
+
+def train_kmeans(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[int, list[int]], DataFrame]:
+    """({cell: [fp components]}, embeddings frame) after KM_ITERS Lloyd
+    iterations from the FPS init. Driver state per iteration is k*dim
+    longs; each iteration costs one assignment scan + one integer-sum
+    shuffle."""
+    from doc2vec_spark.functions.vectors import as_double_array
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .cache()
+    )
+    cents: dict[int, list[int]] = {
+        rank - 1: [_fp_int(x) for x in vec]
+        for rank, _vid, _d6, vec in fps_select(spark, sf_dir, k=KM_K)
+    }
+    for _it in range(KM_ITERS):
+        o = F.least(
+            *[
+                _d6_int(F.col("v"), [fp / _FP for fp in cents[c]]) * F.lit(100)
+                + F.lit(c)
+                for c in sorted(cents)
+            ]
+        )
+        sums = (
+            e.select((o % 100).alias("cell"), F.posexplode("v").alias("dim", "val"))
+            .select(
+                "cell",
+                "dim",
+                F.floor(F.col("val") * F.lit(_FP) + F.lit(0.5)).cast("long").alias("fp"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("fp").alias("s"), F.count(F.lit(1)).alias("n"))
+            # exact floor quotient: remainder >= 1 moves the true quotient
+            # by >= 1/n (~5e-4) while the double-divide ulp is ~1e-6, so
+            # floor(s/n) == s floor-div n for every sign at these magnitudes
+            .select("cell", "dim", F.floor(F.col("s") / F.col("n")).cast("long").alias("fp"))
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            new.setdefault(r["cell"], [0] * len(cents[0]))[r["dim"]] = r["fp"]
+        # empty cells keep their previous centroid
+        cents = {c: new.get(c, cents[c]) for c in sorted(cents)}
+    return cents, e
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL — KM_ITERS Lloyd iterations UNROLLED over the FPS init CTE
+# ---------------------------------------------------------------------------
+
+_D6_CELL_SQL = (
+    "CAST(floor((1.0 - list_dot_product(a.v, c.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)))) "
+    "* 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _lloyd_ctes() -> str:
+    """cents0 (FPS init, nano-unit ints) -> [assign_i -> sums_i -> cents_i]
+    x KM_ITERS. Each cents_i carries (cell, dim, fp) plus a rebuilt DOUBLE[]
+    view cv_i(cell, v) for the next assignment's list_dot_product — the
+    same arithmetic the engine's literal-centroid fold performs."""
+    parts = [
+        f"""cents0 AS (
+  SELECT s.rank - 1 AS cell, d.i - 1 AS dim,
+         CAST(floor(e.v[d.i] * 1000000000.0 + 0.5) AS BIGINT) AS fp
+  FROM sel s JOIN e ON e.vec_id = s.vec_id,
+       unnest(generate_series(1, len(e.v))) d(i))"""
+    ]
+    for it in range(KM_ITERS):
+        prev, cur = f"cents{it}", f"cents{it + 1}"
+        parts.append(
+            f"""cv{it} AS (
+  SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
+  FROM {prev} GROUP BY cell)"""
+        )
+        parts.append(
+            f"""assign{it} AS (
+  SELECT a.vec_id, MIN({_D6_CELL_SQL} * 100 + c.cell) % 100 AS cell
+  FROM e a CROSS JOIN cv{it} c
+  GROUP BY a.vec_id)"""
+        )
+        parts.append(
+            f"""sums{it} AS (
+  SELECT g.cell, d.i - 1 AS dim,
+         CAST(floor(SUM(CAST(floor(e.v[d.i] * 1000000000.0 + 0.5) AS BIGINT))
+                    * 1.0 / COUNT(*)) AS BIGINT) AS fp
+  FROM assign{it} g JOIN e ON e.vec_id = g.vec_id,
+       unnest(generate_series(1, len(e.v))) d(i)
+  GROUP BY g.cell, d.i)"""
+        )
+        parts.append(
+            f"""{cur} AS (
+  SELECT p.cell, p.dim, COALESCE(s.fp, p.fp) AS fp
+  FROM {prev} p LEFT JOIN sums{it} s ON s.cell = p.cell AND s.dim = p.dim)"""
+        )
+    return ",\n".join(parts)
+
+
+_KM_FINAL = f"cents{KM_ITERS}"
+
+
+@_register(
+    "ann_kmeans_train",
+    f"""
+    WITH RECURSIVE
+    {_FPS_CTES},
+    {_lloyd_ctes()}
+    SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim,
+           CAST(fp AS BIGINT) AS fp
+    FROM {_KM_FINAL} ORDER BY cell, dim
+    """,
+    f"IVF coarse-quantizer TRAINING: {KM_ITERS} bounded Lloyd iterations "
+    f"over {KM_K} centroids seeded by farthest-point sampling — the "
+    "trained counterpart of ann_ivf_cells' fixed seeded centroids. Every "
+    "mean update sums integer nano-units (components fixed-pointed BEFORE "
+    "aggregation), so the centroid table is bit-identical across engines "
+    "regardless of partial-agg order — the float-SUM hazard det_avg "
+    "exists for never arises. Per iteration: one map-only assignment scan "
+    "against broadcast literal centroids + one (cell, dim)-keyed integer "
+    "sum; driver state is k*dim longs. All-integer output.",
+)
+def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents, e = train_kmeans(spark, sf_dir)
+    e.unpersist(False)
+    rows = [
+        (cell, dim, fp)
+        for cell in sorted(cents)
+        for dim, fp in enumerate(cents[cell])
+    ]
+    return spark.createDataFrame(rows, "cell long, dim long, fp long").orderBy(
+        "cell", "dim"
+    )
+
+
+@_register(
+    "ann_kmeans_assign",
+    f"""
+    WITH RECURSIVE
+    {_FPS_CTES},
+    {_lloyd_ctes()},
+    cvf AS (
+      SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
+      FROM {_KM_FINAL} GROUP BY cell),
+    fin AS (
+      SELECT a.vec_id, MIN({_D6_CELL_SQL} * 100 + c.cell) AS o
+      FROM e a CROSS JOIN cvf c
+      GROUP BY a.vec_id)
+    SELECT vec_id, CAST(o % 100 AS BIGINT) AS cell,
+           CAST(o // 100 AS BIGINT) AS dist_d6
+    FROM fin ORDER BY vec_id
+    """,
+    "Final IVF cell assignment under the TRAINED centroids: every vector "
+    "to its nearest trained centroid with the integer micro-unit distance "
+    "(one MIN(d6 * 100 + cell) per vector — quotient/remainder recover "
+    "distance and cell, argmin ties impossible). One map-only scan "
+    "against the k trained literal centroids — the pass that materializes "
+    "a real IVF index's posting lists at corpus scale.",
+)
+def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents, e = train_kmeans(spark, sf_dir)
+    try:
+        o = F.least(
+            *[
+                _d6_int(F.col("v"), [fp / _FP for fp in cents[c]]) * F.lit(100)
+                + F.lit(c)
+                for c in sorted(cents)
+            ]
+        )
+        return (
+            e.select("vec_id", o.alias("o"))
+            .select(
+                "vec_id",
+                (F.col("o") % 100).cast("long").alias("cell"),
+                F.expr("o div 100").alias("dist_d6"),
+            )
+            .orderBy("vec_id")
+        )
+    finally:
+        e.unpersist(False)

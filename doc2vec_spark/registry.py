@@ -114,6 +114,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         domain,
         evalmetrics,
         extensions,
+        kmeans,
         linedup,
         manifest,
         mmr,
@@ -163,6 +164,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         manifest,
         pipeline,
         coreset,
+        kmeans,
         multimodal,
         embedding_native,
         reference_parity,

@@ -176,3 +176,42 @@ def test_coreset_fps_is_map_only_per_round(spark):
     assert len(sel) == CORESET_K
     n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     assert n_jobs <= CORESET_K + 3, f"FPS fanned out: {n_jobs} jobs"
+
+
+def test_kmeans_train_improves_inertia_and_partitions(spark):
+    """Lloyd contracts: (a) the trained centroid table is exactly K x dim
+    all-integer rows; (b) assignment partitions the table (every vector in
+    exactly one cell); (c) total inertia (sum of assignment d6) under the
+    TRAINED centroids is <= inertia under the FPS INIT centroids — each
+    Lloyd step cannot increase the k-means objective, and the integer
+    micro-unit rounding preserves the comparison at this separation."""
+    from doc2vec_spark.operators.coreset import fps_select
+    from doc2vec_spark.operators.kmeans import (
+        KM_K,
+        _FP,
+        _d6_int,
+        ann_kmeans_assign,
+        ann_kmeans_train,
+    )
+    from doc2vec_spark.tables import load
+
+    cent_rows = ann_kmeans_train(spark, SF_DIR).collect()
+    dims = {r["dim"] for r in cent_rows}
+    assert {r["cell"] for r in cent_rows} == set(range(KM_K))
+    assert len(cent_rows) == KM_K * len(dims)
+
+    assign = ann_kmeans_assign(spark, SF_DIR).collect()
+    n_total = load(spark, SF_DIR, "embeddings").count()
+    assert len(assign) == n_total
+    assert {r["cell"] for r in assign} <= set(range(KM_K))
+    trained_inertia = sum(r["dist_d6"] for r in assign)
+
+    from doc2vec_spark.functions.vectors import as_double_array
+
+    init = fps_select(spark, SF_DIR, k=KM_K)
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    o = F.least(*[_d6_int(F.col("v"), vec) for _rank, _vid, _d6, vec in init])
+    init_inertia = e.select(F.sum(o).alias("s")).collect()[0]["s"]
+    assert trained_inertia <= init_inertia, (trained_inertia, init_inertia)
