@@ -43,6 +43,8 @@ star), alongside dedup/ANN/budget.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -63,38 +65,69 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 CORESET_K = 8  # bounded center count — the driver-paced LUT discipline
 
 
-def _d6_int(v_col, center_vals: list[float]):
-    """floor(cosine_distance * 1e6 + 0.5) as a long: the integer micro-unit
-    every winner-pick compares on. Sequential left-fold dot product
-    (functions.vectors.dot) against a LITERAL center vector."""
-    from doc2vec_spark.functions.vectors import cosine_distance, lit_vector
+def _py_norm(vals: list[float]) -> float:
+    """sqrt of the sequential left-fold sum of squares — the SAME IEEE op
+    sequence as functions.vectors.l2_norm's fold, so precomputing a center
+    norm driver-side yields the bit-identical double the per-row fold
+    produced (the fold re-evaluated a CONSTANT per row; 10x probes showed
+    the redundant folds dominating wall time)."""
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    return math.sqrt(acc)
 
-    d = cosine_distance(v_col, lit_vector(center_vals))
+
+def _d6_int(v_col, nv_col, center_vals: list[float]):
+    """floor(cosine_distance * 1e6 + 0.5) as a long: the integer micro-unit
+    every winner-pick compares on. ONE sequential left-fold dot product
+    per (row, center); the row norm arrives as the materialized ``nv``
+    attribute (computed once per row, not once per center) and the center
+    norm as a Python-precomputed literal — both bit-identical to the
+    inline folds they replace."""
+    from doc2vec_spark.functions.vectors import dot, lit_vector
+
+    d = F.lit(1.0) - dot(v_col, lit_vector(center_vals)) / (
+        nv_col * F.lit(_py_norm(center_vals))
+    )
     return F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 
+def embeddings_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v double[], nv): the frame every selection/clustering scan
+    reads — the norm fold evaluated exactly once per row."""
+    from doc2vec_spark.functions.vectors import as_double_array, l2_norm
+
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
+    )
+
+
 def fps_select(
-    spark: SparkSession, sf_dir: str, k: int = CORESET_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = CORESET_K,
+    e: DataFrame | None = None,
 ) -> list[tuple[int, int, int | None, list[float]]]:
     """Greedy FPS: [(rank, vec_id, radius_d6 | None for the seed, vector)].
     Seed = MIN(vec_id) (deterministic, matches the oracle); each later
     round picks argmax over min-distance-to-selected on (d6 DESC, vec_id
-    ASC). One map-only job per round; assumes the table holds >= k rows
-    (every driver SF does)."""
-    from doc2vec_spark.functions.vectors import as_double_array
-
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-        .cache()
-    )
+    ASC). One map-only job per round; assumes the source holds >= k rows
+    (every driver SF does). ``e`` overrides the source frame (kmeans.py
+    passes its bounded training sample) — it must carry (vec_id, v, nv)."""
+    own = e is None
+    if own:
+        e = embeddings_with_norms(spark, sf_dir).cache()
     try:
         seed = e.orderBy("vec_id").limit(1).collect()[0]
         selected: list[tuple[int, int, int | None, list[float]]] = [
             (1, seed["vec_id"], None, list(seed["v"]))
         ]
         for rank in range(2, k + 1):
-            ds = [_d6_int(F.col("v"), vec) for _, _, _, vec in selected]
+            ds = [
+                _d6_int(F.col("v"), F.col("nv"), vec) for _, _, _, vec in selected
+            ]
             mind = ds[0] if len(ds) == 1 else F.least(*ds)
             pick = (
                 e.filter(~F.col("vec_id").isin([vid for _, vid, _, _ in selected]))
@@ -106,7 +139,8 @@ def fps_select(
             selected.append((rank, pick["vec_id"], pick["d6"], list(pick["v"])))
         return selected
     finally:
-        e.unpersist(False)
+        if own:
+            e.unpersist(False)
 
 
 # ---------------------------------------------------------------------------
@@ -123,10 +157,15 @@ _D6_SQL = (
     "* 1000000.0 + 0.5) AS BIGINT)"
 )
 
-_FPS_CTES = f"""
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-st(r, ids, radii) AS (
-  SELECT 1, [(SELECT MIN(vec_id) FROM e)], [CAST(NULL AS BIGINT)]
+_E_CTE = "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+
+def _fps_recursion(src: str = "e") -> str:
+    """The st/sel recursion over a named source CTE — ``src`` lets
+    kmeans.py run the identical FPS seeding over its bounded training
+    sample instead of the full table."""
+    return f"""st(r, ids, radii) AS (
+  SELECT 1, [(SELECT MIN(vec_id) FROM {src})], [CAST(NULL AS BIGINT)]
   UNION ALL
   SELECT r + 1,
          list_append(ids, pick.vec_id),
@@ -135,7 +174,7 @@ st(r, ids, radii) AS (
     SELECT s0.r, s0.ids, s0.radii,
            (SELECT {{'vec_id': x.vec_id, 'd6': x.d6}} FROM (
               SELECT a.vec_id, MIN({_D6_SQL}) AS d6
-              FROM e a JOIN e b ON list_contains(s0.ids, b.vec_id)
+              FROM {src} a JOIN {src} b ON list_contains(s0.ids, b.vec_id)
               WHERE NOT list_contains(s0.ids, a.vec_id)
               GROUP BY a.vec_id) x
             ORDER BY x.d6 DESC, x.vec_id LIMIT 1) AS pick
@@ -143,8 +182,10 @@ st(r, ids, radii) AS (
 sel AS (
   SELECT CAST(i AS BIGINT) AS rank, ids[i] AS vec_id, radii[i] AS radius_d6
   FROM (SELECT ids, radii FROM st WHERE r = {CORESET_K}),
-       unnest(generate_series(1, len(ids))) t(i))
-"""
+       unnest(generate_series(1, len(ids))) t(i))"""
+
+
+_FPS_CTES = f"{_E_CTE},\n{_fps_recursion('e')}\n"
 
 
 @_register(
@@ -204,16 +245,12 @@ def pipe_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centers actually span the corpus before trusting the selection.",
 )
 def pipe_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc2vec_spark.functions.vectors import as_double_array
-
     selected = fps_select(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
-    )
+    e = embeddings_with_norms(spark, sf_dir)
     # o = d6*100 + rank per (vector, center), minimized per vector
     o = F.least(
         *[
-            _d6_int(F.col("v"), vec) * F.lit(100) + F.lit(rank)
+            _d6_int(F.col("v"), F.col("nv"), vec) * F.lit(100) + F.lit(rank)
             for rank, _vid, _d6, vec in selected
         ]
     )

@@ -30,14 +30,19 @@ hash-checkable across engines:
 Outputs are ALL-INTEGER (cell, dim, fp) centroid rows and (vec_id, cell,
 d6) assignments — nothing float crosses the hash gate.
 
-100 TB story: per iteration, assignment is one map-only scan against k
-broadcast literal centroids (k * dim doubles — LUT-sized); the mean
-update is one posexplode to (cell, dim) keyed rows and one
-map-side-combinable integer SUM — two narrow shuffles per iteration,
-iterations bounded. The collected state per iteration is k * dim longs
-(512 here) — the waterfill/PQ-LUT bounded-driver-state discipline. For
-k in the thousands train on the standard bounded sample, then assign the
-full corpus with the final literals (one map-only pass).
+100 TB story: TRAINING runs on a bounded deterministic sample (the
+KM_SAMPLE_N-row md5-ordered head — one TakeOrderedAndProject), so the
+whole training loop is FLAT in corpus size; only the final assignment
+pass scans the corpus, map-only against k broadcast literal centroids.
+This is how production IVF quantizers are built (train on sample,
+assign everything), and it is also what the 10x rehearsal demanded: the
+first cut trained on the full corpus and measured 9.4x at 10x / 17.8 s
+at sf0.1 — the scaling harness's fourth catch. Within the loop, the row
+norm is materialized ONCE per row and center norms are Python-
+precomputed literals (bit-identical to the folds they replace — the
+redundant per-center norm folds dominated the first cut's wall time).
+The collected state per iteration is k * dim longs (512 here) — the
+waterfill/PQ-LUT bounded-driver-state discipline.
 """
 
 from __future__ import annotations
@@ -47,9 +52,14 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doc2vec_spark.operators.coreset import _FPS_CTES, _d6_int, fps_select
+from doc2vec_spark.operators.coreset import (
+    _E_CTE,
+    _d6_int,
+    _fps_recursion,
+    embeddings_with_norms,
+    fps_select,
+)
 from doc2vec_spark.spec import QuerySpec
-from doc2vec_spark.tables import load
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -64,7 +74,15 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 
 KM_K = 8  # cells — matches CORESET_K so the FPS oracle CTE is reused as-is
 KM_ITERS = 2  # bounded Lloyd iterations (fixed-iteration discipline)
+KM_SAMPLE_N = 512  # bounded training sample (md5-ordered head, both engines)
 _FP = 1_000_000_000.0  # nano-unit fixed point for centroid components
+
+# the bounded training sample, mirrored from _sample_e: md5-ordered head
+_SAMPLE_CTE = (
+    "es AS (SELECT vec_id, v FROM e "
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id "
+    f"LIMIT {KM_SAMPLE_N})"
+)
 
 
 def _fp_int(v: float) -> int:
@@ -73,53 +91,70 @@ def _fp_int(v: float) -> int:
     return int(math.floor(v * _FP + 0.5))
 
 
-def train_kmeans(
-    spark: SparkSession, sf_dir: str
-) -> tuple[dict[int, list[int]], DataFrame]:
-    """({cell: [fp components]}, embeddings frame) after KM_ITERS Lloyd
-    iterations from the FPS init. Driver state per iteration is k*dim
-    longs; each iteration costs one assignment scan + one integer-sum
-    shuffle."""
-    from doc2vec_spark.functions.vectors import as_double_array
-
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-        .cache()
+def _sample_e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded training sample: the KM_SAMPLE_N-row head of the table
+    ordered by (md5(vec_id), vec_id) — deterministic, engine-mirrorable
+    (one TakeOrderedAndProject), and FLAT in corpus size, so training cost
+    never grows with the corpus (at sf <= 0.01 the sample IS the whole
+    table). Train-on-sample + assign-full-corpus is how production IVF
+    quantizers are built; the 10x rehearsal that motivated it measured the
+    full-corpus loop at 9.4x."""
+    return (
+        embeddings_with_norms(spark, sf_dir)
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(KM_SAMPLE_N)
     )
-    cents: dict[int, list[int]] = {
-        rank - 1: [_fp_int(x) for x in vec]
-        for rank, _vid, _d6, vec in fps_select(spark, sf_dir, k=KM_K)
-    }
-    for _it in range(KM_ITERS):
-        o = F.least(
-            *[
-                _d6_int(F.col("v"), [fp / _FP for fp in cents[c]]) * F.lit(100)
-                + F.lit(c)
-                for c in sorted(cents)
-            ]
-        )
-        sums = (
-            e.select((o % 100).alias("cell"), F.posexplode("v").alias("dim", "val"))
-            .select(
-                "cell",
-                "dim",
-                F.floor(F.col("val") * F.lit(_FP) + F.lit(0.5)).cast("long").alias("fp"),
+
+
+def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+    """{cell: [fp components]} after KM_ITERS Lloyd iterations from the FPS
+    init, trained on the bounded sample. Driver state per iteration is
+    k*dim longs; each iteration costs one sample-sized assignment scan +
+    one integer-sum shuffle."""
+    e = _sample_e(spark, sf_dir).cache()
+    try:
+        cents: dict[int, list[int]] = {
+            rank - 1: [_fp_int(x) for x in vec]
+            for rank, _vid, _d6, vec in fps_select(spark, sf_dir, k=KM_K, e=e)
+        }
+        for _it in range(KM_ITERS):
+            o = F.least(
+                *[
+                    _d6_int(F.col("v"), F.col("nv"), [fp / _FP for fp in cents[c]])
+                    * F.lit(100)
+                    + F.lit(c)
+                    for c in sorted(cents)
+                ]
             )
-            .groupBy("cell", "dim")
-            .agg(F.sum("fp").alias("s"), F.count(F.lit(1)).alias("n"))
-            # exact floor quotient: remainder >= 1 moves the true quotient
-            # by >= 1/n (~5e-4) while the double-divide ulp is ~1e-6, so
-            # floor(s/n) == s floor-div n for every sign at these magnitudes
-            .select("cell", "dim", F.floor(F.col("s") / F.col("n")).cast("long").alias("fp"))
-            .collect()
-        )
-        new: dict[int, list[int]] = {}
-        for r in sums:
-            new.setdefault(r["cell"], [0] * len(cents[0]))[r["dim"]] = r["fp"]
-        # empty cells keep their previous centroid
-        cents = {c: new.get(c, cents[c]) for c in sorted(cents)}
-    return cents, e
+            sums = (
+                e.select((o % 100).alias("cell"), F.posexplode("v").alias("dim", "val"))
+                .select(
+                    "cell",
+                    "dim",
+                    F.floor(F.col("val") * F.lit(_FP) + F.lit(0.5))
+                    .cast("long")
+                    .alias("fp"),
+                )
+                .groupBy("cell", "dim")
+                .agg(F.sum("fp").alias("s"), F.count(F.lit(1)).alias("n"))
+                # exact floor quotient: remainder >= 1 moves the true quotient
+                # by >= 1/n (~5e-4) while the double-divide ulp is ~1e-6, so
+                # floor(s/n) == s floor-div n for every sign at these magnitudes
+                .select(
+                    "cell",
+                    "dim",
+                    F.floor(F.col("s") / F.col("n")).cast("long").alias("fp"),
+                )
+                .collect()
+            )
+            new: dict[int, list[int]] = {}
+            for r in sums:
+                new.setdefault(r["cell"], [0] * len(cents[0]))[r["dim"]] = r["fp"]
+            # empty cells keep their previous centroid
+            cents = {c: new.get(c, cents[c]) for c in sorted(cents)}
+        return cents
+    finally:
+        e.unpersist(False)
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +177,7 @@ def _lloyd_ctes() -> str:
         f"""cents0 AS (
   SELECT s.rank - 1 AS cell, d.i - 1 AS dim,
          CAST(floor(e.v[d.i] * 1000000000.0 + 0.5) AS BIGINT) AS fp
-  FROM sel s JOIN e ON e.vec_id = s.vec_id,
+  FROM sel s JOIN es e ON e.vec_id = s.vec_id,
        unnest(generate_series(1, len(e.v))) d(i))"""
     ]
     for it in range(KM_ITERS):
@@ -155,7 +190,7 @@ def _lloyd_ctes() -> str:
         parts.append(
             f"""assign{it} AS (
   SELECT a.vec_id, MIN({_D6_CELL_SQL} * 100 + c.cell) % 100 AS cell
-  FROM e a CROSS JOIN cv{it} c
+  FROM es a CROSS JOIN cv{it} c
   GROUP BY a.vec_id)"""
         )
         parts.append(
@@ -163,7 +198,7 @@ def _lloyd_ctes() -> str:
   SELECT g.cell, d.i - 1 AS dim,
          CAST(floor(SUM(CAST(floor(e.v[d.i] * 1000000000.0 + 0.5) AS BIGINT))
                     * 1.0 / COUNT(*)) AS BIGINT) AS fp
-  FROM assign{it} g JOIN e ON e.vec_id = g.vec_id,
+  FROM assign{it} g JOIN es e ON e.vec_id = g.vec_id,
        unnest(generate_series(1, len(e.v))) d(i)
   GROUP BY g.cell, d.i)"""
         )
@@ -182,7 +217,9 @@ _KM_FINAL = f"cents{KM_ITERS}"
     "ann_kmeans_train",
     f"""
     WITH RECURSIVE
-    {_FPS_CTES},
+    {_E_CTE},
+    {_SAMPLE_CTE},
+    {_fps_recursion('es')},
     {_lloyd_ctes()}
     SELECT CAST(cell AS BIGINT) AS cell, CAST(dim AS BIGINT) AS dim,
            CAST(fp AS BIGINT) AS fp
@@ -199,8 +236,7 @@ _KM_FINAL = f"cents{KM_ITERS}"
     "sum; driver state is k*dim longs. All-integer output.",
 )
 def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents, e = train_kmeans(spark, sf_dir)
-    e.unpersist(False)
+    cents = train_kmeans(spark, sf_dir)
     rows = [
         (cell, dim, fp)
         for cell in sorted(cents)
@@ -215,7 +251,9 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_kmeans_assign",
     f"""
     WITH RECURSIVE
-    {_FPS_CTES},
+    {_E_CTE},
+    {_SAMPLE_CTE},
+    {_fps_recursion('es')},
     {_lloyd_ctes()},
     cvf AS (
       SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
@@ -236,23 +274,22 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a real IVF index's posting lists at corpus scale.",
 )
 def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cents, e = train_kmeans(spark, sf_dir)
-    try:
-        o = F.least(
-            *[
-                _d6_int(F.col("v"), [fp / _FP for fp in cents[c]]) * F.lit(100)
-                + F.lit(c)
-                for c in sorted(cents)
-            ]
+    cents = train_kmeans(spark, sf_dir)
+    e = embeddings_with_norms(spark, sf_dir)
+    o = F.least(
+        *[
+            _d6_int(F.col("v"), F.col("nv"), [fp / _FP for fp in cents[c]])
+            * F.lit(100)
+            + F.lit(c)
+            for c in sorted(cents)
+        ]
+    )
+    return (
+        e.select("vec_id", o.alias("o"))
+        .select(
+            "vec_id",
+            (F.col("o") % 100).cast("long").alias("cell"),
+            F.expr("o div 100").alias("dist_d6"),
         )
-        return (
-            e.select("vec_id", o.alias("o"))
-            .select(
-                "vec_id",
-                (F.col("o") % 100).cast("long").alias("cell"),
-                F.expr("o div 100").alias("dist_d6"),
-            )
-            .orderBy("vec_id")
-        )
-    finally:
-        e.unpersist(False)
+        .orderBy("vec_id")
+    )

@@ -206,12 +206,12 @@ def test_kmeans_train_improves_inertia_and_partitions(spark):
     assert {r["cell"] for r in assign} <= set(range(KM_K))
     trained_inertia = sum(r["dist_d6"] for r in assign)
 
-    from doc2vec_spark.functions.vectors import as_double_array
+    from doc2vec_spark.operators.coreset import embeddings_with_norms
 
     init = fps_select(spark, SF_DIR, k=KM_K)
-    e = load(spark, SF_DIR, "embeddings").select(
-        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    e = embeddings_with_norms(spark, SF_DIR)
+    o = F.least(
+        *[_d6_int(F.col("v"), F.col("nv"), vec) for _rank, _vid, _d6, vec in init]
     )
-    o = F.least(*[_d6_int(F.col("v"), vec) for _rank, _vid, _d6, vec in init])
     init_inertia = e.select(F.sum(o).alias("s")).collect()[0]["s"]
     assert trained_inertia <= init_inertia, (trained_inertia, init_inertia)
