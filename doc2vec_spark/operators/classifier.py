@@ -1,0 +1,282 @@
+"""On-the-fly document classifier + corpus-novelty metrics (round 12).
+
+The quality-filter stage every large training-data pipeline runs (CCNet,
+Brown et al. GPT-3 appendix A; fastText-style linear classifiers) is
+"train a cheap classifier on a labeled slice, score the whole corpus".
+This module implements that train/predict/evaluate loop corpus-side, with
+the repo's cross-engine-exact arithmetic so every stage hash-checks
+against a DuckDB oracle:
+
+- **ta_nb_classify** — a multinomial Naive-Bayes-family classifier over
+  whitespace tokens predicting ``lang``, trained on a deterministic
+  md5-bucket split (buckets 0-79) and evaluated on the held-out 20%.
+  Per-class token probabilities are Laplace-smoothed integers in ppm,
+  p_ppm(tok|c) = (1e6 * (cnt + 1)) // (total_c + V). The repo-wide
+  log-free rule (floats never cross the hash gate) replaces the
+  geometric-mean combination (sum of logs) with the ARITHMETIC mean of
+  per-occurrence class probabilities — the additive relaxation keeps the
+  same train/score/argmax machinery and stays integer-exact; swapping in
+  real log-probabilities is a one-expression change a production fork
+  makes where bit-identical cross-engine replay is not a requirement.
+  Argmax is a window row_number ordered (score DESC, lang ASC) — classes
+  are DATA-DERIVED (no literal class list), so ties break
+  deterministically without an argmax LUT.
+- **ta_nb_confusion** — the (true lang, predicted lang) confusion counts
+  over the held-out split: the evaluation artifact a filtering threshold
+  is chosen from.
+- **ta_ngram_novelty** — per-document corpus novelty: the share of the
+  doc's distinct word-3-gram shingles that appear in NO other document
+  (basis points). The diversity/memorization-risk signal that complements
+  dedup: dedup_* finds documents too SIMILAR to keep; novelty flags
+  documents so unlike the corpus they deserve review (or upweighting).
+
+100 TB shape (all keyed, nothing driver-sized):
+- classify: one token explode (map-only), one (tok, lang) count shuffle
+  (vocab-sized), the vocab x class grid is vocab JOIN a bounded class
+  table (classes = distinct labels, broadcast), scoring is a token-keyed
+  join of the doc-token stream against the grid (the standard x|C| NB
+  fanout) + one (doc, lang) aggregation + one doc-keyed window over
+  |C| rows per doc. No literal vocabularies, no collect.
+- novelty: one shingle-keyed count shuffle (map-side combinable — counts,
+  never posting lists, so hot shingles cost nothing extra) + one
+  shingle-keyed join back + one doc-keyed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from doc2vec_spark.caching import scoped_cache
+from doc2vec_spark.operators.dedup import word_shingles
+from doc2vec_spark.spec import QuerySpec
+from doc2vec_spark.tables import load
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# Deterministic train/test split: md5 bucket of doc_id (the pipe_split_assign
+# discipline, pipeline.py:66-80) — buckets 0-79 train, 80-99 held out.
+TRAIN_BUCKETS = 80
+
+def _bucket():
+    # built lazily: a module-level Column would require an active
+    # SparkContext at import time (test collection imports the registry
+    # before any session exists)
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, cand, score_ppm_sum, n_tokens) for every held-out doc x
+    candidate class. Shared by classify + confusion."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        _bucket().alias("bucket"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    # train feeds three consumers (class counts, class totals, vocab) —
+    # one materialization instead of three token explodes
+    train = scoped_cache(toks.filter(F.col("bucket") < TRAIN_BUCKETS))
+    test = toks.filter(F.col("bucket") >= TRAIN_BUCKETS)
+
+    # class-conditional counts + per-class totals + vocab size (train only)
+    cls_counts = train.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    cls_totals = train.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    vocab = train.select("tok").distinct()
+    # V enters as a bounded 1-row scalar (the lm.py precedent)
+    v_size = vocab.count()
+
+    # vocab x class grid with Laplace-smoothed integer ppm probabilities.
+    # floor(1e6 * (cnt+1) / (total+V)) is the exact integer quotient in both
+    # engines at these magnitudes (numerator < 2^53, denominators >= V so the
+    # true quotient is never within an ulp of an integer unless it IS one —
+    # the kmeans.py floor-quotient argument).
+    grid = (
+        vocab.join(F.broadcast(cls_totals), how="cross")
+        .join(cls_counts, ["tok", "lang"], "left")
+        .select(
+            "tok",
+            F.col("lang").alias("cand"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                / (F.col("total") + F.lit(v_size))
+            )
+            .cast("long")
+            .alias("p_ppm"),
+        )
+    )
+
+    # score: token-keyed join of the held-out token stream against the grid
+    # (tokens unseen in training drop out on BOTH sides — an inner join here,
+    # and the oracle's inner join, define the same feature set), then one
+    # (doc, cand) aggregation. Arithmetic-mean combination: the sum is the
+    # deterministic score; dividing by n_tokens is argmax-invariant per doc.
+    return (
+        test.join(grid, "tok")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(
+            F.sum("p_ppm").alias("score_sum"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+    )
+
+
+_NB_SCORES_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_BUCKET_SQL} AS bucket,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    train AS (SELECT * FROM toks WHERE bucket < {TRAIN_BUCKETS}),
+    test  AS (SELECT * FROM toks WHERE bucket >= {TRAIN_BUCKETS}),
+    cls_counts AS (SELECT tok, lang, COUNT(*) AS cnt FROM train GROUP BY tok, lang),
+    cls_totals AS (SELECT lang, COUNT(*) AS total FROM train GROUP BY lang),
+    vocab AS (SELECT DISTINCT tok FROM train),
+    v AS (SELECT COUNT(*) AS v_size FROM vocab),
+    grid AS (
+      SELECT vocab.tok, cls_totals.lang AS cand,
+             CAST(floor(1000000.0 * (COALESCE(cls_counts.cnt, 0) + 1)
+                        / (cls_totals.total + (SELECT v_size FROM v))) AS BIGINT)
+               AS p_ppm
+      FROM vocab
+      CROSS JOIN cls_totals
+      LEFT JOIN cls_counts
+        ON cls_counts.tok = vocab.tok AND cls_counts.lang = cls_totals.lang
+    ),
+    scores AS (
+      SELECT test.doc_id, test.lang, grid.cand,
+             CAST(SUM(grid.p_ppm) AS BIGINT) AS score_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_scored
+      FROM test JOIN grid ON grid.tok = test.tok
+      GROUP BY test.doc_id, test.lang, grid.cand
+    )
+"""
+
+
+@_register(
+    "ta_nb_classify",
+    _NB_SCORES_SQL
+    + """
+    SELECT doc_id, lang, cand AS predicted, score_sum, n_scored,
+           CAST(CASE WHEN cand = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score_sum DESC, cand) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """,
+    "Naive-Bayes-family lang classifier trained on the md5-bucket 0-79 "
+    "split, argmax prediction per held-out doc (Laplace +1, integer ppm, "
+    "additive log-free combination). One vocab-sized count shuffle + "
+    "token-keyed scoring join + doc-keyed window argmax.",
+)
+def ta_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_sum").desc(), F.col("cand"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("predicted"),
+            "score_sum",
+            "n_scored",
+            (F.col("cand") == F.col("lang")).cast("long").alias("correct"),
+        )
+    )
+
+
+@_register(
+    "ta_nb_confusion",
+    _NB_SCORES_SQL
+    + """
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, lang, cand AS predicted,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score_sum DESC, cand) AS rn
+          FROM scores)
+    WHERE rn = 1
+    GROUP BY lang, predicted
+    """,
+    "Held-out confusion matrix of the NB lang classifier: (true lang, "
+    "predicted lang) counts — the artifact a quality-filter threshold is "
+    "read from. Bounded |classes|^2 output.",
+)
+def ta_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_sum").desc(), F.col("cand"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang", F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram corpus novelty
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ta_ngram_novelty",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents),
+           unnest(generate_series(1, len(ws)-2)) t(i)
+    ),
+    df AS (SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST((10000 * SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_bp
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+    "Per-doc corpus novelty: share of the doc's distinct word-3-gram "
+    "shingles present in no other document, in basis points. One "
+    "map-side-combinable shingle-count shuffle + keyed join back + one "
+    "doc-keyed agg — counts, never posting lists, so hot shingles are free.",
+)
+def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    # projection barrier before fanning the shingle array into explode
+    # (word_shingles docstring: ProjectCollapse would re-inline the split)
+    sh = scoped_cache(
+        docs.select("doc_id", F.explode(word_shingles(3)).alias("s"))
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    uniq = F.sum((F.col("n_docs") == 1).cast("long"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            F.floor(F.lit(10000) * uniq / F.count(F.lit(1)))
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )

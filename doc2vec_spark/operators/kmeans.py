@@ -293,3 +293,81 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "ann_kmeans_separation",
+    f"""
+    WITH RECURSIVE
+    {_E_CTE},
+    {_SAMPLE_CTE},
+    {_fps_recursion('es')},
+    {_lloyd_ctes()},
+    cvf AS (
+      SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
+      FROM {_KM_FINAL} GROUP BY cell),
+    packed AS (
+      SELECT a.vec_id,
+             list({_D6_CELL_SQL} * 100 + c.cell
+                  ORDER BY {_D6_CELL_SQL} * 100 + c.cell) AS l
+      FROM e a CROSS JOIN cvf c
+      GROUP BY a.vec_id),
+    nn AS (
+      SELECT vec_id, l[1] % 100 AS cell,
+             l[1] // 100 AS d1, l[2] // 100 AS d2
+      FROM packed)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d1) AS BIGINT) AS sum_d1,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2,
+           CAST((10000 * SUM(d1)) // greatest(SUM(d2), 1) AS BIGINT)
+             AS separation_bp
+    FROM nn GROUP BY cell ORDER BY cell
+    """,
+    "Clustering-quality monitor under the trained centroids: per cell, "
+    "population plus the Davies-Bouldin-style ratio of summed nearest vs "
+    "second-nearest centroid distances (bp; lower = tighter/better "
+    "separated). The O(n^2) true silhouette is unrunnable at corpus scale; "
+    "this is the standard O(n*k) proxy an IVF build monitors. Same "
+    "map-only pass as ann_kmeans_assign (k folds per vector, sorted packed "
+    "ints make nearest/second-nearest tie-free), one bounded k-row agg.",
+)
+def ann_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = train_kmeans(spark, sf_dir)
+    e = embeddings_with_norms(spark, sf_dir)
+    packed = F.array_sort(
+        F.array(
+            *[
+                _d6_int(F.col("v"), F.col("nv"), [fp / _FP for fp in cents[c]])
+                * F.lit(100)
+                + F.lit(c)
+                for c in sorted(cents)
+            ]
+        )
+    )
+    # materialize the sorted packed array ONCE per row, then project — the
+    # vocab_encode.py plan-linearity rule: three references to `packed` in
+    # one select would re-inline all k folds three times
+    nn = e.select(packed.alias("p")).select(
+        (F.element_at(F.col("p"), 1) % 100).alias("cell"),
+        F.expr("element_at(p, 1) div 100").alias("d1"),
+        F.expr("element_at(p, 2) div 100").alias("d2"),
+    )
+    return (
+        nn.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d1").alias("sum_d1"),
+            F.sum("d2").alias("sum_d2"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n",
+            "sum_d1",
+            "sum_d2",
+            F.expr("(10000 * sum_d1) div greatest(sum_d2, 1L)")
+            .cast("long")
+            .alias("separation_bp"),
+        )
+        .orderBy("cell")
+    )

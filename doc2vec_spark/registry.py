@@ -108,6 +108,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         asof,
         bpe,
         budget,
+        classifier,
         coreset,
         curation,
         dedup,
@@ -123,6 +124,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         quality,
         reference_parity,
         relational,
+        sampling,
         sessions,
         similarity,
         sketches,
@@ -141,6 +143,8 @@ def merged_queries() -> dict[str, QuerySpec]:
         analytics,
         anomaly,
         budget,
+        classifier,
+        sampling,
         tpch_extra,
         dedup,
         textanalysis,

@@ -215,3 +215,110 @@ def test_kmeans_train_improves_inertia_and_partitions(spark):
     )
     init_inertia = e.select(F.sum(o).alias("s")).collect()[0]["s"]
     assert trained_inertia <= init_inertia, (trained_inertia, init_inertia)
+
+
+# ---------------------------------------------------------------------------
+# NB classifier / novelty / PPS sampling (round 12, second wave)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classifier_one_prediction_per_heldout_doc(spark):
+    """Exactly one argmax row per held-out doc; confusion marginals equal the
+    per-doc predictions; correctness flag is consistent with the labels."""
+    from doc2vec_spark.operators.classifier import (
+        TRAIN_BUCKETS,
+        _bucket,
+        ta_nb_classify,
+        ta_nb_confusion,
+    )
+    from doc2vec_spark.tables import load
+
+    preds = ta_nb_classify(spark, SF_DIR).collect()
+    docs = load(spark, SF_DIR, "documents")
+    heldout = docs.filter(_bucket() >= TRAIN_BUCKETS).count()
+    # every held-out doc whose tokens intersect the training vocabulary gets
+    # exactly one prediction (shared synthetic vocab -> that is all of them)
+    assert len(preds) == heldout > 0
+    assert len({r["doc_id"] for r in preds}) == len(preds)
+    for r in preds:
+        assert r["correct"] == int(r["predicted"] == r["lang"])
+
+    conf = ta_nb_confusion(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in conf) == len(preds)
+    langs = {r["lang"] for r in preds}
+    assert {r["predicted"] for r in conf} <= langs
+
+
+def test_nb_grid_join_is_broadcast_not_cartesian(spark):
+    """The vocab x class grid must plan as a broadcast of the bounded class
+    table, never a CartesianProduct (the class table is |labels| rows)."""
+    from doc2vec_spark.operators.classifier import ta_nb_classify
+
+    plan = ta_nb_classify(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan
+
+
+def test_ngram_novelty_bounds_and_uniqueness_definition(spark):
+    """novelty_bp in [0, 10000]; n_unique <= n_shingles; a doc made of
+    globally-unique shingles scores 10000."""
+    from doc2vec_spark.operators.classifier import ta_ngram_novelty
+
+    rows = ta_ngram_novelty(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_unique"] <= r["n_shingles"]
+        assert 0 <= r["novelty_bp"] <= 10000
+        assert r["novelty_bp"] == (10000 * r["n_unique"]) // r["n_shingles"]
+
+
+def test_pps_sample_exact_proportionality(spark):
+    """Systematic PPS invariants: total draws == floor(T/step) grid points,
+    and every doc's draw count is floor or ceil of w/step (zero-variance
+    proportionality — the property that distinguishes systematic PPS from
+    Poisson/bernoulli sampling)."""
+    from doc2vec_spark.operators.sampling import SAMPLE_K, pipe_pps_systematic_sample
+    from doc2vec_spark.tables import load
+
+    docs = load(spark, SF_DIR, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    step = total // SAMPLE_K
+    rows = pipe_pps_systematic_sample(spark, SF_DIR).collect()
+    assert sum(r["times_drawn"] for r in rows) == total // step
+    for r in rows:
+        assert r["times_drawn"] in (r["w"] // step, r["w"] // step + 1)
+
+
+def test_pps_prefix_sum_has_no_global_window(spark):
+    """The scale property: the cumsum window is PARTITIONED (by the md5
+    bucket) — a single global-order window would serialize the corpus
+    through one partition."""
+    from doc2vec_spark.operators.sampling import pipe_pps_systematic_sample
+
+    plan = (
+        pipe_pps_systematic_sample(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    # every windowspecdefinition must carry the bucket partition key
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "bucket" in spec, plan
+
+
+def test_kmeans_separation_monitor_invariants(spark):
+    """Population conservation across cells; nearest <= second-nearest by
+    construction so the ratio is <= 10000 bp; cells match the trained k."""
+    from doc2vec_spark.operators.kmeans import KM_K, ann_kmeans_separation
+    from doc2vec_spark.tables import load
+
+    rows = ann_kmeans_separation(spark, SF_DIR).collect()
+    n_total = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_total
+    assert {r["cell"] for r in rows} <= set(range(KM_K))
+    for r in rows:
+        assert 0 <= r["sum_d1"] <= r["sum_d2"]
+        assert 0 <= r["separation_bp"] <= 10000
