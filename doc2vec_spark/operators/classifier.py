@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doc2vec_spark.caching import scoped_cache
-from doc2vec_spark.operators.dedup import word_shingles
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
 
@@ -84,12 +83,19 @@ _BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
 def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, cand, score_ppm_sum, n_tokens) for every held-out doc x
     candidate class. Shared by classify + confusion."""
+    from doc2vec_spark.session import default_parallelism
+
     docs = load(spark, sf_dir, "documents")
+    # repartition before the explode: the single-file scan is one partition,
+    # and the token stream feeds every downstream shuffle (at 100 TB the
+    # multi-file scan partitions this for free)
     toks = docs.select(
+        "doc_id", "lang", _bucket().alias("bucket"), F.trim(F.col("text")).alias("t")
+    ).repartition(default_parallelism()).select(
         "doc_id",
         "lang",
-        _bucket().alias("bucket"),
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        "bucket",
+        F.explode(F.split(F.col("t"), r"\s+")).alias("tok"),
     )
     # train feeds three consumers (class counts, class totals, vocab) —
     # one materialization instead of three token explodes
@@ -261,11 +267,19 @@ def ta_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc-keyed agg — counts, never posting lists, so hot shingles are free.",
 )
 def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.operators.dedup import word_shingles_from
+    from doc2vec_spark.session import default_parallelism
+
     docs = load(spark, sf_dir, "documents")
-    # projection barrier before fanning the shingle array into explode
-    # (word_shingles docstring: ProjectCollapse would re-inline the split)
+    # tokenize behind a repartition barrier (the _minhash_sig discipline):
+    # (a) ProjectCollapse would otherwise inline the split into every
+    # element_at of the shingle transform — measured 3.4x slower on this
+    # exact op — and (b) the single-file parquet scan is ONE partition;
+    # the barrier spreads shingling across all cores/executors
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
     sh = scoped_cache(
-        docs.select("doc_id", F.explode(word_shingles(3)).alias("s"))
+        toks.repartition(default_parallelism())
+        .select("doc_id", F.explode(word_shingles_from(F.col("ws"), 3)).alias("s"))
     )
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     uniq = F.sum((F.col("n_docs") == 1).cast("long"))

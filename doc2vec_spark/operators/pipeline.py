@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from doc2vec_spark.caching import scoped_cache
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
 
@@ -165,6 +166,79 @@ def pipe_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return base.select(
         "doc_id", "lang", "pack_group", "n_tokens", shard.alias("shard_id")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# shard skew audit
+# ---------------------------------------------------------------------------
+# The pre-launch health check on any packed corpus: one oversized shard is a
+# guaranteed straggler for the whole training job (every data-parallel epoch
+# waits on the slowest shard). Reports each shard's token load against the
+# global mean in basis points, with the straggler flag the launch checklist
+# gates on. Integer-exact: bp = (10000 * shard_tokens * n_shards) // total —
+# n_shards and total enter as bounded one-row scalars.
+
+SKEW_FLAG_BP = 12000  # flag shards >20% over the mean load
+
+
+@_register(
+    "pipe_shard_skew",
+    f"""
+    WITH packed AS (
+      SELECT lang, pack_group,
+             CAST(floor((cum - n_tokens) / {float(PACK_BUDGET_TOKENS)}) AS BIGINT) AS shard_id,
+             n_tokens
+      FROM (
+        SELECT doc_id, lang, pack_group, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, pack_group ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT doc_id, lang, {_PACK_GROUP_SQL} AS pack_group,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+              FROM documents))),
+    shards AS (
+      SELECT lang, pack_group, shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+      FROM packed GROUP BY lang, pack_group, shard_id),
+    tot AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_shards FROM shards)
+    SELECT lang, pack_group, shard_id, n_docs, shard_tokens,
+           CAST((10000 * shard_tokens * (SELECT n_shards FROM tot))
+                // (SELECT total FROM tot) AS BIGINT) AS load_bp,
+           CAST(CASE WHEN (10000 * shard_tokens * (SELECT n_shards FROM tot))
+                          // (SELECT total FROM tot) > {SKEW_FLAG_BP}
+                     THEN 1 ELSE 0 END AS BIGINT) AS straggler
+    FROM shards
+    """,
+    "Shard skew audit over the packed corpus: per-shard doc/token load vs "
+    "the global mean in bp, straggler flag above "
+    f"{SKEW_FLAG_BP} bp — the pre-launch check that catches the one shard "
+    "every data-parallel epoch would wait on. One agg over the "
+    "(lang, pack_group)-parallel packing window; totals are bounded "
+    "one-row scalars.",
+)
+def pipe_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = pipe_shard_pack(spark, sf_dir)
+    shards = packed.groupBy("lang", "pack_group", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+    shards = scoped_cache(shards)
+    tot = shards.agg(
+        F.sum("shard_tokens").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    total, n_shards = int(tot["t"]), int(tot["n"])
+    load_bp = F.expr(f"(10000 * shard_tokens * {n_shards}) div {total}")
+    return shards.select(
+        "lang",
+        "pack_group",
+        "shard_id",
+        "n_docs",
+        F.col("shard_tokens").cast("long").alias("shard_tokens"),
+        load_bp.cast("long").alias("load_bp"),
+        (load_bp > SKEW_FLAG_BP).cast("long").alias("straggler"),
     )
 
 

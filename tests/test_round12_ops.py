@@ -322,3 +322,26 @@ def test_kmeans_separation_monitor_invariants(spark):
     for r in rows:
         assert 0 <= r["sum_d1"] <= r["sum_d2"]
         assert 0 <= r["separation_bp"] <= 10000
+
+
+def test_shard_skew_audit_conserves_and_flags(spark):
+    """load_bp averages to ~10000 by construction (sum of loads == 10000 *
+    n_shards within integer-floor dust); straggler flag is exactly the
+    >SKEW_FLAG_BP predicate; token totals conserve vs the packing."""
+    from doc2vec_spark.operators.pipeline import (
+        SKEW_FLAG_BP,
+        pipe_shard_pack,
+        pipe_shard_skew,
+    )
+
+    shards = pipe_shard_skew(spark, SF_DIR).collect()
+    packed_tokens = (
+        pipe_shard_pack(spark, SF_DIR).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert sum(r["shard_tokens"] for r in shards) == packed_tokens
+    n = len(shards)
+    total_bp = sum(r["load_bp"] for r in shards)
+    # each load_bp floors: sum in (10000*n - n, 10000*n]
+    assert 10000 * n - n < total_bp <= 10000 * n
+    for r in shards:
+        assert r["straggler"] == int(r["load_bp"] > SKEW_FLAG_BP)
