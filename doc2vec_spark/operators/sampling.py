@@ -117,18 +117,20 @@ def pipe_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = running
     step = total // SAMPLE_K
 
-    # offsets rejoin as a literal CASE chain (bounded, stays in codegen);
-    # at 64k buckets this becomes a broadcast join of the offset table —
-    # same shape, still KB-sized
-    off = F.lit(0)
-    for b, o in offsets.items():
-        off = F.when(F.col("bucket") == b, F.lit(o)).otherwise(off)
-
-    cum = local.select(
+    # offsets rejoin as a BROADCAST join of the bounded offset table (256
+    # rows here, KB-sized at 64k buckets). The first cut inlined them as a
+    # 256-branch CASE chain — whole-stage codegen compiled the 256-deep
+    # expression on every run, dominating wall time on a query whose data
+    # work is trivial; the join keeps the plan size constant in the bucket
+    # count.
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bucket long, bucket_offset long"
+    )
+    cum = local.join(F.broadcast(off_df), "bucket").select(
         "doc_id",
         "source",
         F.col("w").cast("long").alias("w"),
-        (F.col("local_cum") + off).cast("long").alias("cum"),
+        (F.col("local_cum") + F.col("bucket_offset")).cast("long").alias("cum"),
     )
     # Spark SQL's `div` is true BIGINT division (never a double), so this
     # stays exact at any corpus size; operands are non-negative so trunc ==

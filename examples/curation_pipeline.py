@@ -83,6 +83,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     for r in hll:
         print(f"  {r.window_start}: ~{r.hll_users} users (exact {r.exact_users})")
 
+    # round-12 additions: trained classifier gate, weighted sampling,
+    # clustering-quality and shard-skew readouts
+    conf = q["ta_nb_confusion"].fn(spark, sf_dir).collect()
+    total = sum(r.n for r in conf)
+    hits = sum(r.n for r in conf if r.lang == r.predicted)
+    print(f"NB lang classifier (held-out): {hits}/{total} correct")
+    pps = q["pipe_pps_systematic_sample"].fn(spark, sf_dir)
+    print(f"systematic PPS sample: {pps.count()} docs drawn (length-weighted)")
+    sep = q["ann_kmeans_separation"].fn(spark, sf_dir).collect()
+    worst = max(sep, key=lambda r: r.separation_bp)
+    print(
+        f"kmeans cell separation: worst cell {worst.cell} at "
+        f"{worst.separation_bp / 100:.0f}% of second-nearest distance"
+    )
+    skew = q["pipe_shard_skew"].fn(spark, sf_dir).collect()
+    stragglers = [r for r in skew if r.straggler]
+    print(
+        f"shard skew: {len(skew)} shards, max load {max(r.load_bp for r in skew) / 100:.0f}% "
+        f"of mean, {len(stragglers)} straggler(s) flagged"
+    )
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])
