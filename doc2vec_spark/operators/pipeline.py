@@ -1076,6 +1076,88 @@ def pipe_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "pipe_mixture_drift",
+    f"""
+    WITH tok AS ({_MIX_TOK_SQL}),
+    lt AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS t FROM tok GROUP BY lang),
+    w AS (SELECT lang, CAST(floor(sqrt(t)) AS BIGINT) AS w FROM lt),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM w),
+    budget AS (SELECT CAST(floor({MIXTURE_BUDGET_FRAC} * (SELECT SUM(n_tok) FROM tok)) AS BIGINT) AS b),
+    lb AS (SELECT lang, CAST((b * w) // sw AS BIGINT) AS lang_budget FROM w, tot, budget),
+    r AS (SELECT doc_id, lang, n_tok,
+                 CAST(SUM(n_tok) OVER (PARTITION BY lang
+                                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM tok),
+    sampled AS (
+      SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(r.n_tok) AS BIGINT) AS got_tokens
+      FROM r JOIN lb ON r.lang = lb.lang
+      WHERE r.cum <= lb.lang_budget GROUP BY r.lang),
+    st AS (SELECT CAST(SUM(got_tokens) AS BIGINT) AS g FROM sampled)
+    SELECT s.lang, s.n_docs, s.got_tokens,
+           CAST((10000 * w.w) // (SELECT sw FROM tot) AS BIGINT) AS target_bp,
+           CAST((10000 * s.got_tokens) // (SELECT g FROM st) AS BIGINT) AS achieved_bp,
+           CAST((10000 * s.got_tokens) // (SELECT g FROM st)
+                - (10000 * w.w) // (SELECT sw FROM tot) AS BIGINT) AS drift_bp
+    FROM sampled s JOIN w ON w.lang = s.lang
+    """,
+    "Mixture-drift monitor over pipe_mixture_sample's draw: achieved "
+    "per-language token share vs the sqrt-temperature target, in bp — the "
+    "post-sampling alarm for when whole-document fill granularity (or a "
+    "language running out of corpus) bends the mixture away from its "
+    "recipe. Bounded #languages output; one agg over the sampler's plan.",
+)
+def pipe_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    # identical bounded driver arithmetic to pipe_mixture_sample
+    lt = {r["lang"]: r["t"] for r in tok.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()}
+    total = sum(lt.values())
+    weights = {lang: int(math.floor(math.sqrt(t))) for lang, t in lt.items()}
+    sw = sum(weights.values())
+    b = int(math.floor(MIXTURE_BUDGET_FRAC * total))
+    dim = spark.createDataFrame(
+        [(lang, (b * w) // sw, (10000 * w) // sw) for lang, w in sorted(weights.items())],
+        "lang string, lang_budget long, target_bp long",
+    )
+
+    win = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sampled = (
+        tok.withColumn("cum", F.sum("n_tok").over(win))
+        .join(F.broadcast(dim), "lang")
+        .filter(F.col("cum") <= F.col("lang_budget"))
+        .groupBy("lang", "target_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("got_tokens"),
+        )
+    )
+    sampled = scoped_cache(sampled)
+    g = int(sampled.agg(F.sum("got_tokens")).collect()[0][0])
+    achieved = F.expr(f"(10000 * got_tokens) div {g}")
+    return sampled.select(
+        "lang",
+        "n_docs",
+        F.col("got_tokens").cast("long").alias("got_tokens"),
+        "target_bp",
+        achieved.cast("long").alias("achieved_bp"),
+        (achieved - F.col("target_bp")).cast("long").alias("drift_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # token-exact sequence packing (fixed-length training sequences)
 # ---------------------------------------------------------------------------

@@ -345,3 +345,29 @@ def test_shard_skew_audit_conserves_and_flags(spark):
     assert 10000 * n - n < total_bp <= 10000 * n
     for r in shards:
         assert r["straggler"] == int(r["load_bp"] > SKEW_FLAG_BP)
+
+
+def test_mixture_drift_shares_sum_and_sign(spark):
+    """Achieved shares sum to ~10000 bp (floor dust), drift = achieved -
+    target exactly, and the sampled token totals agree with the sampler."""
+    from doc2vec_spark.operators.pipeline import (
+        pipe_mixture_drift,
+        pipe_mixture_sample,
+    )
+
+    rows = pipe_mixture_drift(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    s = sum(r["achieved_bp"] for r in rows)
+    assert 10000 - n < s <= 10000
+    for r in rows:
+        assert r["drift_bp"] == r["achieved_bp"] - r["target_bp"]
+    sampled = (
+        pipe_mixture_sample(spark, SF_DIR)
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    )
+    by_lang = {r["lang"]: r["t"] for r in sampled}
+    for r in rows:
+        assert r["got_tokens"] == by_lang[r["lang"]]
