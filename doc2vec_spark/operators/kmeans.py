@@ -371,3 +371,70 @@ def ann_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@_register(
+    "ann_ivf_search_trained",
+    f"""
+    WITH RECURSIVE
+    {_E_CTE},
+    {_SAMPLE_CTE},
+    {_fps_recursion('es')},
+    {_lloyd_ctes()},
+    cvf AS (
+      SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
+      FROM {_KM_FINAL} GROUP BY cell),
+    asg AS (
+      SELECT a.vec_id, MIN({_D6_CELL_SQL} * 100 + c.cell) % 100 AS cell
+      FROM e a CROSS JOIN cvf c
+      GROUP BY a.vec_id),
+    b AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id)),
+    q AS (SELECT v AS qv, cell AS qcell FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id,
+             1 - list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+               AS dist
+      FROM b, q WHERE b.cell = q.qcell)
+    SELECT vec_id, rnk, floor(dist * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS distance
+    FROM (SELECT vec_id, dist,
+                 ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 5
+    """,
+    "The composed production ANN path: TRAIN the coarse quantizer (bounded-"
+    "sample Lloyd from the FPS init), assign the corpus, probe-search the "
+    "query's cell — ann_ivf_search's plan shape with ann_kmeans_train's "
+    "centroids instead of seeded literals. At scale the trained cell is "
+    "the partition key and nprobe=1 touches one partition; training stays "
+    "flat in corpus size (the sample), so the whole composition adds one "
+    "map-only assignment pass over the seeded variant.",
+)
+def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from doc2vec_spark.functions.rounding import pround
+    from doc2vec_spark.functions.vectors import cosine_distance, lit_vector
+
+    cents = train_kmeans(spark, sf_dir)
+    e = embeddings_with_norms(spark, sf_dir)
+    o = F.least(
+        *[
+            _d6_int(F.col("v"), F.col("nv"), [fp / _FP for fp in cents[c]])
+            * F.lit(100)
+            + F.lit(c)
+            for c in sorted(cents)
+        ]
+    )
+    b = e.select("vec_id", "v", (o % 100).alias("cell"))
+    # the query is ONE bounded row (the t1/ann_ivf_search probe convention)
+    qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    qv, qcell = list(qrow["v"]), int(qrow["cell"])
+    cand = b.filter(F.col("cell") == qcell).select(
+        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+    )
+    topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance")
+    )

@@ -371,3 +371,20 @@ def test_mixture_drift_shares_sum_and_sign(spark):
     by_lang = {r["lang"]: r["t"] for r in sampled}
     for r in rows:
         assert r["got_tokens"] == by_lang[r["lang"]]
+
+
+def test_trained_ivf_search_self_retrieval_and_cell_consistency(spark):
+    """The query vector itself is rank 1 at distance 0, every hit shares the
+    query's trained cell, and ranks are the dense 1..5."""
+    from doc2vec_spark.operators.kmeans import (
+        ann_kmeans_assign,
+        ann_ivf_search_trained,
+    )
+
+    hits = ann_ivf_search_trained(spark, SF_DIR).collect()
+    assert [r["rnk"] for r in hits] == list(range(1, len(hits) + 1))
+    assert hits[0]["vec_id"] == 0 and hits[0]["distance"] == 0.0
+    cells = {r["vec_id"]: r["cell"] for r in ann_kmeans_assign(spark, SF_DIR).collect()}
+    qcell = cells[0]
+    for r in hits:
+        assert cells[r["vec_id"]] == qcell
