@@ -32,11 +32,13 @@ against a DuckDB oracle:
 
 100 TB shape (all keyed, nothing driver-sized):
 - classify: one token explode (map-only), one (tok, lang) count shuffle
-  (vocab-sized), the vocab x class grid is vocab JOIN a bounded class
-  table (classes = distinct labels, broadcast), scoring is a token-keyed
-  join of the doc-token stream against the grid (the standard x|C| NB
-  fanout) + one (doc, lang) aggregation + one doc-keyed window over
-  |C| rows per doc. No literal vocabularies, no collect.
+  (vocab-sized), the vocab x class grid is a MAP-ONLY literal
+  struct-array explode over the vocab (per-class totals are a bounded
+  |classes|-row collect, the mixture_sample precedent — no join operator
+  at all, so the blanket no-BNLJ plan contract holds), scoring is a
+  token-keyed join of the doc-token stream against the grid (the
+  standard x|C| NB fanout) + one (doc, lang) aggregation + one
+  doc-keyed window over |C| rows per doc. No literal vocabularies.
 - novelty: one shingle-keyed count shuffle (map-side combinable — counts,
   never posting lists, so hot shingles cost nothing extra) + one
   shingle-keyed join back + one doc-keyed aggregation.
@@ -104,18 +106,34 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # class-conditional counts + per-class totals + vocab size (train only)
     cls_counts = train.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("cnt"))
-    cls_totals = train.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
     vocab = train.select("tok").distinct()
-    # V enters as a bounded 1-row scalar (the lm.py precedent)
+    # V and the per-class totals enter as bounded scalars / a bounded
+    # |classes|-row literal (the lm.py / mixture_sample precedent)
     v_size = vocab.count()
+    totals = {
+        r["lang"]: int(r["total"])
+        for r in train.groupBy("lang").agg(F.count(F.lit(1)).alias("total")).collect()
+    }
 
     # vocab x class grid with Laplace-smoothed integer ppm probabilities.
-    # floor(1e6 * (cnt+1) / (total+V)) is the exact integer quotient in both
-    # engines at these magnitudes (numerator < 2^53, denominators >= V so the
-    # true quotient is never within an ulp of an integer unless it IS one —
-    # the kmeans.py floor-quotient argument).
+    # The class fanout is a MAP-ONLY literal struct-array explode — the
+    # first cut cross-joined the broadcast class table, which plans a
+    # BroadcastNestedLoopJoin and trips the blanket no-BNLJ scale contract
+    # (test_plans.py); exploding the bounded literal keeps the exact same
+    # rows without any join operator. floor(1e6 * (cnt+1) / (total+V)) is
+    # the exact integer quotient in both engines at these magnitudes
+    # (numerator < 2^53, denominators >= V so the true quotient is never
+    # within an ulp of an integer unless it IS one — the kmeans.py
+    # floor-quotient argument).
+    cand_arr = F.array(
+        *[
+            F.struct(F.lit(lang).alias("cand"), F.lit(t).alias("total"))
+            for lang, t in sorted(totals.items())
+        ]
+    )
     grid = (
-        vocab.join(F.broadcast(cls_totals), how="cross")
+        vocab.select("tok", F.explode(cand_arr).alias("ct"))
+        .select("tok", F.col("ct.cand").alias("lang"), F.col("ct.total").alias("total"))
         .join(cls_counts, ["tok", "lang"], "left")
         .select(
             "tok",

@@ -249,14 +249,17 @@ def test_nb_classifier_one_prediction_per_heldout_doc(spark):
     assert {r["predicted"] for r in conf} <= langs
 
 
-def test_nb_grid_join_is_broadcast_not_cartesian(spark):
-    """The vocab x class grid must plan as a broadcast of the bounded class
-    table, never a CartesianProduct (the class table is |labels| rows)."""
+def test_nb_grid_fanout_is_map_only(spark):
+    """The vocab x class grid must never plan a CartesianProduct or
+    BroadcastNestedLoopJoin (the blanket scale contract): the bounded
+    class table fans out as a literal struct-array explode, and no stage
+    serializes to a single partition."""
     from doc2vec_spark.operators.classifier import ta_nb_classify
 
     plan = ta_nb_classify(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert "Broadcast" in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_ngram_novelty_bounds_and_uniqueness_definition(spark):
