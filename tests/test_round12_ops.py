@@ -391,3 +391,27 @@ def test_trained_ivf_search_self_retrieval_and_cell_consistency(spark):
     qcell = cells[0]
     for r in hits:
         assert cells[r["vec_id"]] == qcell
+
+
+def test_prototype_prune_flags_exact_decile_per_cell(spark):
+    """Within every cell: exactly floor(n_cell/10) flagged, and every flagged
+    vector is at least as far from the prototype as every kept one."""
+    from collections import defaultdict
+
+    from doc2vec_spark.operators.kmeans import PRUNE_DECILE, pipe_prototype_prune
+    from doc2vec_spark.tables import load
+
+    rows = pipe_prototype_prune(spark, SF_DIR).collect()
+    assert len(rows) == load(spark, SF_DIR, "embeddings").count()
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r["cell"]].append(r)
+    for cell, rs in cells.items():
+        flagged = [r for r in rs if r["prune"]]
+        assert len(flagged) == len(rs) // PRUNE_DECILE
+        if flagged:
+            min_flagged = min(r["dist_d6"] for r in flagged)
+            kept_max = max((r["dist_d6"] for r in rs if not r["prune"]), default=0)
+            assert min_flagged >= kept_max or any(
+                r["dist_d6"] == min_flagged for r in rs if not r["prune"]
+            )  # ties broken by vec_id can straddle the boundary at equal d6
