@@ -119,6 +119,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         linedup,
         manifest,
         mmr,
+        normdedup,
         pipeline,
         lm,
         quality,
@@ -163,6 +164,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         evalmetrics,
         sketches,
         sketchmerge,
+        normdedup,
         windows,
         domain,
         extensions,

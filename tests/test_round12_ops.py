@@ -430,3 +430,19 @@ def test_hll_merge_property_holds_on_every_register(spark):
     assert all(r["consistent"] == 1 for r in rows)
     for r in rows:
         assert r["r_merged"] == max(r["r_half0"], r["r_half1"]) == r["r_whole"]
+
+
+def test_normalized_dedup_is_coarser_than_exact(spark):
+    """Normalization only merges: the normalized grouping has at most as
+    many groups as byte-exact dedup, covers every document, and every
+    group's representative is its min doc_id."""
+    from doc2vec_spark.operators.dedup import dedup_exact
+    from doc2vec_spark.operators.normdedup import dedup_exact_normalized
+    from doc2vec_spark.tables import load
+
+    norm = dedup_exact_normalized(spark, SF_DIR).collect()
+    exact = dedup_exact(spark, SF_DIR).count()
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert sum(r["group_size"] for r in norm) == n_docs
+    assert len(norm) <= exact
+    assert all(r["group_size"] >= 1 and r["norm_len"] >= 0 for r in norm)
