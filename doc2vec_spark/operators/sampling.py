@@ -59,6 +59,66 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 SAMPLE_K = 100  # target draw count (grid points)
 
 
+def systematic_pps(spark: SparkSession, line: DataFrame, k: int) -> DataFrame:
+    """The reusable core: ``line`` carries (doc_id, source, w); returns every
+    doc drawn >= once with its exact draw count. Two-level distributed
+    prefix sum over the md5-shuffled order — see the module docstring."""
+    line = line.select(
+        "doc_id",
+        "source",
+        F.col("w"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    ).withColumn(
+        # bucket = first two hex digits: a PREFIX of ord_key, so
+        # (bucket, ord_key) order == global ord_key order
+        "bucket",
+        F.conv(F.substring(F.col("ord_key"), 1, 2), 16, 10).cast("long"),
+    )
+
+    # level 1: per-bucket cumsum — 256-way parallel windows
+    wb = Window.partitionBy("bucket").orderBy("ord_key", "doc_id")
+    local = line.withColumn("local_cum", F.sum("w").over(wb))
+
+    # level 2: bucket totals -> bounded (<=256-row) driver prefix scan
+    totals = {
+        r["bucket"]: r["t"]
+        for r in line.groupBy("bucket").agg(F.sum("w").alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for b in sorted(totals):
+        offsets[b] = running
+        running += int(totals[b])
+    total = running
+    step = total // k
+
+    # offsets rejoin as a BROADCAST join of the bounded offset table (256
+    # rows here, KB-sized at 64k buckets). The first cut inlined them as a
+    # 256-branch CASE chain — whole-stage codegen compiled the 256-deep
+    # expression on every run, dominating wall time on a query whose data
+    # work is trivial; the join keeps the plan size constant in the bucket
+    # count.
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bucket long, bucket_offset long"
+    )
+    cum = local.join(F.broadcast(off_df), "bucket").select(
+        "doc_id",
+        "source",
+        F.col("w").cast("long").alias("w"),
+        (F.col("local_cum") + F.col("bucket_offset")).cast("long").alias("cum"),
+    )
+    # Spark SQL's `div` is true BIGINT division (never a double), so this
+    # stays exact at any corpus size; operands are non-negative so trunc ==
+    # floor == the oracle's BIGINT //
+    drawn = F.expr(f"(cum div {step}) - ((cum - w) div {step})").cast("long")
+    return (
+        cum.withColumn("times_drawn", drawn)
+        .filter(F.col("times_drawn") > 0)
+        .select("doc_id", "source", "w", "times_drawn")
+    )
+
+
+
 @_register(
     "pipe_pps_systematic_sample",
     f"""
@@ -88,56 +148,5 @@ SAMPLE_K = 100  # target draw count (grid points)
 )
 def pipe_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    line = docs.select(
-        "doc_id",
-        "source",
-        F.col("n_chars").alias("w"),
-        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
-    ).withColumn(
-        # bucket = first two hex digits: a PREFIX of ord_key, so
-        # (bucket, ord_key) order == global ord_key order
-        "bucket",
-        F.conv(F.substring(F.col("ord_key"), 1, 2), 16, 10).cast("long"),
-    )
-
-    # level 1: per-bucket cumsum — 256-way parallel windows
-    wb = Window.partitionBy("bucket").orderBy("ord_key", "doc_id")
-    local = line.withColumn("local_cum", F.sum("w").over(wb))
-
-    # level 2: bucket totals -> bounded (<=256-row) driver prefix scan
-    totals = {
-        r["bucket"]: r["t"]
-        for r in line.groupBy("bucket").agg(F.sum("w").alias("t")).collect()
-    }
-    offsets: dict[int, int] = {}
-    running = 0
-    for b in sorted(totals):
-        offsets[b] = running
-        running += int(totals[b])
-    total = running
-    step = total // SAMPLE_K
-
-    # offsets rejoin as a BROADCAST join of the bounded offset table (256
-    # rows here, KB-sized at 64k buckets). The first cut inlined them as a
-    # 256-branch CASE chain — whole-stage codegen compiled the 256-deep
-    # expression on every run, dominating wall time on a query whose data
-    # work is trivial; the join keeps the plan size constant in the bucket
-    # count.
-    off_df = spark.createDataFrame(
-        [(b, o) for b, o in offsets.items()], "bucket long, bucket_offset long"
-    )
-    cum = local.join(F.broadcast(off_df), "bucket").select(
-        "doc_id",
-        "source",
-        F.col("w").cast("long").alias("w"),
-        (F.col("local_cum") + F.col("bucket_offset")).cast("long").alias("cum"),
-    )
-    # Spark SQL's `div` is true BIGINT division (never a double), so this
-    # stays exact at any corpus size; operands are non-negative so trunc ==
-    # floor == the oracle's BIGINT //
-    drawn = F.expr(f"(cum div {step}) - ((cum - w) div {step})").cast("long")
-    return (
-        cum.withColumn("times_drawn", drawn)
-        .filter(F.col("times_drawn") > 0)
-        .select("doc_id", "source", "w", "times_drawn")
-    )
+    line = docs.select("doc_id", "source", F.col("n_chars").alias("w"))
+    return systematic_pps(spark, line, SAMPLE_K)

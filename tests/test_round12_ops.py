@@ -446,3 +446,22 @@ def test_normalized_dedup_is_coarser_than_exact(spark):
     assert sum(r["group_size"] for r in norm) == n_docs
     assert len(norm) <= exact
     assert all(r["group_size"] >= 1 and r["norm_len"] >= 0 for r in norm)
+
+
+def test_pps_multi_draw_when_weight_exceeds_step(spark):
+    """A weight larger than the sampling step must be drawn multiple times
+    (floor/ceil(k*w/T)) — the PPS branch the driver corpus never exercises
+    (its max n_chars is far below the step). One whale at ~half the total
+    mass with k=10 must be drawn ~5 times, and total draws == floor(T/step)."""
+    from doc2vec_spark.operators.sampling import systematic_pps
+
+    rows = [(i, "src", 10) for i in range(100)] + [(1000, "whale", 1000)]
+    line = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    k = 10
+    total = 100 * 10 + 1000
+    step = total // k
+    out = {r["doc_id"]: r for r in systematic_pps(spark, line, k).collect()}
+    whale = out[1000]
+    assert whale["times_drawn"] in (1000 // step, 1000 // step + 1)
+    assert whale["times_drawn"] >= 5
+    assert sum(r["times_drawn"] for r in out.values()) == total // step
