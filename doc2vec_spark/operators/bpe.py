@@ -88,6 +88,9 @@ MSEP = "\x03"  # between encoded merges in the merge-list string
 
 # words eligible for training/apply (mirrored in _CAND_SQL)
 _SENTINELS = (SEP, PSEP, MSEP)
+# the BATCHED oracle's list_reduce fold additionally reserves chr(4)/chr(5)
+# for its own state encoding (room || chr(4) || accepted || chr(4) || used)
+_BATCH_STATE_SENTINELS = ("\x04", "\x05")
 
 _WORDS_SQL = r"""
   SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -299,7 +302,15 @@ def train_merges_batched(
     produced symbol a||b all tracked). Deterministic: the outcome is a
     pure function of the ordered candidate list, so the oracle replays the
     scan with a ``list_reduce`` fold."""
-    cand = _cand_words(spark, sf_dir).cache()
+    cand = _cand_words(spark, sf_dir)
+    # the oracle's fold STATE uses chr(4)/chr(5) as its own sentinels, so
+    # its cand CTE excludes words containing them — mirror that here or a
+    # corpus word carrying \x04/\x05 would be trained on by the engine but
+    # excluded by the oracle (review finding r12: the docstring claimed
+    # this mirror existed; now it does)
+    for ch in _BATCH_STATE_SENTINELS:
+        cand = cand.filter(~F.col("word").contains(ch))
+    cand = cand.cache()
     merges: list[tuple[str, str]] = []
     for _round in range(num_merges):  # <= one round per merge: termination
         if len(merges) >= num_merges:

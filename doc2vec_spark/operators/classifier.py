@@ -84,7 +84,15 @@ _BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
 
 def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, cand, score_ppm_sum, n_tokens) for every held-out doc x
-    candidate class. Shared by classify + confusion."""
+    candidate class. Shared by classify + confusion.
+
+    Accepted recompute: classify and confusion each rebuild this plan
+    (~1.2 s marginal at sf0.1) rather than sharing a kmeans-style memo —
+    the shared artifact here is a lazy corpus-sized DataFrame whose
+    scoped cache is deliberately released between registry invocations
+    (caching.py's flat-storage rule), not a k*dim-long driver literal;
+    memoizing it would either pin corpus-sized cache across queries or
+    hand out a released plan. Revisit only if the pair's cost grows."""
     from doc2vec_spark.session import default_parallelism
 
     docs = load(spark, sf_dir, "documents")

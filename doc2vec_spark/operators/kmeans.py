@@ -114,17 +114,39 @@ def _sample_e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # almost all of it redundant retraining). Training is DETERMINISTIC
 # (md5-ordered sample, integer arithmetic), so memoizing is pure; the
 # state is k * dim longs per sf_dir — bounded driver state, not a Spark
-# cache, so scoped-cache releases never touch it.
-_TRAIN_MEMO: dict[tuple[str, int, int], dict[int, list[int]]] = {}
+# cache, so scoped-cache releases never touch it. The key carries a
+# dataset fingerprint (mtime+size of the embeddings parquet, review
+# finding r12): a rewrite under the same path must retrain, or the memo
+# would serve centroids of the OLD data while the oracle re-reads the new.
+_TRAIN_MEMO: dict[tuple, dict[int, list[int]]] = {}
+
+
+def _dataset_fingerprint(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):  # directory-style parquet: fold file stats
+            stats = sorted(
+                (f, os.path.getmtime(fp), os.path.getsize(fp))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+                for fp in [os.path.join(path, f)]
+            )
+            return tuple(stats)
+        st = os.stat(path)
+        return (st.st_mtime, st.st_size)
+    except OSError:  # non-local path (s3a etc.): fall back to path-only
+        return ()
 
 
 def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
     """{cell: [fp components]} after KM_ITERS Lloyd iterations from the FPS
     init, trained on the bounded sample. Driver state per iteration is
     k*dim longs; each iteration costs one sample-sized assignment scan +
-    one integer-sum shuffle. Memoized per (sf_dir, K, iters) — see
-    _TRAIN_MEMO."""
-    key = (sf_dir, KM_K, KM_ITERS)
+    one integer-sum shuffle. Memoized per (sf_dir, dataset fingerprint,
+    K, iters) — see _TRAIN_MEMO."""
+    key = (sf_dir, _dataset_fingerprint(sf_dir), KM_K, KM_ITERS)
     if key in _TRAIN_MEMO:
         return _TRAIN_MEMO[key]
     e = _sample_e(spark, sf_dir).cache()

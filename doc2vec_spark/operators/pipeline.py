@@ -130,18 +130,24 @@ _PACK_GROUP_SQL = (
 )
 
 
-@_register(
-    "pipe_shard_pack",
-    f"""
-    SELECT doc_id, lang, pack_group, n_tokens,
-           CAST(floor((cum - n_tokens) / {float(PACK_BUDGET_TOKENS)}) AS BIGINT) AS shard_id
-    FROM (
+# the packed-corpus derivation shared VERBATIM by the pipe_shard_pack and
+# pipe_shard_skew oracles (review finding r12: the skew oracle inlined a
+# copy, so a packing-rule edit could silently desynchronize the audit)
+_PACKED_ROWS_SQL = f"""
       SELECT doc_id, lang, pack_group, n_tokens,
              SUM(n_tokens) OVER (PARTITION BY lang, pack_group ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM (SELECT doc_id, lang, {_PACK_GROUP_SQL} AS pack_group,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
-            FROM documents))
+            FROM documents)"""
+
+
+@_register(
+    "pipe_shard_pack",
+    f"""
+    SELECT doc_id, lang, pack_group, n_tokens,
+           CAST(floor((cum - n_tokens) / {float(PACK_BUDGET_TOKENS)}) AS BIGINT) AS shard_id
+    FROM ({_PACKED_ROWS_SQL})
     """,
     "Token-budget shard packing: windowed cumulative token counts inside "
     f"(lang, pack_group % {PACK_GROUPS}), shard_id = floor(tokens-before / "
@@ -190,13 +196,7 @@ SKEW_FLAG_BP = 12000  # flag shards >20% over the mean load
       SELECT lang, pack_group,
              CAST(floor((cum - n_tokens) / {float(PACK_BUDGET_TOKENS)}) AS BIGINT) AS shard_id,
              n_tokens
-      FROM (
-        SELECT doc_id, lang, pack_group, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY lang, pack_group ORDER BY doc_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM (SELECT doc_id, lang, {_PACK_GROUP_SQL} AS pack_group,
-                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
-              FROM documents))),
+      FROM ({_PACKED_ROWS_SQL})),
     shards AS (
       SELECT lang, pack_group, shard_id,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -904,7 +904,13 @@ _QUALITY_Q_SQL = r"""
 """
 
 
-def _quality_q() -> Column:
+def _quality_indicators() -> tuple[Column, Column, Column]:
+    """The THREE boolean quality predicates, built once and shared by
+    `_quality_q` and `_quality_s` (review finding r12: the two functions
+    used to carry separate copies of this expression set, so an edit to
+    one threshold without the other would silently break the s<->q
+    monotonicity the canonical-select fusion's correctness rests on —
+    now the predicates are structurally identical by construction)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     unique_ratio = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
     punct_ratio = (
@@ -913,9 +919,21 @@ def _quality_q() -> Column:
         / F.col("n_chars")
     )
     return (
-        F.when(F.col("n_chars").between(100, 20000), 0.4).otherwise(0.0)
-        + F.when(unique_ratio >= 0.3, 0.3).otherwise(0.0)
-        + F.when(punct_ratio <= 0.1, 0.3).otherwise(0.0)
+        F.col("n_chars").between(100, 20000),
+        unique_ratio >= 0.3,
+        punct_ratio <= 0.1,
+    )
+
+
+def _quality_q() -> Column:
+    # stays the SUM of double-weighted cases (0.4+0.3 -> 0.7000000000000001)
+    # because that is what _QUALITY_Q_SQL emits — deriving q from s/10.0
+    # would change the IEEE value and break the hash gate
+    a, b, c = _quality_indicators()
+    return (
+        F.when(a, 0.4).otherwise(0.0)
+        + F.when(b, 0.3).otherwise(0.0)
+        + F.when(c, 0.3).otherwise(0.0)
     )
 
 
@@ -925,17 +943,11 @@ def _quality_s() -> Column:
     with equal s always produce the same double q — so ordering by s is
     ordering by q, with a long-typed key that hash aggregates (max_by) can
     buffer. Used by pipe_canonical_select's sort-free survivor pick."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    unique_ratio = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
-    punct_ratio = (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
-        * 1.0
-        / F.col("n_chars")
-    )
+    a, b, c = _quality_indicators()
     return (
-        F.when(F.col("n_chars").between(100, 20000), 4).otherwise(0)
-        + F.when(unique_ratio >= 0.3, 3).otherwise(0)
-        + F.when(punct_ratio <= 0.1, 3).otherwise(0)
+        F.when(a, 4).otherwise(0)
+        + F.when(b, 3).otherwise(0)
+        + F.when(c, 3).otherwise(0)
     )
 
 
@@ -1146,7 +1158,17 @@ def pipe_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sampled = scoped_cache(sampled)
-    g = int(sampled.agg(F.sum("got_tokens")).collect()[0][0])
+    g_raw = sampled.agg(F.sum("got_tokens")).collect()[0][0]
+    if not g_raw:  # empty draw (every lang's first md5-ordered doc exceeds
+        # its budget on a degenerate corpus): the oracle returns zero rows;
+        # mirror that instead of TypeError-ing on int(None) / div 0
+        # (review finding r12)
+        return spark.createDataFrame(
+            [],
+            "lang string, n_docs long, got_tokens long, "
+            "target_bp long, achieved_bp long, drift_bp long",
+        )
+    g = int(g_raw)
     achieved = F.expr(f"(10000 * got_tokens) div {g}")
     return sampled.select(
         "lang",

@@ -90,7 +90,13 @@ def systematic_pps(spark: SparkSession, line: DataFrame, k: int) -> DataFrame:
         offsets[b] = running
         running += int(totals[b])
     total = running
-    step = total // k
+    # guard the degenerate corpus (total mass < k): step would be 0 and the
+    # grid undefined — Spark's `div 0` yields NULL (silently empty sample)
+    # while DuckDB's // 0 raises, so the engines would diverge. Clamping to
+    # 1 is the correct PPS limit: k >= T means one grid point per unit of
+    # mass, i.e. every doc drawn exactly w times (mirrored in the oracle's
+    # greatest(total // k, 1)).
+    step = max(total // k, 1)
 
     # offsets rejoin as a BROADCAST join of the bounded offset table (256
     # rows here, KB-sized at 64k buckets). The first cut inlined them as a
@@ -133,7 +139,7 @@ def systematic_pps(spark: SparkSession, line: DataFrame, k: int) -> DataFrame:
       FROM line
     ),
     t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM line),
-    s AS (SELECT total // {SAMPLE_K} AS step, total FROM t)
+    s AS (SELECT greatest(total // {SAMPLE_K}, 1) AS step, total FROM t)
     SELECT doc_id, source, CAST(w AS BIGINT) AS w,
            CAST(cum // (SELECT step FROM s)
                 - (cum - w) // (SELECT step FROM s) AS BIGINT) AS times_drawn

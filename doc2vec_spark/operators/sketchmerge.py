@@ -30,6 +30,12 @@ from doc2vec_spark.operators.sketches import HLL_M, _HLL_W_BITS
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
 
+# register-index shift derived from HLL_M, not hardcoded (review finding
+# r12: a literal 4 would silently desynchronize from sketches.py if m ever
+# changed, leaving the merge proof proving nothing about the real sketch)
+_REG_SHIFT = HLL_M.bit_length() - 1
+assert (1 << _REG_SHIFT) == HLL_M, "HLL_M must stay a power of two"
+
 QUERIES: dict[str, QuerySpec] = {}
 
 
@@ -96,8 +102,8 @@ def sk_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = orders.select(
         half.alias("half"),
         (h % HLL_M).alias("reg"),
-        F.when(F.shiftright(h, 4) == 0, F.lit(_HLL_W_BITS + 1))
-        .otherwise(F.instr(F.lpad(F.bin(F.shiftright(h, 4)), _HLL_W_BITS, "0"), "1"))
+        F.when(F.shiftright(h, _REG_SHIFT) == 0, F.lit(_HLL_W_BITS + 1))
+        .otherwise(F.instr(F.lpad(F.bin(F.shiftright(h, _REG_SHIFT)), _HLL_W_BITS, "0"), "1"))
         .cast("long")
         .alias("r"),
     )

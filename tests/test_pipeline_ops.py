@@ -355,7 +355,6 @@ def test_canonical_select_fused_no_window_and_job_bar(spark):
     # the same pipeline PLUS a corpus-wide sort stage
     assert n_jobs <= 15, f"job count regressed: {n_jobs} (measured 15 fused)"
     # singleton components select themselves with zero drops
-    by_comp = {r["component"]: r for r in rows}
     singles = [r for r in rows if r["n_members"] == 1]
     assert singles and all(
         r["survivor_doc_id"] == r["component"] and r["n_dropped"] == 0 for r in singles

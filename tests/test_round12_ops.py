@@ -465,3 +465,17 @@ def test_pps_multi_draw_when_weight_exceeds_step(spark):
     assert whale["times_drawn"] in (1000 // step, 1000 // step + 1)
     assert whale["times_drawn"] >= 5
     assert sum(r["times_drawn"] for r in out.values()) == total // step
+
+
+def test_pps_degenerate_total_below_k_samples_everything(spark):
+    """Total mass < k clamps the step to 1 (the correct PPS limit: one grid
+    point per unit of mass -> every doc drawn exactly w times) instead of
+    diverging between a NULL-division empty sample and an oracle error."""
+    from doc2vec_spark.operators.sampling import systematic_pps
+
+    line = spark.createDataFrame(
+        [(i, "s", 1) for i in range(5)], "doc_id long, source string, w long"
+    )
+    out = systematic_pps(spark, line, k=100).collect()
+    assert len(out) == 5
+    assert all(r["times_drawn"] == 1 for r in out)
