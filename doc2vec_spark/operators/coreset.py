@@ -104,6 +104,38 @@ def embeddings_with_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Selected-centers memo (the kmeans _TRAIN_MEMO discipline): a production
+# coreset build SELECTS once and every audit/consumer reuses the k centers;
+# pipe_coreset_fps / pipe_coreset_coverage / kmeans seeding each re-paid
+# the k driver-paced rounds without it. Selection is deterministic, the
+# state is k bounded tuples, and the key carries the dataset fingerprint
+# so a rewrite under the same path re-selects. Only the default corpus
+# path memoizes — explicit `e` frames (kmeans' training sample) bypass it.
+_FPS_MEMO: dict[tuple, list] = {}
+
+
+def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
+    """(mtime, size) of the table's parquet (folded per file for directory
+    layouts) — the memo-invalidation key; () for non-local paths."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                sorted(
+                    (f, os.path.getmtime(fp), os.path.getsize(fp))
+                    for f in os.listdir(path)
+                    if not f.startswith((".", "_"))
+                    for fp in [os.path.join(path, f)]
+                )
+            )
+        st = os.stat(path)
+        return (st.st_mtime, st.st_size)
+    except OSError:
+        return ()
+
+
 def fps_select(
     spark: SparkSession,
     sf_dir: str,
@@ -115,8 +147,12 @@ def fps_select(
     round picks argmax over min-distance-to-selected on (d6 DESC, vec_id
     ASC). One map-only job per round; assumes the source holds >= k rows
     (every driver SF does). ``e`` overrides the source frame (kmeans.py
-    passes its bounded training sample) — it must carry (vec_id, v, nv)."""
+    passes its bounded training sample) — it must carry (vec_id, v, nv).
+    The default corpus path memoizes per (sf_dir, fingerprint, k)."""
     own = e is None
+    key = (sf_dir, dataset_fingerprint(sf_dir), k) if own else None
+    if key is not None and key in _FPS_MEMO:
+        return _FPS_MEMO[key]
     if own:
         e = embeddings_with_norms(spark, sf_dir).cache()
     try:
@@ -137,6 +173,8 @@ def fps_select(
                 .collect()[0]
             )
             selected.append((rank, pick["vec_id"], pick["d6"], list(pick["v"])))
+        if key is not None:
+            _FPS_MEMO[key] = selected
         return selected
     finally:
         if own:

@@ -56,6 +56,7 @@ from doc2vec_spark.operators.coreset import (
     _E_CTE,
     _d6_int,
     _fps_recursion,
+    dataset_fingerprint,
     embeddings_with_norms,
     fps_select,
 )
@@ -121,24 +122,6 @@ def _sample_e(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAIN_MEMO: dict[tuple, dict[int, list[int]]] = {}
 
 
-def _dataset_fingerprint(sf_dir: str) -> tuple:
-    import os
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        if os.path.isdir(path):  # directory-style parquet: fold file stats
-            stats = sorted(
-                (f, os.path.getmtime(fp), os.path.getsize(fp))
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-                for fp in [os.path.join(path, f)]
-            )
-            return tuple(stats)
-        st = os.stat(path)
-        return (st.st_mtime, st.st_size)
-    except OSError:  # non-local path (s3a etc.): fall back to path-only
-        return ()
-
 
 def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
     """{cell: [fp components]} after KM_ITERS Lloyd iterations from the FPS
@@ -146,7 +129,7 @@ def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
     k*dim longs; each iteration costs one sample-sized assignment scan +
     one integer-sum shuffle. Memoized per (sf_dir, dataset fingerprint,
     K, iters) — see _TRAIN_MEMO."""
-    key = (sf_dir, _dataset_fingerprint(sf_dir), KM_K, KM_ITERS)
+    key = (sf_dir, dataset_fingerprint(sf_dir), KM_K, KM_ITERS)
     if key in _TRAIN_MEMO:
         return _TRAIN_MEMO[key]
     e = _sample_e(spark, sf_dir).cache()
