@@ -115,6 +115,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         domain,
         evalmetrics,
         extensions,
+        histogram,
         kmeans,
         linedup,
         manifest,
@@ -168,6 +169,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         windows,
         domain,
         extensions,
+        histogram,
         linedup,
         manifest,
         pipeline,

@@ -479,3 +479,15 @@ def test_pps_degenerate_total_below_k_samples_everything(spark):
     out = systematic_pps(spark, line, k=100).collect()
     assert len(out) == 5
     assert all(r["times_drawn"] == 1 for r in out)
+
+
+def test_value_histogram_partitions_all_events_into_valid_buckets(spark):
+    """Every event lands in exactly one bucket in [0, B-1]; counts conserve;
+    bucket edges are the exact integer formula."""
+    from doc2vec_spark.operators.histogram import HIST_BUCKETS, ev_value_histogram
+    from doc2vec_spark.tables import load
+
+    rows = ev_value_histogram(spark, SF_DIR).collect()
+    n_events = load(spark, SF_DIR, "events").count()
+    assert sum(r["n"] for r in rows) == n_events
+    assert all(0 <= r["bucket"] < HIST_BUCKETS for r in rows)
