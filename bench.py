@@ -46,7 +46,26 @@ CORE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
 ]
-HEADLINE = [*CORE, "doc_knn_query_native"]
+HEADLINE = [*CORE, "doc_knn_query_native", "doc_knn_query_routed"]
+
+# Bench rotation (VERDICT r12 #5): the full run times HEADLINE + the
+# dedup_/ta_/ann_/stream_/pipe_/sk_/ev_ prefix families, which leaves the
+# relational p/j/a/t/u/f singles, mm_*, ext_*, non-headline doc_* and most
+# TPC-H entries untimed indefinitely. Mirroring the correctness window's
+# least-recently-verified rotation, each full run appends the ROTATE_N
+# least-recently-benched remaining registry queries (ledger:
+# BENCH_ROTATION.json — {"run": N, "last": {name: run_when_benched}}), so
+# every registry query gets a BENCH_DETAIL timing within a few rounds.
+ROTATE_N = 25
+ROTATION_FILE = "BENCH_ROTATION.json"
+
+
+def rotation_pick(
+    candidates: list[str], last_benched: dict[str, int], n: int = ROTATE_N
+) -> list[str]:
+    """Least-recently-benched first (never-benched sorts before all, as
+    run -1), query name as the deterministic tiebreak."""
+    return sorted(candidates, key=lambda q: (last_benched.get(q, -1), q))[:n]
 
 
 # Stall policy constants + pure decision helpers (unit-tested in
@@ -148,9 +167,20 @@ def main() -> None:
             names.append(extra)
     # scaling rehearsals time a hand-picked subset (comma-separated names)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    ledger: dict = {"run": 0, "last": {}}
+    rotated: list[str] = []
     if only:
         wanted = [n.strip() for n in only.split(",") if n.strip()]
         names = [n for n in wanted if n in registry]
+    else:
+        # full runs rotate in the least-recently-benched remainder
+        try:
+            ledger = json.loads((Path(_REPO) / ROTATION_FILE).read_text())
+        except (OSError, ValueError):
+            pass
+        rest = [n for n in sorted(registry) if n not in names]
+        rotated = rotation_pick(rest, ledger.get("last", {}), ROTATE_N)
+        names += rotated
 
     # warm the JVM/codegen path once on the smallest SF so timings measure
     # the query, not session startup
@@ -307,10 +337,25 @@ def main() -> None:
     detail["metric"] = detail_metric
     if only:
         detail.pop("core_headline", None)
+    else:
+        detail["rotation"] = rotated
     try:
         (Path(_REPO) / detail_name).write_text(json.dumps(detail, indent=1))
     except OSError as exc:  # never let the side file kill the contract line
         print(f"# {detail_name} write failed: {exc}", file=sys.stderr)
+    if not only:
+        # advance the rotation ledger: everything timed this run is marked
+        # with the new run counter (committed to git so rounds accumulate)
+        run_no = int(ledger.get("run", 0)) + 1
+        last = dict(ledger.get("last", {}))
+        for n2 in timings:
+            last[n2] = run_no
+        try:
+            (Path(_REPO) / ROTATION_FILE).write_text(
+                json.dumps({"run": run_no, "last": last}, indent=1)
+            )
+        except OSError as exc:
+            print(f"# {ROTATION_FILE} write failed: {exc}", file=sys.stderr)
 
     def contract_line(q: dict[str, float], full_norm: bool = True) -> str:
         return json.dumps(

@@ -82,17 +82,12 @@ def _bucket():
 _BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
 
 
-def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang, cand, score_ppm_sum, n_tokens) for every held-out doc x
-    candidate class. Shared by classify + confusion.
-
-    Accepted recompute: classify and confusion each rebuild this plan
-    (~1.2 s marginal at sf0.1) rather than sharing a kmeans-style memo —
-    the shared artifact here is a lazy corpus-sized DataFrame whose
-    scoped cache is deliberately released between registry invocations
-    (caching.py's flat-storage rule), not a k*dim-long driver literal;
-    memoizing it would either pin corpus-sized cache across queries or
-    hand out a released plan. Revisit only if the pair's cost grows."""
+def _nb_grid_and_test(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(held-out token stream, (tok, cand, p_ppm) grid) — the trained model
+    plus the eval stream, shared by the additive scorer (_nb_scores) and
+    the log-domain scorer (_nb_log_scores)."""
     from doc2vec_spark.session import default_parallelism
 
     docs = load(spark, sf_dir, "documents")
@@ -156,6 +151,21 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    return test, grid
+
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, cand, score_sum, n_scored) for every held-out doc x
+    candidate class. Shared by classify + confusion.
+
+    Accepted recompute: classify and confusion each rebuild this plan
+    (~1.2 s marginal at sf0.1) rather than sharing a kmeans-style memo —
+    the shared artifact here is a lazy corpus-sized DataFrame whose
+    scoped cache is deliberately released between registry invocations
+    (caching.py's flat-storage rule), not a k*dim-long driver literal;
+    memoizing it would either pin corpus-sized cache across queries or
+    hand out a released plan. Revisit only if the pair's cost grows."""
+    test, grid = _nb_grid_and_test(spark, sf_dir)
     # score: token-keyed join of the held-out token stream against the grid
     # (tokens unseen in training drop out on BOTH sides — an inner join here,
     # and the oracle's inner join, define the same feature set), then one
@@ -166,6 +176,45 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "cand")
         .agg(
             F.sum("p_ppm").alias("score_sum"),
+            F.count(F.lit(1)).alias("n_scored"),
+        )
+    )
+
+
+def _nb_log_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, cand, nll_sum, n_scored): TEXTBOOK multinomial NB
+    (VERDICT r12 #3) — per-occurrence NEGATIVE log-likelihoods in integer
+    micro-nats, summed per (doc, candidate); argmin = the standard
+    sum-of-logs decision rule, closing the semantic gap the additive
+    relaxation (_nb_scores) leaves open.
+
+    Integer-exact story: nll(tok|c) = floor(-ln(max(p_ppm,1)/1e6) * 1e6
+    + 0.5). The engine evaluates the ln ONCE per DISTINCT realized p_ppm
+    in a driver-built LUT (bounded: <= distinct (cnt, class-total) pairs,
+    the PQ-ADC literal-LUT precedent) broadcast back as a hash-join
+    table; the oracle evaluates the same expression in SQL. CPython and
+    DuckDB both call the platform libm, so the doubles agree bitwise on
+    one host; a cross-libm deployment could flip the rounded integer only
+    when -ln(p)*1e6 sits within ~an ulp of a half-integer — the SRP
+    sign-at-zero event class the parity suite and driver gate would
+    surface (curation.py's documented stance). The max(.,1) clamp guards
+    ln(0) when a class total + V exceeds 1e6 (mirrored in the oracle)."""
+    import math
+
+    test, grid = _nb_grid_and_test(spark, sf_dir)
+    grid = scoped_cache(grid)
+    pvals = [int(r["p_ppm"]) for r in grid.select("p_ppm").distinct().collect()]
+    lut = [
+        (p, int(math.floor(-math.log(max(p, 1) / 1000000.0) * 1000000.0 + 0.5)))
+        for p in pvals
+    ]
+    lut_df = spark.createDataFrame(lut, "p_ppm long, nll long")
+    g = grid.join(F.broadcast(lut_df), "p_ppm").select("tok", "cand", "nll")
+    return (
+        test.join(g, "tok")
+        .groupBy("doc_id", "lang", "cand")
+        .agg(
+            F.sum("nll").alias("nll_sum"),
             F.count(F.lit(1)).alias("n_scored"),
         )
     )
@@ -260,6 +309,57 @@ def ta_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .groupBy("lang", F.col("cand").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_NLL_SQL = (
+    "CAST(floor(-ln(greatest(grid.p_ppm, 1) / 1000000.0) * 1000000.0 + 0.5) "
+    "AS BIGINT)"
+)
+
+
+@_register(
+    "ta_nb_classify_log",
+    _NB_SCORES_SQL
+    + f""",
+    logscores AS (
+      SELECT test.doc_id, test.lang, grid.cand,
+             CAST(SUM({_NLL_SQL}) AS BIGINT) AS nll_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_scored
+      FROM test JOIN grid ON grid.tok = test.tok
+      GROUP BY test.doc_id, test.lang, grid.cand
+    )
+    SELECT doc_id, lang, cand AS predicted, nll_sum, n_scored,
+           CAST(CASE WHEN cand = lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY nll_sum ASC, cand) AS rn
+          FROM logscores)
+    WHERE rn = 1
+    """,
+    "TEXTBOOK log-domain multinomial NB (VERDICT r12 #3): per-occurrence "
+    "negative log-likelihoods in integer micro-nats (driver-built LUT over "
+    "the distinct realized p_ppm values, broadcast hash join — the PQ-ADC "
+    "literal-LUT precedent), argmin per held-out doc. Same train split, "
+    "grid, and feature set as ta_nb_classify; the decision rule is the "
+    "standard sum-of-logs instead of the hash-gate-friendly additive "
+    "relaxation, so a user reaching for 'Naive Bayes' gets textbook "
+    "boundaries. Decision-boundary delta vs the relaxation is pinned by a "
+    "held-out agreement pytest and recorded in COVERAGE.md.",
+)
+def ta_nb_classify_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _nb_log_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("nll_sum").asc(), F.col("cand"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("predicted"),
+            "nll_sum",
+            "n_scored",
+            (F.col("cand") == F.col("lang")).cast("long").alias("correct"),
+        )
     )
 
 

@@ -148,11 +148,14 @@ def fps_select(
     ASC). One map-only job per round; assumes the source holds >= k rows
     (every driver SF does). ``e`` overrides the source frame (kmeans.py
     passes its bounded training sample) — it must carry (vec_id, v, nv).
-    The default corpus path memoizes per (sf_dir, fingerprint, k)."""
+    The default corpus path memoizes per (sf_dir, fingerprint, k); an
+    empty fingerprint (non-local path / unknown layout) bypasses the memo
+    entirely so unknown-provenance data always re-selects (ADVICE r12)."""
     own = e is None
-    key = (sf_dir, dataset_fingerprint(sf_dir), k) if own else None
+    fp = dataset_fingerprint(sf_dir) if own else None
+    key = (sf_dir, fp, k) if own and fp else None
     if key is not None and key in _FPS_MEMO:
-        return _FPS_MEMO[key]
+        return [tuple(t) for t in _FPS_MEMO[key]]
     if own:
         e = embeddings_with_norms(spark, sf_dir).cache()
     try:
@@ -165,16 +168,24 @@ def fps_select(
                 _d6_int(F.col("v"), F.col("nv"), vec) for _, _, _, vec in selected
             ]
             mind = ds[0] if len(ds) == 1 else F.least(*ds)
-            pick = (
+            picked = (
                 e.filter(~F.col("vec_id").isin([vid for _, vid, _, _ in selected]))
                 .select("vec_id", "v", mind.alias("d6"))
                 .orderBy(F.desc("d6"), F.asc("vec_id"))
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not picked:
+                # candidate pool exhausted (source < k rows — only possible
+                # for caller-supplied frames, e.g. a tiny serving corpus
+                # forced onto the IVF tier): every row IS a center
+                break
+            pick = picked[0]
             selected.append((rank, pick["vec_id"], pick["d6"], list(pick["v"])))
         if key is not None:
-            _FPS_MEMO[key] = selected
+            # store a copy so a caller mutating the returned list can never
+            # corrupt later cache hits (ADVICE r12)
+            _FPS_MEMO[key] = [tuple(t) for t in selected]
         return selected
     finally:
         if own:

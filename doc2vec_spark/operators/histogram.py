@@ -71,6 +71,13 @@ def ev_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
     b = c.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi")).collect()[0]
+    if b["lo"] is None:
+        # empty events table: the oracle's GROUP BY yields zero rows; mirror
+        # it with an empty frame in the output schema (pipe_mixture_drift
+        # precedent, ADVICE r12)
+        return spark.createDataFrame(
+            [], "event_type string, bucket long, n long, sum_cents long"
+        )
     lo, hi = int(b["lo"]), int(b["hi"])
     bucket = F.expr(f"((cents - {lo}) * {HIST_BUCKETS}) div ({hi} - {lo} + 1)")
     return (

@@ -92,19 +92,22 @@ def _fp_int(v: float) -> int:
     return int(math.floor(v * _FP + 0.5))
 
 
-def _sample_e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sample_e(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """The bounded training sample: the KM_SAMPLE_N-row head of the table
     ordered by (md5(vec_id), vec_id) — deterministic, engine-mirrorable
     (one TakeOrderedAndProject), and FLAT in corpus size, so training cost
     never grows with the corpus (at sf <= 0.01 the sample IS the whole
     table). Train-on-sample + assign-full-corpus is how production IVF
     quantizers are built; the 10x rehearsal that motivated it measured the
-    full-corpus loop at 9.4x."""
-    return (
-        embeddings_with_norms(spark, sf_dir)
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(KM_SAMPLE_N)
-    )
+    full-corpus loop at 9.4x. ``e`` overrides the source frame (the
+    serving tier trains over chunk embeddings) — it must carry
+    (vec_id, v, nv)."""
+    src = embeddings_with_norms(spark, sf_dir) if e is None else e
+    return src.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    ).limit(KM_SAMPLE_N)
 
 
 # Trained-centroid memo: a production IVF build trains the quantizer ONCE
@@ -123,16 +126,25 @@ _TRAIN_MEMO: dict[tuple, dict[int, list[int]]] = {}
 
 
 
-def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
+def train_kmeans(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> dict[int, list[int]]:
     """{cell: [fp components]} after KM_ITERS Lloyd iterations from the FPS
     init, trained on the bounded sample. Driver state per iteration is
     k*dim longs; each iteration costs one sample-sized assignment scan +
     one integer-sum shuffle. Memoized per (sf_dir, dataset fingerprint,
-    K, iters) — see _TRAIN_MEMO."""
-    key = (sf_dir, dataset_fingerprint(sf_dir), KM_K, KM_ITERS)
-    if key in _TRAIN_MEMO:
-        return _TRAIN_MEMO[key]
-    e = _sample_e(spark, sf_dir).cache()
+    K, iters) — see _TRAIN_MEMO; an empty fingerprint (non-local path /
+    unknown layout) bypasses the memo so unknown-provenance data always
+    retrains (ADVICE r12). ``frame`` overrides the source (the serving
+    tier trains over an arbitrary (vec_id, v, nv) frame) — frames bypass
+    the memo (no fingerprintable provenance); a serving deployment
+    persists the returned centroid table instead (query.py seam)."""
+    own = frame is None
+    fp_key = dataset_fingerprint(sf_dir) if own else None
+    key = (sf_dir, fp_key, KM_K, KM_ITERS) if own and fp_key else None
+    if key is not None and key in _TRAIN_MEMO:
+        return {c: list(v) for c, v in _TRAIN_MEMO[key].items()}
+    e = _sample_e(spark, sf_dir, frame).cache()
     try:
         cents: dict[int, list[int]] = {
             rank - 1: [_fp_int(x) for x in vec]
@@ -173,7 +185,8 @@ def train_kmeans(spark: SparkSession, sf_dir: str) -> dict[int, list[int]]:
                 new.setdefault(r["cell"], [0] * len(cents[0]))[r["dim"]] = r["fp"]
             # empty cells keep their previous centroid
             cents = {c: new.get(c, cents[c]) for c in sorted(cents)}
-        _TRAIN_MEMO[key] = cents
+        if key is not None:
+            _TRAIN_MEMO[key] = {c: list(v) for c, v in cents.items()}
         return cents
     finally:
         e.unpersist(False)

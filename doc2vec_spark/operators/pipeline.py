@@ -229,7 +229,22 @@ def pipe_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = shards.agg(
         F.sum("shard_tokens").alias("t"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
+    if tot["t"] is None or int(tot["t"]) == 0:
+        # empty corpus: the oracle's GROUP BY yields zero shards; mirror it
+        # (pipe_mixture_drift precedent, ADVICE r12)
+        return spark.createDataFrame(
+            [],
+            "lang string, pack_group long, shard_id long, n_docs long, "
+            "shard_tokens long, load_bp long, straggler long",
+        )
     total, n_shards = int(tot["t"]), int(tot["n"])
+    # bp product bound: 10000 * shard_tokens * n_shards must stay < 2^63.
+    # shard_tokens <= PACK_BUDGET_TOKENS + one doc (~2*8192 here), so the
+    # product overflows only past ~5.6e13 shards — far beyond any real
+    # packing run (100 TB at 8k-token shards is ~1.2e10 shards), and Spark
+    # (non-ANSI) would wrap silently while DuckDB raises. Keep the factor
+    # order (10000 * tokens first) so the intermediate stays minimal; a
+    # deployment past that ceiling should divide by total before scaling.
     load_bp = F.expr(f"(10000 * shard_tokens * {n_shards}) div {total}")
     return shards.select(
         "lang",

@@ -127,6 +127,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         reference_parity,
         relational,
         sampling,
+        serving,
         sessions,
         similarity,
         sketches,
@@ -175,6 +176,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         pipeline,
         coreset,
         kmeans,
+        serving,
         multimodal,
         embedding_native,
         reference_parity,

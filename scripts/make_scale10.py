@@ -21,8 +21,11 @@ CORRECT expectation:
 - embeddings: replica k cyclically rotates the 64 components by 6*k — norms
   and intra-replica angles are preserved exactly; cross-replica cosines
   fall back to the corpus background level.
-Other tables are copied through unchanged (the scaling subset only reads
-documents/embeddings). Output: /root/repo/.scale10/ (gitignored).
+- customer/orders/lineitem (round 13): consistent key-spine shift per
+  replica (see the inline note) so TPC-H joins and the HLL distinct plane
+  scale with genuine Nx fact volume; region/nation/supplier/part stay 1x
+  (the dimension catalog does not grow with order volume).
+Output: /root/repo/.scale10/ (gitignored).
 """
 
 from __future__ import annotations
@@ -80,10 +83,44 @@ def main() -> None:
         FROM '{SRC}/events.parquet', (SELECT unnest(range({REPLICAS})) AS k)
       ) TO '{DST}/events.parquet' (FORMAT PARQUET)
     """)
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"):
+    # orders plane (round 13, VERDICT r12 #2): replica k shifts the key
+    # spine consistently — customers, the orders that reference them, and
+    # the lineitems that reference those orders — while preserving dates,
+    # prices, statuses, and the part/supplier catalog (copied 1x: more
+    # orders over the same catalog, the realistic growth shape). Each
+    # replica is join-isomorphic to the original, so every TPC-H
+    # aggregate/join and the HLL distinct-count sees a genuine Nx fact
+    # volume with unchanged per-key group structure — linear scaling is
+    # the CORRECT expectation, same argument as documents/events above.
+    n_cust = con.sql(f"SELECT MAX(c_custkey)+1 FROM '{SRC}/customer.parquet'").fetchone()[0]
+    n_ord = con.sql(f"SELECT MAX(o_orderkey)+1 FROM '{SRC}/orders.parquet'").fetchone()[0]
+    con.sql(f"""
+      COPY (
+        SELECT c_custkey + k * {n_cust} AS c_custkey, c_name, c_nationkey,
+               c_acctbal, c_mktsegment
+        FROM '{SRC}/customer.parquet', (SELECT unnest(range({REPLICAS})) AS k)
+      ) TO '{DST}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+      COPY (
+        SELECT o_orderkey + k * {n_ord} AS o_orderkey,
+               o_custkey + k * {n_cust} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM '{SRC}/orders.parquet', (SELECT unnest(range({REPLICAS})) AS k)
+      ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.sql(f"""
+      COPY (
+        SELECT l_orderkey + k * {n_ord} AS l_orderkey, l_partkey, l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM '{SRC}/lineitem.parquet', (SELECT unnest(range({REPLICAS})) AS k)
+      ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("region", "nation", "supplier", "part"):
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "customer", "orders",
+              "lineitem"):
         n = con.sql(f"SELECT COUNT(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(t, n)
 

@@ -94,3 +94,16 @@ def test_normalized_medians_divide_by_bracketing_probes():
 def test_normalized_medians_skip_missing_and_zero_cal():
     norm = bench.normalized_medians(["a", "b"], {"a": 1.0}, [0.0, 0.0], 10)
     assert norm == {}  # zero probes -> no ratio rather than a div-by-zero
+
+
+def test_rotation_pick_least_recently_benched_first():
+    """VERDICT r12 #5: never-benched queries (no ledger entry) outrank any
+    benched one; among equals the name breaks ties deterministically; the
+    pick is capped at n."""
+    cands = ["e", "d", "c", "b", "a"]
+    last = {"a": 3, "b": 1, "c": 2}
+    # d, e never benched -> first (name order), then b (run 1), then c
+    assert bench.rotation_pick(cands, last, n=4) == ["d", "e", "b", "c"]
+    assert bench.rotation_pick(cands, last, n=2) == ["d", "e"]
+    # empty ledger: pure name order
+    assert bench.rotation_pick(cands, {}, n=3) == ["a", "b", "c"]
