@@ -192,6 +192,99 @@ def doc_knn_query_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir)
 
 
+NPROBE = 2
+
+
+def _py_d6(a: list[float], b: list[float]) -> int:
+    """floor((1 - dot/(|a||b|)) * 1e6 + 0.5) in pure sequential Python
+    float arithmetic — the same left-to-right IEEE fold DuckDB's
+    list_dot_product performs, so the integer agrees bitwise with
+    _D6_CELL_SQL (the _fp_int precedent)."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return int(math.floor((1.0 - dot / (math.sqrt(na) * math.sqrt(nb))) * 1000000.0 + 0.5))
+
+
+@_register(
+    "ann_ivf_search_multiprobe",
+    f"""
+    WITH RECURSIVE
+    {_E_CTE},
+    {_SAMPLE_CTE},
+    {_fps_recursion('es')},
+    {_lloyd_ctes()},
+    cvf AS (
+      SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
+      FROM {_KM_FINAL} GROUP BY cell),
+    asg AS (
+      SELECT a.vec_id, MIN({_D6_CELL_SQL} * 100 + c.cell) % 100 AS cell
+      FROM e a CROSS JOIN cvf c
+      GROUP BY a.vec_id),
+    b AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id)),
+    q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    qcells AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(floor((1.0 - list_dot_product(q0.qv, c.v) /
+                   (sqrt(list_dot_product(q0.qv, q0.qv)) *
+                    sqrt(list_dot_product(c.v, c.v)))) * 1000000.0 + 0.5)
+                   AS BIGINT), c.cell) AS rk
+        FROM cvf c, q0)
+      WHERE rk <= {NPROBE}),
+    cand AS (
+      SELECT a.vec_id, {_DIST_SQL} AS dist
+      FROM b a JOIN qcells USING (cell), (SELECT qv FROM q0) q)
+    SELECT vec_id, rnk,
+           floor(dist * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS distance
+    FROM (SELECT vec_id, dist,
+                 ROW_NUMBER() OVER (ORDER BY dist, vec_id) AS rnk
+          FROM cand)
+    WHERE rnk <= {SERVE_K}
+    """,
+    f"Multi-probe trained-IVF search (nprobe={NPROBE}): the standard "
+    "recall knob on a production IVF index — probe the query's "
+    f"{NPROBE} nearest cells instead of one, ~{NPROBE}/K of the corpus "
+    "scanned for recall strictly >= the single-probe tier. Cell ranking "
+    "is the integer d6 distance computed driver-side over the bounded "
+    "centroid table (pure sequential float fold, bitwise-matching the "
+    "oracle's list_dot_product); candidates stay a map-only cell-membership "
+    "filter + TakeOrderedAndProject.",
+)
+def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = train_kmeans(spark, sf_dir)
+    cvf = {c: [fp / _FP for fp in v] for c, v in cents.items()}
+    e = embeddings_with_norms(spark, sf_dir)
+    o = F.least(
+        *[
+            _d6_int(F.col("v"), F.col("nv"), cvf[c]) * F.lit(100) + F.lit(c)
+            for c in sorted(cvf)
+        ]
+    )
+    b = e.select("vec_id", "v", (o % 100).alias("cell"))
+    qv = list(
+        e.filter(F.col("vec_id") == 0).select("v").first()["v"]
+    )
+    probed = sorted(sorted(cvf), key=lambda c: (_py_d6(qv, cvf[c]), c))[:NPROBE]
+    cand = b.filter(F.col("cell").isin(probed)).select(
+        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+    )
+    topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(SERVE_K)
+    w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "rnk", (pround(F.col("dist"), 6) + 0.0).alias("distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # the routed serving API over CHUNK tables (query.py's frame convention)
 # ---------------------------------------------------------------------------

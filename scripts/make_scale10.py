@@ -39,7 +39,13 @@ import sys
 
 SRC = Path("/root/testdata/sf0.1")
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-assert 2 <= REPLICAS <= 32, "embedding rotations repeat beyond 32 replicas"
+# documents (word namespacing), events and the orders key spine (id
+# shifts) are injective at ANY factor; only the embedding rotation family
+# is exhausted past 32. Beyond 32 (the 100x cc/canonical rehearsal,
+# VERDICT r12 #8) embeddings copy through at 1x — documented, and none of
+# the documents/orders/events-plane queries read them.
+assert 2 <= REPLICAS <= 128, "replica factor out of range"
+EMB_REPLICAS = min(REPLICAS, 32)
 DST = Path(__file__).resolve().parent.parent / f".scale{REPLICAS}"
 
 def main() -> None:
@@ -65,9 +71,13 @@ def main() -> None:
         SELECT vec_id + k * {n_vecs} AS vec_id, label,
                list_transform(range(1, 65),
                  i -> embedding[((i - 1 + 6 * k) % 64) + 1]) AS embedding
-        FROM '{SRC}/embeddings.parquet', (SELECT unnest(range({REPLICAS})) AS k)
+        FROM '{SRC}/embeddings.parquet', (SELECT unnest(range({EMB_REPLICAS})) AS k)
       ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
     """)
+    if EMB_REPLICAS != REPLICAS:
+        print(f"# embeddings capped at {EMB_REPLICAS}x (rotation family "
+              "exhausted) — embeddings-plane queries must not cite this "
+              "replica set as a {REPLICAS}x measurement")
     # events: replica k shifts event/user ids and keeps event time, types and
     # values — per-window per-type counts scale exactly 10x with unchanged
     # window structure, so windowed aggregations/top-k/anomaly operators see
