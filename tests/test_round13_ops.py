@@ -244,3 +244,74 @@ def test_kmeans_memo_returns_independent_copies(spark):
     a[cell][0] += 12345
     b = kmeans.train_kmeans(spark, SF_DIR)
     assert b[cell][0] == a[cell][0] - 12345
+
+
+# ---------------------------------------------------------------------------
+# multi-probe IVF search (the recall knob on the trained index)
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_first_probed_cell_is_query_cell(spark):
+    """probed[0] must equal the query's own assigned cell: assignment packs
+    (d6, cell) into one MIN and probing ranks by the same (d6, cell) key,
+    so nprobe=1 degenerates to the single-probe tier exactly."""
+    from doc2vec_spark.operators import serving
+    from doc2vec_spark.operators.kmeans import _FP, train_kmeans
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.operators.coreset import embeddings_with_norms
+
+    cents = train_kmeans(spark, SF_DIR)
+    cvf = {c: [fp / _FP for fp in v] for c, v in cents.items()}
+    e = embeddings_with_norms(spark, SF_DIR)
+    qv = list(e.filter(F.col("vec_id") == 0).select("v").first()["v"])
+    probed = sorted(sorted(cvf), key=lambda c: (serving._py_d6(qv, cvf[c]), c))
+    # the engine-side assignment of vec_id 0, recomputed via the same fold
+    from doc2vec_spark.operators.serving import ivf_topk  # noqa: F401
+
+    from doc2vec_spark.operators.coreset import _d6_int
+
+    o = F.least(
+        *[
+            _d6_int(F.col("v"), F.col("nv"), cvf[c]) * F.lit(100) + F.lit(c)
+            for c in sorted(cvf)
+        ]
+    )
+    qcell = int(
+        e.filter(F.col("vec_id") == 0).select((o % 100).alias("c")).first()["c"]
+    )
+    assert probed[0] == qcell
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """The multiprobe candidate set is a strict superset of the one-cell
+    probe's (first probed cell == the query's cell), so recall@k vs the
+    exact scan can only improve. Both tiers' recall measured against
+    exact_topk on the same corpus."""
+    from doc2vec_spark.operators.serving import (
+        SERVE_K,
+        ann_ivf_search_multiprobe,
+        exact_topk,
+        ivf_topk,
+    )
+
+    ex = {r["vec_id"] for r in exact_topk(spark, SF_DIR).collect()}
+    single = {r["vec_id"] for r in ivf_topk(spark, SF_DIR).collect()}
+    multi = {r["vec_id"] for r in ann_ivf_search_multiprobe(spark, SF_DIR).collect()}
+    assert len(multi & ex) >= len(single & ex)
+    assert len(multi & ex) / SERVE_K >= 0.6
+
+
+def test_multiprobe_plan_is_probe_shaped(spark):
+    """The multiprobe plan stays the production probe shape: the map-only
+    assignment fold (least(...)) + cell-membership filter feeding a
+    TakeOrderedAndProject — no join, no corpus-wide window."""
+    from doc2vec_spark.operators.serving import ann_ivf_search_multiprobe
+
+    df = ann_ivf_search_multiprobe(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "least(" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
