@@ -106,6 +106,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         analytics,
         anomaly,
         asof,
+        audit,
         bpe,
         budget,
         classifier,
@@ -113,6 +114,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         curation,
         dedup,
         domain,
+        domaincap,
         evalmetrics,
         extensions,
         histogram,
@@ -124,6 +126,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         pipeline,
         lm,
         quality,
+        ranking,
         reference_parity,
         relational,
         sampling,
@@ -169,6 +172,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         normdedup,
         windows,
         domain,
+        domaincap,
         extensions,
         histogram,
         linedup,
@@ -182,6 +186,8 @@ def merged_queries() -> dict[str, QuerySpec]:
         reference_parity,
         asof,
         curation,
+        audit,
+        ranking,
     ]
 
     merged: dict[str, QuerySpec] = {}

@@ -315,3 +315,159 @@ def test_multiprobe_plan_is_probe_shaped(spark):
     assert "least(" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# per-domain token cap
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_positions_match_single_window(spark):
+    """The two-level distributed prefix sum must produce the textbook
+    single-window cumsum exactly: same (doc_id -> cum) map on a corpus
+    small enough to compute the reference in Python."""
+    import hashlib
+
+    from doc2vec_spark.operators.domaincap import domain_capped_positions
+
+    rows = [(i, f"d{i % 3}", "tok " * (i % 7 + 1)) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["w"], r["cum"])
+        for r in domain_capped_positions(docs).collect()
+    }
+    # reference: per-domain md5 order, running sum
+    by_src = {}
+    for i, s, t in rows:
+        by_src.setdefault(s, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, len(t.split())))
+    for s, docs_ in by_src.items():
+        run = 0
+        for _, i, w in sorted(docs_):
+            run += w
+            assert got[i] == (w, run), (i, got[i], (w, run))
+
+
+def test_domain_cap_first_doc_always_kept(spark):
+    """A document larger than the whole budget is still admitted when it is
+    the first on its domain's line (cum - w == 0 < CAP): the cap can never
+    empty a domain."""
+    from doc2vec_spark.operators.domaincap import (
+        CAP_TOKENS,
+        domain_capped_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "huge", "x " * (CAP_TOKENS * 3))],
+        "doc_id long, source string, text string",
+    )
+    r = domain_capped_positions(docs).collect()[0]
+    assert r["cum"] - r["w"] < CAP_TOKENS  # admitted
+    assert r["w"] > CAP_TOKENS  # despite exceeding the budget alone
+
+
+def test_domain_cap_registry_invariants(spark):
+    """On the driver corpus: every domain keeps >= 1 doc, kept <= total on
+    both counters, and cap_hit == (total_tokens > CAP)."""
+    from doc2vec_spark.operators.domaincap import CAP_TOKENS, pipe_domain_cap
+
+    for r in pipe_domain_cap(spark, SF_DIR).collect():
+        assert r["n_kept"] >= 1
+        assert r["n_kept"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["total_tokens"]
+        assert r["cap_hit"] == int(r["total_tokens"] > CAP_TOKENS)
+
+
+# ---------------------------------------------------------------------------
+# dedup-tier audit
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_sf_dir(tmp_path_factory):
+    """A corpus with planted structure: docs 1/2 byte-identical (true dup +
+    LSH-flaggable), doc 3 a punctuation-only variant of 1 (normalized dup,
+    shingles differ only via punct tokens), docs 10.. distinct filler."""
+    d = tmp_path_factory.mktemp("sf_dups")
+    base = " ".join(f"alpha{i} bravo{i} charlie{i}" for i in range(12))
+    punct = base.replace(" bravo3", ", bravo3").upper()  # same normalized form
+    rows = [(1, base, "en", "src0"), (2, base, "en", "src0"), (3, punct, "en", "src0")]
+    for i in range(10, 22):
+        rows.append((i, " ".join(f"tok{i}w{j} filler{j*i}" for j in range(18)), "en", "src0"))
+    pa_tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    })
+    pq.write_table(pa_tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_tier_audit_planted_confusion(spark, dup_sf_dir):
+    """Doc 2 (byte-identical to 1) must be a TP: normalized-dup AND
+    LSH-flagged (identical signatures collide in every band). Confusion
+    identities must hold: tp+fn == true_dups, tp+fp == flagged, and the ppm
+    ratios are the exact integer divisions."""
+    from doc2vec_spark.operators.audit import dedup_tier_audit
+
+    rows = {r["lang"]: r for r in dedup_tier_audit(spark, dup_sf_dir).collect()}
+    r = rows["en"]
+    assert r["true_dups"] >= 2  # docs 2 and 3 are normalized dups of 1
+    assert r["tp"] >= 1  # doc 2 is caught by LSH
+    assert r["tp"] + r["fn"] == r["true_dups"]
+    assert r["tp"] + r["fp"] == r["flagged"]
+    assert r["precision_ppm"] == r["tp"] * 1_000_000 // max(r["flagged"], 1)
+    assert r["recall_ppm"] == r["tp"] * 1_000_000 // max(r["true_dups"], 1)
+
+
+def test_tier_audit_driver_corpus_identities(spark):
+    """On the driver corpus: per-lang doc counts sum to the table count and
+    the confusion identities hold everywhere."""
+    from doc2vec_spark.operators.audit import dedup_tier_audit
+    from doc2vec_spark.tables import load
+
+    rows = dedup_tier_audit(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == load(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert r["tp"] + r["fn"] == r["true_dups"]
+        assert r["tp"] + r["fp"] == r["flagged"]
+        assert 0 <= r["precision_ppm"] <= 1_000_000
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# graded ranking eval (nDCG / MRR)
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_consistent_with_recall(spark):
+    """n_rel is definitionally ann_recall_at_k's n_hits (same harness, same
+    relevance rule), and every metric respects its bounds."""
+    from doc2vec_spark.operators.evalmetrics import ann_recall_at_k
+    from doc2vec_spark.operators.ranking import _IDCG, ann_ndcg_at_k
+
+    rec = {r["q_vec_id"]: r for r in ann_recall_at_k(spark, SF_DIR).collect()}
+    for r in ann_ndcg_at_k(spark, SF_DIR).collect():
+        assert r["n_rel"] == rec[r["q_vec_id"]]["n_hits"]
+        assert 0 <= r["dcg"] <= _IDCG
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert 0 <= r["mrr_ppm"] <= 1_000_000
+        if r["n_rel"] == 0:
+            assert r["dcg"] == 0 and r["ndcg_ppm"] == 0 and r["mrr_ppm"] == 0
+        else:
+            assert r["mrr_ppm"] > 0
+
+
+def test_ndcg_ideal_ranking_is_one():
+    """The LUT/IDCG pair is self-consistent: a system returning the exact
+    top-k in exact order scores ndcg_ppm == 1e6 and mrr_ppm == 1e6."""
+    from doc2vec_spark.operators.ranking import _DISCOUNT_PPM, _IDCG
+    from doc2vec_spark.operators.evalmetrics import RECALL_K
+
+    dcg = sum(
+        (RECALL_K + 1 - p) * _DISCOUNT_PPM[p - 1] for p in range(1, RECALL_K + 1)
+    )
+    assert dcg == _IDCG
+    assert dcg * 1_000_000 // _IDCG == 1_000_000
+    assert 1_000_000 // 1 == 1_000_000  # first relevant at rank 1
