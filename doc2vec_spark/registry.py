@@ -140,6 +140,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         tokenizer,
         tpch_extra,
         trending,
+        unigram,
         vocab_encode,
         windows,
         wordpiece,
@@ -188,6 +189,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         curation,
         audit,
         ranking,
+        unigram,
     ]
 
     merged: dict[str, QuerySpec] = {}

@@ -471,3 +471,112 @@ def test_ndcg_ideal_ranking_is_one():
     assert dcg == _IDCG
     assert dcg * 1_000_000 // _IDCG == 1_000_000
     assert 1_000_000 // 1 == 1_000_000  # first relevant at rank 1
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+
+def _py_unigram_reference(texts):
+    """Exhaustive-Python reference of the whole ta_unigram_segment pipeline
+    (vocab derivation + packed Viterbi), for cross-checking the fold."""
+    import math
+    from collections import Counter
+
+    from doc2vec_spark.operators.unigram import (
+        MAXLEN,
+        MAXP,
+        TOP_V,
+        _INF,
+        _UNK_PK,
+        _py_pk,
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            if 1 <= len(w) <= MAXLEN:
+                words[w] += 1
+    sub = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(1, MAXP + 1):
+                if i + l <= len(w):
+                    sub[w[i : i + l]] += f
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) >= 2),
+        key=lambda x: (-x[1], x[0]),
+    )[:TOP_V]
+    vocab = dict(multi) | {p: c for p, c in sub.items() if len(p) == 1}
+    total = sum(vocab.values())
+    pk = {p: _py_pk(c, total) for p, c in vocab.items()}
+
+    out = {}
+    for w, f in words.items():
+        best = [0] + [_INF] * len(w)
+        for i in range(1, len(w) + 1):
+            for l in range(1, min(MAXP, i) + 1):
+                piece = w[i - l : i]
+                c = pk.get(piece, _UNK_PK if l == 1 else _INF)
+                best[i] = min(best[i], best[i - l] + c)
+        out[w] = (f, best[len(w)] // 100, best[len(w)] % 100)
+    return out
+
+
+def test_unigram_fold_matches_python_reference(spark, tmp_path):
+    """The packed Viterbi fold must reproduce an exhaustive Python DP on a
+    corpus with real multi-piece structure (compound words force 2-3 piece
+    segmentations)."""
+    from doc2vec_spark.operators.unigram import ta_unigram_segment
+
+    texts = [
+        "spark sparkly sql sqlite sparksql lite litespark " * 3,
+        "join joins joinable rejoin sql sparkjoinsql",
+        "x xy xyz wxyz sparklite",
+    ]
+    pa_tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = tmp_path / "sf_uni"
+    d.mkdir()
+    pq.write_table(pa_tbl, str(d / "documents.parquet"))
+
+    ref = _py_unigram_reference(texts)
+    # aggregate the reference to the query's output shape
+    agg = {}
+    for w, (f, cost, np_) in ref.items():
+        a = agg.setdefault(np_, [0, 0, 0, 0, None])
+        a[0] += 1
+        a[1] += f
+        a[2] += cost
+        a[3] += f * cost
+        a[4] = w if a[4] is None or w < a[4] else a[4]
+
+    got = {
+        r["n_pieces"]: (
+            r["n_words"],
+            r["total_freq"],
+            r["sum_cost_unats"],
+            r["wsum_cost_unats"],
+            r["sample_word"],
+        )
+        for r in ta_unigram_segment(spark, str(d)).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert any(k >= 2 for k in got)  # multi-piece structure really exercised
+
+
+def test_unigram_empty_corpus_returns_zero_rows(spark, empty_sf_dir):
+    from doc2vec_spark.operators.unigram import ta_unigram_segment
+
+    out = ta_unigram_segment(spark, empty_sf_dir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "n_pieces", "n_words", "total_freq",
+        "sum_cost_unats", "wsum_cost_unats", "sample_word",
+    ]
