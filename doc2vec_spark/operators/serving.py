@@ -383,3 +383,117 @@ def query_documentation_routed(
         qcell = _nearest_cell(index, qvec)
         chunks = chunks.filter(cell_assignment_col(index) == qcell)
     return query_documentation(chunks, query_text, dim=d, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# trained IVF-PQ: the full production ANN composition
+# ---------------------------------------------------------------------------
+# ann_ivf_pq_search (similarity.py) proved the ADC scan over SEEDED literal
+# centroids; ann_ivf_search_trained (kmeans.py) proved the TRAINED coarse
+# quantizer over full-vector scoring. This composes both halves into the
+# layout a 100 TB deployment actually ships (Jegou et al. 2011 + Lloyd):
+# bounded-sample-trained coarse quantizer routes the query to one cell,
+# and candidates inside the cell are scored by M literal-LUT lookups on
+# their 8-byte PQ codes — no full-vector reads in the scan. PQ codebooks
+# stay the seeded literals of similarity.py: codebook refinement is an
+# offline model concern, deliberately out of query semantics (documented
+# there); what this query adds is the trained ROUTING tier under the ADC
+# scan.
+
+
+@_register(
+    "ann_ivf_pq_search_trained",
+    None,  # assembled below — needs similarity's PQ SQL fragments
+)
+def ann_ivf_pq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from doc2vec_spark.functions.rounding import pround
+    from doc2vec_spark.operators.similarity import (
+        _CC,
+        _py_dot,
+        _with_pq_codes,
+        CODEBOOKS,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    cents = train_kmeans(spark, sf_dir)
+    cvf = {c: [fp / _FP for fp in v] for c, v in cents.items()}
+    e = embeddings_with_norms(spark, sf_dir)
+    o = F.least(
+        *[
+            _d6_int(F.col("v"), F.col("nv"), cvf[c]) * F.lit(100) + F.lit(c)
+            for c in sorted(cvf)
+        ]
+    )
+    b = e.select("vec_id", "v", (o % 100).alias("cell"))
+    qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    qv, qcell = list(qrow["v"]), int(qrow["cell"])
+    # driver-side ADC LUTs (the ann_ivf_pq_search discipline): 128 doubles,
+    # each replaying the oracle's fold order bitwise
+    luts: list[list[float]] = []
+    for m in range(PQ_M):
+        qm = [float(x) for x in qv[m * PQ_SUB : (m + 1) * PQ_SUB]]
+        qq = _py_dot(qm, qm)
+        luts.append(
+            [(qq - 2.0 * _py_dot(qm, CODEBOOKS[m][j])) + _CC[m][j] for j in range(PQ_K)]
+        )
+    cand = _with_pq_codes(b.filter(F.col("cell") == qcell))
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(lit_vector(luts[m]), F.col(f"code_{m}") + 1)
+        adc = term if adc is None else adc + term
+    scored = cand.select("vec_id", adc.alias("adc"))
+    topk = scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.asc("adc"), F.asc("vec_id"))
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "rnk", (pround(F.col("adc"), 6) + 0.0).alias("adc_dist")
+    )
+
+
+def _trained_ivfpq_oracle() -> str:
+    """Trained-quantizer routing (the multiprobe CTE chain) + similarity's
+    PQ code/LUT fragments, assembled at import."""
+    from doc2vec_spark.operators.similarity import _pq_code_sql, _pq_lut_sql, PQ_M
+
+    adc = " + ".join(
+        f"([{_pq_lut_sql(m)}])[({_pq_code_sql(m)}) + 1]" for m in range(PQ_M)
+    )
+    return f"""
+    WITH RECURSIVE
+    {_E_CTE},
+    {_SAMPLE_CTE},
+    {_fps_recursion('es')},
+    {_lloyd_ctes()},
+    cvf AS (
+      SELECT cell, list(fp / 1000000000.0 ORDER BY dim) AS v
+      FROM {_KM_FINAL} GROUP BY cell),
+    asg AS (
+      SELECT a.vec_id, MIN({_D6_CELL_SQL} * 100 + c.cell) % 100 AS cell
+      FROM e a CROSS JOIN cvf c
+      GROUP BY a.vec_id),
+    b AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id)),
+    q AS (SELECT b.v AS qv, b.cell AS qcell FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, {adc.replace('qv[', 'q.qv[')} AS adc
+      FROM b, q WHERE b.cell = q.qcell)
+    SELECT vec_id, rnk, floor((adc) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS adc_dist
+    FROM (SELECT vec_id, adc, ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS rnk
+          FROM cand)
+    WHERE rnk <= 10
+    """
+
+
+QUERIES["ann_ivf_pq_search_trained"] = QuerySpec(
+    fn=QUERIES["ann_ivf_pq_search_trained"].fn,
+    oracle=_trained_ivfpq_oracle(),
+    doc="The full production ANN composition: bounded-sample-TRAINED "
+    "coarse quantizer (Lloyd over the FPS-seeded sample, training FLAT in "
+    "corpus size) routes the query to one cell; candidates in the cell "
+    "are scored by PQ ADC — 8 literal-LUT lookups on 8-byte codes instead "
+    "of 64-dim scans (Jegou et al. 2011). Composes ann_ivf_search_trained's "
+    "routing tier with ann_ivf_pq_search's compressed scan; encode is the "
+    "one Arrow-batched argmin stage, scoring/top-k JVM-side.",
+)

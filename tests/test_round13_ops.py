@@ -580,3 +580,17 @@ def test_unigram_empty_corpus_returns_zero_rows(spark, empty_sf_dir):
         "n_pieces", "n_words", "total_freq",
         "sum_cost_unats", "wsum_cost_unats", "sample_word",
     ]
+
+
+def test_trained_ivfpq_self_consistency(spark):
+    """The ADC invariant under the TRAINED quantizer: the query vector's
+    own codes minimize the ADC sum, so vec_id 0 surfaces at rank 1 and
+    adc_dist is nondecreasing in rank."""
+    from doc2vec_spark.operators.serving import ann_ivf_pq_search_trained
+
+    rows = sorted(
+        ann_ivf_pq_search_trained(spark, SF_DIR).collect(), key=lambda r: r["rnk"]
+    )
+    assert rows[0]["vec_id"] == 0 and rows[0]["rnk"] == 1
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists)
