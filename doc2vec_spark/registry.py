@@ -111,6 +111,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         budget,
         classifier,
         coreset,
+        corpusstats,
         curation,
         dedup,
         domain,
@@ -190,6 +191,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         audit,
         ranking,
         unigram,
+        corpusstats,
     ]
 
     merged: dict[str, QuerySpec] = {}

@@ -594,3 +594,108 @@ def test_trained_ivfpq_self_consistency(spark):
     assert rows[0]["vec_id"] == 0 and rows[0]["rnk"] == 1
     dists = [r["adc_dist"] for r in rows]
     assert dists == sorted(dists)
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
+    """A corpus built with freq(rank) = round(C / rank^s) for s=1 must fit
+    zipf_s_milli ~ 1000; the sufficient statistics must reproduce the
+    Python OLS exactly."""
+    import math
+
+    from doc2vec_spark.operators.corpusstats import ta_zipf_fit
+
+    C, S, V = 4000, 1.0, 40
+    words = []
+    for r in range(1, V + 1):
+        words += [f"w{r:03d}"] * max(round(C / r**S), 1)
+    text = " ".join(words)
+    pa_tbl = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([text], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "source": pa.array(["s"], pa.string()),
+        "n_chars": pa.array([len(text)], pa.int64()),
+    })
+    d = tmp_path / "sf_zipf"
+    d.mkdir()
+    pq.write_table(pa_tbl, str(d / "documents.parquet"))
+
+    r = ta_zipf_fit(spark, str(d)).collect()[0]
+    assert r["n"] == V
+    # python replay of the integer OLS
+    xs = [int(math.floor(math.log(k) * 1000 + 0.5)) for k in range(1, V + 1)]
+    fs = sorted((max(round(C / k**S), 1) for k in range(1, V + 1)), reverse=True)
+    ys = [int(math.floor(math.log(f) * 1000 + 0.5)) for f in fs]
+    n, sx, sy = V, sum(xs), sum(ys)
+    sxy, sxx = sum(a * b for a, b in zip(xs, ys)), sum(a * a for a in xs)
+    assert (r["sx"], r["sy"], r["sxy"], r["sxx"]) == (sx, sy, sxy, sxx)
+    exp = (sx * sy - n * sxy) * 1000 // max(n * sxx - sx * sx, 1)
+    assert r["zipf_s_milli"] == exp
+    assert 950 <= r["zipf_s_milli"] <= 1050  # recovers s=1 within rounding
+
+
+def test_zipf_fit_empty_corpus_single_null_row(spark, empty_sf_dir):
+    """Aggregate-over-empty parity: one row, n=0, NULL sums (what the
+    oracle's SUM-over-empty yields)."""
+    from doc2vec_spark.operators.corpusstats import ta_zipf_fit
+
+    rows = ta_zipf_fit(spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 0 and rows[0]["sx"] is None
+
+
+# ---------------------------------------------------------------------------
+# robust MAD anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_mad_anomaly_catches_what_the_spike_masks(spark, tmp_path):
+    """The motivating robustness property: with one 100x spike in the
+    window series, the spike inflates mean AND stddev enough that a 3x
+    window stays under the 2-sigma z flag — but the median/MAD rule flags
+    BOTH the spike and the 3x window."""
+    from datetime import datetime, timedelta
+
+    from doc2vec_spark.operators.anomaly import ev_anomaly_mad, ev_rate_anomaly
+
+    base = datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # 20 quiet windows of 10 events, one 3x window, one 100x spike
+    counts = [10] * 20 + [30] + [1000]
+    for w, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, base + timedelta(hours=6 * w, seconds=k), 1, "t", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = tmp_path / "sf_mad"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    mad = {r["n"]: r for r in ev_anomaly_mad(spark, str(d)).collect()}
+    assert mad[1000]["is_anomaly"] and mad[30]["is_anomaly"]
+    assert not mad[10]["is_anomaly"]
+    assert mad[10]["med"] == 10 and mad[10]["mad"] == 0 or mad[10]["mad"] >= 0
+    z = {r["n"]: r for r in ev_rate_anomaly(spark, str(d)).collect()}
+    assert not z[30]["is_anomaly"]  # masked by the spike's variance inflation
+
+
+def test_mad_anomaly_integer_replay(spark):
+    """rz_centi and the flag must replay the integer formula from the
+    emitted med/mad columns on the driver corpus."""
+    from doc2vec_spark.operators.anomaly import MAD_THRESHOLD_CENTI, ev_anomaly_mad
+
+    for r in ev_anomaly_mad(spark, SF_DIR).collect():
+        def trunc_div(a, b):
+            q = abs(a) // max(b, 1)
+            return q if a >= 0 else -q
+        rz = trunc_div((r["n"] - r["med"]) * 100, max(r["mad"], 1))
+        assert r["rz_centi"] == rz
+        assert r["is_anomaly"] == (abs(rz) >= MAD_THRESHOLD_CENTI)
