@@ -29,3 +29,12 @@ def test_curation_pipeline_example_runs(spark, capsys, monkeypatch):
     assert "line-level dedup:" in out
     assert "split assignment:" in out and "'train'" in out
     assert "windowed distinct-user HLL" in out
+
+
+def test_serving_ann_example_runs(spark, capsys):
+    path = Path(__file__).resolve().parent.parent / "examples" / "serving_ann.py"
+    runpy.run_path(str(path), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "index built:" in out
+    assert "probe answer: https://docs.example.com/planted.md" in out
+    assert "small-corpus fallthrough == exact scan: True" in out
