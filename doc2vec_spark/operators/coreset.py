@@ -155,7 +155,10 @@ def fps_select(
     fp = dataset_fingerprint(sf_dir) if own else None
     key = (sf_dir, fp, k) if own and fp else None
     if key is not None and key in _FPS_MEMO:
-        return [tuple(t) for t in _FPS_MEMO[key]]
+        # DEEP copy: element 3 is a mutable vector list — a shallow tuple
+        # copy would hand every caller the memo's own list objects
+        # (round-13 review finding on the ADVICE r12 fix)
+        return [(r, vid, d, list(vec)) for r, vid, d, vec in _FPS_MEMO[key]]
     if own:
         e = embeddings_with_norms(spark, sf_dir).cache()
     try:
@@ -183,9 +186,10 @@ def fps_select(
             pick = picked[0]
             selected.append((rank, pick["vec_id"], pick["d6"], list(pick["v"])))
         if key is not None:
-            # store a copy so a caller mutating the returned list can never
-            # corrupt later cache hits (ADVICE r12)
-            _FPS_MEMO[key] = [tuple(t) for t in selected]
+            # store a DEEP copy (vectors included) so a caller mutating the
+            # returned list — or its vector lists — can never corrupt later
+            # cache hits (ADVICE r12 + round-13 review)
+            _FPS_MEMO[key] = [(r, vid, d, list(vec)) for r, vid, d, vec in selected]
         return selected
     finally:
         if own:

@@ -104,8 +104,13 @@ _Y_SQL = "CAST(floor(ln(cnt) * 1000.0 + 0.5) AS BIGINT)"
 def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.session import default_parallelism
 
+    from doc2vec_spark.caching import scoped_cache
+
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    vocab = (
+    # scoped_cache: the bounded top-RANKS frame feeds TWO jobs (the y-LUT
+    # collect and the final aggregation) — uncached, each re-runs the
+    # corpus-wide tokenize+wordcount (round-13 review finding)
+    vocab = scoped_cache(
         docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

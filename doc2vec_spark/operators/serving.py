@@ -318,16 +318,14 @@ def build_chunk_ann_index(
 
 
 def _nearest_cell(index: dict[int, list[float]], qvec: list[float]) -> int:
-    """Driver-side argmin over the k centroids (bounded state; ties break
-    on cell id, mirroring the engine's packed-int MIN convention)."""
-    import math
-
-    def cos_dist(c: list[float]) -> float:
-        num = sum(a * b for a, b in zip(qvec, c))
-        den = math.sqrt(sum(a * a for a in qvec)) * math.sqrt(sum(a * a for a in c))
-        return 1.0 - num / den if den else 1.0
-
-    return min(sorted(index), key=lambda c: (cos_dist(index[c]), c))
+    """Driver-side argmin over the k centroids (bounded state) — on the
+    SAME packed (d6-rounded distance, cell) key the engine's assignment
+    fold minimizes (`_py_d6` replays `_d6_int` bitwise). Raw-float argmin
+    here could probe a different cell than the one an identical embedding
+    was ASSIGNED to whenever two centroid distances round to the same d6
+    integer (round-13 review finding): assignment breaks that tie on cell
+    id, so the probe must too."""
+    return min(sorted(index), key=lambda c: (_py_d6(qvec, index[c]), c))
 
 
 def cell_assignment_col(index: dict[int, list[float]]):
@@ -346,6 +344,12 @@ def cell_assignment_col(index: dict[int, list[float]]):
         ]
     )
     return (o % 100).cast("long")
+
+
+# in-session trained-quantizer memo for the serving API: {plan semantic
+# hash: index}. Bounded (one entry per distinct serving frame); hits
+# return per-call copies so callers can't mutate shared centroid lists.
+_INDEX_MEMO: dict[int, dict[int, list[float]]] = {}
 
 
 def query_documentation_routed(
@@ -368,7 +372,16 @@ def query_documentation_routed(
     pushed into the one-cell scan, so no 3x over-fetch is needed (the
     reference must over-fetch because its index can't push filters,
     mcp/src/server.ts:134-135). ``corpus_size`` short-circuits the routing
-    count for deployments that know their cardinality."""
+    count for deployments that know their cardinality.
+
+    "Train once in-session" is made true by _INDEX_MEMO below, keyed on
+    the chunk frame's analyzed-plan semantic hash: repeated calls over the
+    same frame (the serving loop) reuse the trained quantizer instead of
+    re-paying the Lloyd loop per query (round-13 review finding). The key
+    is a PLAN identity, not a data fingerprint — if the files under an
+    identical plan are rewritten mid-session, pass ``index=`` explicitly
+    or clear the memo; a real deployment rebuilds the index per sync (the
+    reference's build-once/probe-per-query split), never mid-serving."""
     from doc2vec_spark.embedding import DEFAULT_DIM, embed_text
     from doc2vec_spark.query import query_documentation
 
@@ -377,7 +390,10 @@ def query_documentation_routed(
     if index is None:
         n = corpus_size if corpus_size is not None else chunks.count()
         if n > thresh:
-            index = build_chunk_ann_index(chunks)
+            key = int(chunks._jdf.queryExecution().analyzed().semanticHash())
+            if key not in _INDEX_MEMO:
+                _INDEX_MEMO[key] = build_chunk_ann_index(chunks)
+            index = {c: list(v) for c, v in _INDEX_MEMO[key].items()}
     if index is not None:
         qvec = [float(x) for x in embed_text(query_text, d)]
         qcell = _nearest_cell(index, qvec)

@@ -77,7 +77,7 @@ def main() -> None:
     if EMB_REPLICAS != REPLICAS:
         print(f"# embeddings capped at {EMB_REPLICAS}x (rotation family "
               "exhausted) — embeddings-plane queries must not cite this "
-              "replica set as a {REPLICAS}x measurement")
+              f"replica set as a {REPLICAS}x measurement")
     # events: replica k shifts event/user ids and keeps event time, types and
     # values — per-window per-type counts scale exactly 10x with unchanged
     # window structure, so windowed aggregations/top-k/anomaly operators see

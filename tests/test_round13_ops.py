@@ -682,7 +682,7 @@ def test_mad_anomaly_catches_what_the_spike_masks(spark, tmp_path):
     mad = {r["n"]: r for r in ev_anomaly_mad(spark, str(d)).collect()}
     assert mad[1000]["is_anomaly"] and mad[30]["is_anomaly"]
     assert not mad[10]["is_anomaly"]
-    assert mad[10]["med"] == 10 and mad[10]["mad"] == 0 or mad[10]["mad"] >= 0
+    assert mad[10]["med"] == 10 and mad[10]["mad"] == 0
     z = {r["n"]: r for r in ev_rate_anomaly(spark, str(d)).collect()}
     assert not z[30]["is_anomaly"]  # masked by the spike's variance inflation
 
@@ -699,3 +699,79 @@ def test_mad_anomaly_integer_replay(spark):
         rz = trunc_div((r["n"] - r["med"]) * 100, max(r["mad"], 1))
         assert r["rz_centi"] == rz
         assert r["is_anomaly"] == (abs(rz) >= MAD_THRESHOLD_CENTI)
+
+
+# ---------------------------------------------------------------------------
+# round-13 self-review regressions
+# ---------------------------------------------------------------------------
+
+
+def test_fps_memo_vectors_deep_copied(spark):
+    """Review finding: the memo 'copy' was shallow — mutating a returned
+    center VECTOR must not corrupt later cache hits."""
+    from doc2vec_spark.operators import coreset
+
+    first = coreset.fps_select(spark, SF_DIR)
+    v0 = first[0][3][0]
+    first[0][3][0] = 12345.0
+    again = coreset.fps_select(spark, SF_DIR)
+    assert again[0][3][0] == v0
+
+
+def test_nearest_cell_matches_engine_assignment(spark):
+    """Review finding: the probe must pick cells on the SAME packed
+    (d6, cell) key the assignment fold minimizes — checked by comparing
+    _nearest_cell against cell_assignment_col for every chunk embedding."""
+    from doc2vec_spark.chunking import chunk_documents
+    from doc2vec_spark.embedding import with_embeddings
+    from doc2vec_spark.operators.serving import (
+        _nearest_cell,
+        build_chunk_ann_index,
+        cell_assignment_col,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (f"https://d/x{i}.md", f"# H{i}\n" + f"w{i} " * 40, "p", "1")
+            for i in range(7)
+        ],
+        "url string, markdown string, product_name string, version string",
+    )
+    chunks = with_embeddings(chunk_documents(docs)).cache()
+    index = build_chunk_ann_index(chunks)
+    rows = chunks.select(
+        "embedding", cell_assignment_col(index).alias("cell")
+    ).collect()
+    for r in rows:
+        qv = [float(x) for x in r["embedding"]]
+        assert _nearest_cell(index, qv) == r["cell"]
+    chunks.unpersist()
+
+
+def test_routed_api_trains_once_per_frame(spark, monkeypatch):
+    """Review finding: without an explicit index, repeated serving calls
+    over the same frame must reuse the trained quantizer (one build), not
+    retrain per query."""
+    from doc2vec_spark.chunking import chunk_documents
+    from doc2vec_spark.embedding import with_embeddings
+    from doc2vec_spark.operators import serving
+
+    docs = spark.createDataFrame(
+        [(f"https://d/y{i}.md", f"# H{i}\n" + f"q{i} " * 30, "p", "1") for i in range(6)],
+        "url string, markdown string, product_name string, version string",
+    )
+    chunks = with_embeddings(chunk_documents(docs)).cache()
+    serving._INDEX_MEMO.clear()
+    calls = {"n": 0}
+    real = serving.build_chunk_ann_index
+
+    def counting(frame):
+        calls["n"] += 1
+        return real(frame)
+
+    monkeypatch.setattr(serving, "build_chunk_ann_index", counting)
+    serving.query_documentation_routed(chunks, "q1", ann_threshold=0, k=2).collect()
+    serving.query_documentation_routed(chunks, "q2 q3", ann_threshold=0, k=2).collect()
+    assert calls["n"] == 1
+    serving._INDEX_MEMO.clear()
+    chunks.unpersist()
