@@ -106,6 +106,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         analytics,
         anomaly,
         asof,
+        audiodsp,
         audit,
         bpe,
         budget,
@@ -192,6 +193,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         ranking,
         unigram,
         corpusstats,
+        audiodsp,
     ]
 
     merged: dict[str, QuerySpec] = {}

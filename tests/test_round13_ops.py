@@ -775,3 +775,38 @@ def test_routed_api_trains_once_per_frame(spark, monkeypatch):
     assert calls["n"] == 1
     serving._INDEX_MEMO.clear()
     chunks.unpersist()
+
+
+def test_audio_energy_python_reference(spark, tmp_path):
+    """The frame/energy/zero-crossing pipeline must reproduce an exhaustive
+    Python reference, including the single-sample last frame (the
+    empty-pair-list edge the oracle COALESCEs)."""
+    from doc2vec_spark.operators.audiodsp import FRAME, mm_audio_energy
+
+    # doc_id % 3 == 1 -> audio/wav; 65 chars forces a 1-sample last frame
+    text = ("ab z" * 16) + "q"  # len 65: mixed signs for zero crossings
+    assert len(text) == FRAME + 1
+    pa_tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([text, "not audio"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([len(text), 9], pa.int64()),
+    })
+    d = tmp_path / "sf_audio"
+    d.mkdir()
+    pq.write_table(pa_tbl, str(d / "documents.parquet"))
+
+    rows = {r["frame_idx"]: r for r in mm_audio_energy(spark, str(d)).collect()}
+    assert set(rows) == {0, 1}  # only the audio doc, two frames
+
+    def ref(fs):
+        v = [ord(c) - 96 for c in fs]
+        zc = sum(1 for a, b in zip(v, v[1:]) if a * b < 0)
+        return len(v), sum(x * x for x in v), zc
+
+    n0, e0, z0 = ref(text[:FRAME])
+    assert (rows[0]["n_samples"], rows[0]["energy"], rows[0]["zero_crossings"]) == (n0, e0, z0)
+    n1, e1, z1 = ref(text[FRAME:])
+    assert (rows[1]["n_samples"], rows[1]["energy"], rows[1]["zero_crossings"]) == (1, e1, 0)
+    assert z0 > 0  # the mixed-sign corpus really exercises crossings
