@@ -119,6 +119,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         domaincap,
         evalmetrics,
         extensions,
+        funnel,
         histogram,
         kmeans,
         linedup,
@@ -194,6 +195,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         unigram,
         corpusstats,
         audiodsp,
+        funnel,
     ]
 
     merged: dict[str, QuerySpec] = {}

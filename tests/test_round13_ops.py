@@ -810,3 +810,21 @@ def test_audio_energy_python_reference(spark, tmp_path):
     n1, e1, z1 = ref(text[FRAME:])
     assert (rows[1]["n_samples"], rows[1]["energy"], rows[1]["zero_crossings"]) == (1, e1, 0)
     assert z0 > 0  # the mixed-sign corpus really exercises crossings
+
+
+def test_filter_funnel_monotone_and_consistent(spark):
+    """Cumulative funnel semantics: counts and token mass nonincreasing by
+    stage; stage 0 is the full corpus; the perplexity stage drops about a
+    tercile of the dedup stage's languages (CCNet tail rule)."""
+    from doc2vec_spark.operators.funnel import pipe_filter_funnel
+    from doc2vec_spark.tables import load
+
+    rows = {r["stage"]: r for r in pipe_filter_funnel(spark, SF_DIR).collect()}
+    assert [rows[s]["stage_name"] for s in range(4)] == [
+        "ingested", "gopher", "dedup", "perplexity",
+    ]
+    assert rows[0]["n_docs"] == load(spark, SF_DIR, "documents").count()
+    for s in range(1, 4):
+        assert rows[s]["n_docs"] <= rows[s - 1]["n_docs"]
+        assert rows[s]["n_tokens"] <= rows[s - 1]["n_tokens"]
+    assert rows[3]["n_docs"] < rows[2]["n_docs"]  # the tail drop really bites
