@@ -137,6 +137,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         sessions,
         similarity,
         sketches,
+        sq8,
         sketchmerge,
         textanalysis,
         textrank,
@@ -196,6 +197,7 @@ def merged_queries() -> dict[str, QuerySpec]:
         corpusstats,
         audiodsp,
         funnel,
+        sq8,
     ]
 
     merged: dict[str, QuerySpec] = {}

@@ -828,3 +828,37 @@ def test_filter_funnel_monotone_and_consistent(spark):
         assert rows[s]["n_docs"] <= rows[s - 1]["n_docs"]
         assert rows[s]["n_tokens"] <= rows[s - 1]["n_tokens"]
     assert rows[3]["n_docs"] < rows[2]["n_docs"]  # the tail drop really bites
+
+
+def test_sq8_recall_vs_exact(spark):
+    """SQ8's integer code distance must approximate exact cosine well on
+    the test corpus: recall@10 vs the exact cosine top-10 >= 0.7 (measured
+    0.9-1.0; the int8 grid loses little at 64 dims), and sqdist must be
+    nonneg and nondecreasing in rank."""
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.functions.vectors import (
+        as_double_array,
+        cosine_distance,
+        lit_vector,
+    )
+    from doc2vec_spark.operators.sq8 import SQ_K, ann_sq8_search
+    from doc2vec_spark.tables import load
+
+    got = sorted(ann_sq8_search(spark, SF_DIR).collect(), key=lambda r: r["rnk"])
+    dists = [r["sqdist"] for r in got]
+    assert all(d >= 0 for d in dists) and dists == sorted(dists)
+
+    e = load(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double_array(F.col("embedding")).alias("v")
+    )
+    qv = list(e.filter(F.col("vec_id") == 0).first()["v"])
+    exact = {
+        r["vec_id"]
+        for r in e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(SQ_K)
+        .collect()
+    }
+    assert len({r["vec_id"] for r in got} & exact) / SQ_K >= 0.7
