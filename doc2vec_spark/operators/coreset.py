@@ -162,7 +162,10 @@ def fps_select(
     if own:
         e = embeddings_with_norms(spark, sf_dir).cache()
     try:
-        seed = e.orderBy("vec_id").limit(1).collect()[0]
+        seeds = e.orderBy("vec_id").limit(1).collect()
+        if not seeds:
+            return []  # empty source: no centers (callers emit 0 rows)
+        seed = seeds[0]
         selected: list[tuple[int, int, int | None, list[float]]] = [
             (1, seed["vec_id"], None, list(seed["v"]))
         ]
@@ -248,7 +251,11 @@ _FPS_CTES = f"{_E_CTE},\n{_fps_recursion('e')}\n"
     {_FPS_CTES}
     SELECT rank, vec_id,
            radius_d6 * 1.0 / 1000000.0 AS radius
-    FROM sel ORDER BY rank
+    FROM sel
+    WHERE vec_id IS NOT NULL  -- empty corpus: the recursion still counts
+                              -- ranks 1..k with NULL aggregates; phantom
+                              -- centers of an empty corpus are not rows
+    ORDER BY rank
     """,
     f"Coreset selection: greedy farthest-point sampling of {CORESET_K} "
     "k-centers over the embedding table (Gonzalez 1985; the 2-approx "
@@ -299,6 +306,12 @@ def pipe_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected = fps_select(spark, sf_dir)
+    if not selected:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame(
+            [],
+            "center_rank long, center_vec_id long, n_assigned long, "
+            "mean_dist_ppm long",
+        )
     e = embeddings_with_norms(spark, sf_dir)
     # o = d6*100 + rank per (vector, center), minimized per vector
     o = F.least(

@@ -103,6 +103,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = sorted(
         b.filter(F.col("vec_id") < NUM_Q).collect(), key=lambda r: r["vec_id"]
     )
+    if not qrows:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame(
+            [], "q_vec_id long, n_ann long, n_hits long, recall_ppm long"
+        )
     scored = b.select(
         "vec_id",
         "bucket",
@@ -205,6 +209,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = sorted(
         b.filter(F.col("vec_id") < NUM_Q).collect(), key=lambda r: r["vec_id"]
     )
+    if not qrows:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame(
+            [], "q_vec_id long, n_ann long, n_hits long, recall_ppm long"
+        )
     scored = b.select(
         "vec_id",
         "cell",

@@ -150,6 +150,8 @@ def train_kmeans(
             rank - 1: [_fp_int(x) for x in vec]
             for rank, _vid, _d6, vec in fps_select(spark, sf_dir, k=KM_K, e=e)
         }
+        if not cents:
+            return {}  # empty source: the oracle's CTE chain yields 0 rows
         for _it in range(KM_ITERS):
             o = F.least(
                 *[
@@ -310,6 +312,8 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_kmeans(spark, sf_dir)
+    if not cents:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame([], "vec_id long, cell long, dist_d6 long")
     e = embeddings_with_norms(spark, sf_dir)
     o = F.least(
         *[
@@ -369,6 +373,10 @@ def ann_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_kmeans(spark, sf_dir)
+    if not cents:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame(
+            [], "cell long, n long, sum_d1 long, sum_d2 long, separation_bp long"
+        )
     e = embeddings_with_norms(spark, sf_dir)
     packed = F.array_sort(
         F.array(
@@ -446,6 +454,9 @@ def ann_kmeans_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-only assignment pass over the seeded variant.",
 )
 def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _cents_probe = train_kmeans(spark, sf_dir)
+    if not _cents_probe:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     from pyspark.sql import Window
 
     from doc2vec_spark.functions.rounding import pround
@@ -518,6 +529,10 @@ def pipe_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cents = train_kmeans(spark, sf_dir)
+    if not cents:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame(
+            [], "vec_id long, cell long, dist_d6 long, prune long"
+        )
     e = embeddings_with_norms(spark, sf_dir)
     o = F.least(
         *[

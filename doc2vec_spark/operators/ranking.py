@@ -124,6 +124,10 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = sorted(
         b.filter(F.col("vec_id") < NUM_Q).collect(), key=lambda r: r["vec_id"]
     )
+    if not qrows:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame(
+            [], "q_vec_id long, n_rel long, dcg long, ndcg_ppm long, mrr_ppm long"
+        )
     scored = (
         b.select(
             "vec_id",

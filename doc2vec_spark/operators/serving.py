@@ -124,7 +124,10 @@ def exact_topk(spark: SparkSession, sf_dir: str, k: int = SERVE_K) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty embeddings / no query row: oracle emits 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
+    qvec = qrow["embedding"]
     from doc2vec_spark.functions.vectors import as_double_array
 
     scored = emb.select(
@@ -147,6 +150,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = SERVE_K) -> DataFrame:
     from pyspark.sql import Window
 
     cents = train_kmeans(spark, sf_dir)
+    if not cents:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     e = embeddings_with_norms(spark, sf_dir)
     o = F.least(
         *[
@@ -262,6 +267,8 @@ def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cents = train_kmeans(spark, sf_dir)
+    if not cents:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     cvf = {c: [fp / _FP for fp in v] for c, v in cents.items()}
     e = embeddings_with_norms(spark, sf_dir)
     o = F.least(
@@ -393,7 +400,7 @@ def query_documentation_routed(
             key = int(chunks._jdf.queryExecution().analyzed().semanticHash())
             if key not in _INDEX_MEMO:
                 _INDEX_MEMO[key] = build_chunk_ann_index(chunks)
-            index = {c: list(v) for c, v in _INDEX_MEMO[key].items()}
+            index = {c: list(v) for c, v in _INDEX_MEMO[key].items()} or None
     if index is not None:
         qvec = [float(x) for x in embed_text(query_text, d)]
         qcell = _nearest_cell(index, qvec)
@@ -436,6 +443,8 @@ def ann_ivf_pq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cents = train_kmeans(spark, sf_dir)
+    if not cents:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, adc_dist double")
     cvf = {c: [fp / _FP for fp in v] for c, v in cents.items()}
     e = embeddings_with_norms(spark, sf_dir)
     o = F.least(

@@ -104,6 +104,8 @@ def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(DIM)],
         *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(DIM)],
     ).collect()[0]
+    if bounds["mn0"] is None:  # empty embeddings: oracle emits 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, sqdist long")
     mns = [float(bounds[f"mn{i}"]) for i in range(DIM)]
     mxs = [float(bounds[f"mx{i}"]) for i in range(DIM)]
 

@@ -862,3 +862,49 @@ def test_sq8_recall_vs_exact(spark):
         .collect()
     }
     assert len({r["vec_id"] for r in got} & exact) / SQ_K >= 0.7
+
+
+# ---------------------------------------------------------------------------
+# empty-embeddings hardening (the ADVICE degenerate-input class, closed
+# proactively for the whole embedding plane)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_empty_emb")
+    schema = pq.read_schema(f"{SF_DIR}/embeddings.parquet")
+    pq.write_table(
+        pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d)
+
+
+_EMB_PLANE = [
+    "ann_sq8_search", "ann_ndcg_at_k", "ann_ivf_search_multiprobe",
+    "doc_knn_query_routed", "ann_ivf_pq_search_trained", "ann_recall_at_k",
+    "ann_ivf_recall", "ann_ivf_search_trained", "ann_kmeans_train",
+    "ann_kmeans_assign", "ann_kmeans_separation", "pipe_prototype_prune",
+    "pipe_coreset_fps", "pipe_coreset_coverage",
+]
+
+
+@pytest.mark.parametrize("name", _EMB_PLANE)
+def test_embedding_plane_empty_table_matches_oracle(name, spark, empty_emb_dir):
+    """Every embedding-plane query must answer an EMPTY embeddings table
+    with zero rows, like its oracle — previously all 14 crashed driver-side
+    (first()/collect()[0]/F.least(*[]) on nothing) while the oracles'
+    CTE chains collapsed to 0 rows."""
+    import duckdb
+
+    from doc2vec_spark.registry import merged_queries
+
+    q = merged_queries()[name]
+    assert q.fn(spark, empty_emb_dir).count() == 0
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{empty_emb_dir}/embeddings.parquet'"
+    )
+    assert len(con.sql(q.oracle).fetchall()) == 0
+    con.close()
