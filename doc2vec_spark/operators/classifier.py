@@ -128,6 +128,10 @@ def _nb_grid_and_test(
     # (numerator < 2^53, denominators >= V so the true quotient is never
     # within an ulp of an integer unless it IS one — the kmeans.py
     # floor-quotient argument).
+    if not totals:  # empty corpus: no classes -> empty grid, 0 output rows
+        return test, spark.createDataFrame(
+            [], "tok string, cand string, p_ppm long"
+        )
     cand_arr = F.array(
         *[
             F.struct(F.lit(lang).alias("cand"), F.lit(t).alias("total"))

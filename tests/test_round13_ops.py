@@ -908,3 +908,17 @@ def test_embedding_plane_empty_table_matches_oracle(name, spark, empty_emb_dir):
     )
     assert len(con.sql(q.oracle).fetchall()) == 0
     con.close()
+
+
+def test_nb_family_empty_corpus_zero_rows(spark, empty_sf_dir):
+    """The NB grid's literal struct-array explode crashed on an empty
+    corpus (no classes -> untyped empty array); all three NB queries must
+    answer with 0 rows like their oracles."""
+    from doc2vec_spark.operators.classifier import (
+        ta_nb_classify,
+        ta_nb_classify_log,
+        ta_nb_confusion,
+    )
+
+    for fn in (ta_nb_classify, ta_nb_classify_log, ta_nb_confusion):
+        assert fn(spark, empty_sf_dir).count() == 0
