@@ -26,8 +26,10 @@ the last frame of a text can be a single sample (empty zero-crossing
 pair list), so the oracle wraps COALESCE(.., 0).
 
 100 TB shape: one map-only decode+frame explode behind the repartition
-barrier (single-file scan trap), per-frame work bounded by FRAME, one
-output row per frame. No shuffle at all until a consumer aggregates.
+barrier (single-file scan trap; a round-robin exchange, not a keyed
+shuffle — multi-file scans at scale get the fan-out for free), per-frame
+work bounded by FRAME, one output row per frame. No KEYED shuffle until
+a consumer aggregates.
 """
 
 from __future__ import annotations

@@ -922,3 +922,49 @@ def test_nb_family_empty_corpus_zero_rows(spark, empty_sf_dir):
 
     for fn in (ta_nb_classify, ta_nb_classify_log, ta_nb_confusion):
         assert fn(spark, empty_sf_dir).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# physical-plan shape pins for the round-13 plane (beyond the blanket
+# contract's bans — these pin the plan each docstring PROMISES)
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_domain_cap_plan_shape(spark):
+    """Two-level prefix sum as promised: partitioned windows and a
+    broadcast offsets join — never a sort-merge join of the offsets."""
+    from doc2vec_spark.operators.domaincap import pipe_domain_cap
+
+    p = _plan(spark, pipe_domain_cap(spark, SF_DIR))
+    assert p.count("Window") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_audio_energy_plan_is_shuffle_free(spark):
+    """No KEYED shuffle: the only exchange allowed is the round-robin
+    repartition barrier (single-file scan fan-out); no hashpartitioning
+    anywhere — decode -> frame explode -> per-frame aggregate is map-only."""
+    from doc2vec_spark.operators.audiodsp import mm_audio_energy
+
+    p = _plan(spark, mm_audio_energy(spark, SF_DIR))
+    assert "hashpartitioning" not in p
+    assert p.count("Exchange") == p.count("REPARTITION_BY_NUM") or         all("roundrobin" in l.lower() for l in p.splitlines()
+            if "Arguments: " in l and "partitioning" in l.lower())
+    assert "Generate" in p  # the frame explode
+
+
+def test_sq8_plan_shape(spark):
+    """Integer-code scan feeding TakeOrderedAndProject; no join in the
+    scoring path (bounds/query enter as literals)."""
+    from doc2vec_spark.operators.sq8 import ann_sq8_search
+
+    p = _plan(spark, ann_sq8_search(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
