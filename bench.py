@@ -176,8 +176,11 @@ def main() -> None:
         # full runs rotate in the least-recently-benched remainder
         try:
             ledger = json.loads((Path(_REPO) / ROTATION_FILE).read_text())
-        except (OSError, ValueError):
-            pass
+        except (OSError, ValueError) as exc:
+            # a reset rotation history must be VISIBLE (ADVICE r13): the
+            # end-of-run write would otherwise silently discard the
+            # least-recently-benched ledger
+            print(f"WARN: rotation ledger unreadable ({exc}); starting at run 0", file=sys.stderr)
         rest = [n for n in sorted(registry) if n not in names]
         rotated = rotation_pick(rest, ledger.get("last", {}), ROTATE_N)
         names += rotated

@@ -306,9 +306,12 @@ def mm_feature_search(spark, sf_dir: str, k: int = 5) -> DataFrame:
     # probe feature computed DRIVER-side from the probe item's bytes (the
     # query-plane convention, same as embed_text for text KNN) and inlined
     # as a literal — a 1-row join would plan a BroadcastNestedLoopJoin
-    probe_text = (
-        load(spark, sf_dir, "documents").filter(F.col("doc_id") == 0).select("text").first()[0]
+    probe_row = (
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") == 0).select("text").first()
     )
+    if probe_row is None:  # no probe item: oracle's probe CTE is empty -> 0 rows
+        return spark.createDataFrame([], "media_id long, mime string, cosine_sim double")
+    probe_text = probe_row[0]
     qv = F.array(*[F.lit(float(x)) for x in _stub_feature(probe_text.encode("utf-8"))])
     feats = extract_features(media_from_documents(spark, sf_dir)).select(
         "media_id", "mime", as_double_array(F.col("feature")).alias("v")

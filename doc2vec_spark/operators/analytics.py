@@ -223,7 +223,12 @@ SELECT vec_id, label, rnk, floor((dist) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS 
 )
 def t1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # no query row: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [], "vec_id long, label int, rnk int, distance double"
+        )
+    qvec = qrow["embedding"]
     e = as_double_array(F.col("embedding"))
     scored = emb.select(
         "vec_id",
@@ -257,7 +262,12 @@ def t1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t1_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # no query row: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [], "vec_id long, label int, rnk int, distance double"
+        )
+    qvec = qrow["embedding"]
     e = as_double_array(F.col("embedding"))
     scored = (
         emb.filter(F.col("label").isin(2, 3))

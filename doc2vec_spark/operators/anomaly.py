@@ -242,4 +242,7 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz.cast("long").alias("rz_centi"),
             (F.abs(rz) >= MAD_THRESHOLD_CENTI).alias("is_anomaly"),
         )
+        # match the oracle's ORDER BY (and the ev_rate_anomaly precedent) so
+        # row order agrees for order-sensitive consumers (ADVICE r13)
+        .orderBy("window_start", "event_type")
     )

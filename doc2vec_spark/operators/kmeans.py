@@ -475,6 +475,8 @@ def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select("vec_id", "v", (o % 100).alias("cell"))
     # the query is ONE bounded row (the t1/ann_ivf_search probe convention)
     qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    if qrow is None:  # vec_id 0 absent: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qcell = list(qrow["v"]), int(qrow["cell"])
     cand = b.filter(F.col("cell") == qcell).select(
         "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")

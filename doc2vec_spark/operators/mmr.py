@@ -166,7 +166,12 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    qv = e.filter(F.col("vec_id") == 0).select("v").first()["v"]
+    qrow = e.filter(F.col("vec_id") == 0).select("v").first()
+    if qrow is None:  # no query row: oracle's pool CTE is empty -> 0 picks
+        return spark.createDataFrame(
+            [], "step long, vec_id long, relevance double, mmr_score double"
+        )
+    qv = qrow["v"]
     litq = lit_vector(qv)
     rel = e.filter(F.col("vec_id") != 0).select(
         "vec_id", "v", (dot(F.col("v"), litq) / (l2_norm(F.col("v")) * l2_norm(litq))).alias("rel")

@@ -141,7 +141,10 @@ def t2_overfetch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
 
     emb = load(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # no query row: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, label int, distance double")
+    qvec = qrow["embedding"]
     scored = emb.select(
         "vec_id",
         "label",

@@ -163,6 +163,8 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = SERVE_K) -> DataFrame:
     )
     b = e.select("vec_id", "v", (o % 100).alias("cell"))
     qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    if qrow is None:  # vec_id 0 absent: oracle's query CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qcell = list(qrow["v"]), int(qrow["cell"])
     cand = b.filter(F.col("cell") == qcell).select(
         "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
@@ -278,9 +280,10 @@ def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     b = e.select("vec_id", "v", (o % 100).alias("cell"))
-    qv = list(
-        e.filter(F.col("vec_id") == 0).select("v").first()["v"]
-    )
+    qrow = e.filter(F.col("vec_id") == 0).select("v").first()
+    if qrow is None:  # vec_id 0 absent: oracle's q0 CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
+    qv = list(qrow["v"])
     probed = sorted(sorted(cvf), key=lambda c: (_py_d6(qv, cvf[c]), c))[:NPROBE]
     cand = b.filter(F.col("cell").isin(probed)).select(
         "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
@@ -324,15 +327,23 @@ def build_chunk_ann_index(
     return {c: [fp / _FP for fp in v] for c, v in cents.items()}
 
 
-def _nearest_cell(index: dict[int, list[float]], qvec: list[float]) -> int:
-    """Driver-side argmin over the k centroids (bounded state) — on the
-    SAME packed (d6-rounded distance, cell) key the engine's assignment
-    fold minimizes (`_py_d6` replays `_d6_int` bitwise). Raw-float argmin
-    here could probe a different cell than the one an identical embedding
-    was ASSIGNED to whenever two centroid distances round to the same d6
+def _nearest_cells(
+    index: dict[int, list[float]], qvec: list[float], nprobe: int = 1
+) -> list[int]:
+    """Driver-side rank of the k centroids (bounded state) by the SAME
+    packed (d6-rounded distance, cell) key the engine's assignment fold
+    minimizes (`_py_d6` replays `_d6_int` bitwise). Raw-float ranking here
+    could probe a different cell than the one an identical embedding was
+    ASSIGNED to whenever two centroid distances round to the same d6
     integer (round-13 review finding): assignment breaks that tie on cell
-    id, so the probe must too."""
-    return min(sorted(index), key=lambda c: (_py_d6(qvec, index[c]), c))
+    id, so the probe must too. ``nprobe`` is the production recall knob
+    (ann_ivf_search_multiprobe's semantics): the query's own cell is
+    always probed[0]."""
+    return sorted(sorted(index), key=lambda c: (_py_d6(qvec, index[c]), c))[:nprobe]
+
+
+def _nearest_cell(index: dict[int, list[float]], qvec: list[float]) -> int:
+    return _nearest_cells(index, qvec, 1)[0]
 
 
 def cell_assignment_col(index: dict[int, list[float]]):
@@ -366,6 +377,7 @@ def query_documentation_routed(
     ann_threshold: int | None = None,
     corpus_size: int | None = None,
     dim: int | None = None,
+    nprobe: int = 1,
     **kwargs,
 ):
     """query.py:28's query_documentation with the corpus-size-routed ANN
@@ -403,9 +415,147 @@ def query_documentation_routed(
             index = {c: list(v) for c, v in _INDEX_MEMO[key].items()} or None
     if index is not None:
         qvec = [float(x) for x in embed_text(query_text, d)]
-        qcell = _nearest_cell(index, qvec)
-        chunks = chunks.filter(cell_assignment_col(index) == qcell)
+        probed = _nearest_cells(index, qvec, nprobe)
+        # nprobe=1 stays an equality predicate (partition-prune exact);
+        # nprobe>1 is the recall knob: isin over the probed cells — still a
+        # map-only membership filter, ~nprobe/K of the corpus scanned
+        # (VERDICT r13 #4; the reference exposes its tunable search surface
+        # the same way, mcp/src/server.ts:117-151)
+        col = cell_assignment_col(index)
+        chunks = chunks.filter(
+            col == probed[0] if nprobe == 1 else col.isin(probed)
+        )
     return query_documentation(chunks, query_text, dim=d, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook training (VERDICT r13 #5): Lloyd per subspace on the sample
+# ---------------------------------------------------------------------------
+# ann_ivf_pq_search's codebooks were seeded literals (documented offline
+# seam). This closes the seam: per-subspace k-means (M=8 subspaces x K=16
+# codewords) trained on the SAME bounded md5-ordered sample the coarse
+# quantizer trains on, in micro-unit fixed point so every arithmetic step
+# is integer-exact and mirrored verbatim by the oracle's CTE chain — the
+# full IVFADC layout (Jegou et al. 2011) is now trained end to end.
+# Training state is M*K*SUB = 1024 ints on the driver (bounded, FLAT in
+# corpus size); the corpus only ever sees the resulting literals.
+
+PQ_FP = 1_000_000.0  # micro-unit fixed point: squared-L2 sums stay << 2^63
+PQ_TRAIN_ITERS = 2  # same fixed-iteration discipline as the coarse KM_ITERS
+
+
+def train_pq_codebooks(
+    spark: SparkSession, sf_dir: str, frame: DataFrame | None = None
+) -> list[list[list[float]]]:
+    """[m][j][PQ_SUB] codeword floats (micro-ints / 1e6) after
+    PQ_TRAIN_ITERS Lloyd iterations per subspace. Init: codeword j is the
+    sub-vector of the (j+1)-th sample row in (md5(vec_id), vec_id) order —
+    deterministic, zero extra scans. Assignment minimizes the packed
+    integer (sum((a-c)^2) * PQ_K + j) so ties break on lower j in both
+    engines; the update is floor(SUM * 1.0 / COUNT) per dimension, the
+    _lloyd_ctes quotient. All distances are exact int64 arithmetic
+    (micro-unit diffs are <= ~1e6, squared sums <= ~8e12)."""
+    import hashlib
+    import math
+
+    from doc2vec_spark.operators.kmeans import _sample_e
+    from doc2vec_spark.operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+    rows = _sample_e(spark, sf_dir, frame).select("vec_id", "v").collect()
+    rows.sort(
+        key=lambda r: (
+            hashlib.md5(str(r["vec_id"]).encode()).hexdigest(),
+            r["vec_id"],
+        )
+    )
+    if not rows:
+        return []
+    vecs = [
+        [int(math.floor(float(x) * PQ_FP + 0.5)) for x in r["v"]] for r in rows
+    ]
+    k_eff = min(PQ_K, len(vecs))
+    cw: list[list[list[int]]] = [
+        [list(vecs[j][m * PQ_SUB : (m + 1) * PQ_SUB]) for j in range(k_eff)]
+        for m in range(PQ_M)
+    ]
+    for _it in range(PQ_TRAIN_ITERS):
+        sums = [[[0] * PQ_SUB for _ in range(k_eff)] for _ in range(PQ_M)]
+        cnts = [[0] * k_eff for _ in range(PQ_M)]
+        for vec in vecs:
+            for m in range(PQ_M):
+                a = vec[m * PQ_SUB : (m + 1) * PQ_SUB]
+                best = min(
+                    range(k_eff),
+                    key=lambda j: (
+                        sum((a[d] - cw[m][j][d]) ** 2 for d in range(PQ_SUB)),
+                        j,
+                    ),
+                )
+                for d in range(PQ_SUB):
+                    sums[m][best][d] += a[d]
+                cnts[m][best] += 1
+        for m in range(PQ_M):
+            for j in range(k_eff):
+                if cnts[m][j]:  # empty codewords keep their previous value
+                    cw[m][j] = [
+                        int(math.floor(sums[m][j][d] / cnts[m][j]))
+                        for d in range(PQ_SUB)
+                    ]
+    return [[[c / PQ_FP for c in w] for w in cw[m]] for m in range(PQ_M)]
+
+
+def _pq_train_ctes() -> str:
+    """The oracle's mirror of train_pq_codebooks over the existing ``es``
+    sample CTE: srk (md5 rank) -> ssub (micro-int sub-vectors) -> cb0
+    (head-of-sample init) -> [pasg_i -> psum_i -> cb_{i+1}] x ITERS ->
+    cbf (codeword floats for ADC scoring)."""
+    from doc2vec_spark.operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+    ms = ", ".join(str(m) for m in range(PQ_M))
+    parts = [
+        """srk AS (
+  SELECT vec_id, v,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM es)""",
+        f"""ssub AS (
+  SELECT s.vec_id, s.rk, t.m,
+         list_transform(s.v[t.m * {PQ_SUB} + 1 : (t.m + 1) * {PQ_SUB}],
+                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS af
+  FROM srk s, unnest([{ms}]) t(m))""",
+        f"cb0 AS (SELECT m, rk - 1 AS j, af AS cf FROM ssub WHERE rk <= {PQ_K})",
+    ]
+    for it in range(PQ_TRAIN_ITERS):
+        prev, cur = f"cb{it}", f"cb{it + 1}"
+        parts.append(
+            f"""pasg{it} AS (
+  SELECT a.vec_id, a.m,
+         CAST(MIN(CAST(list_sum(list_transform(range(1, {PQ_SUB} + 1),
+                d -> (a.af[d] - c.cf[d]) * (a.af[d] - c.cf[d]))) AS BIGINT)
+              * {PQ_K} + c.j) % {PQ_K} AS BIGINT) AS j
+  FROM ssub a JOIN {prev} c ON c.m = a.m
+  GROUP BY a.vec_id, a.m)"""
+        )
+        parts.append(
+            f"""psum{it} AS (
+  SELECT g.m, g.j, d.i AS dim,
+         CAST(floor(SUM(a.af[d.i]) * 1.0 / COUNT(*)) AS BIGINT) AS fp
+  FROM pasg{it} g JOIN ssub a ON a.vec_id = g.vec_id AND a.m = g.m,
+       unnest(generate_series(1, {PQ_SUB})) d(i)
+  GROUP BY g.m, g.j, d.i)"""
+        )
+        parts.append(
+            f"""{cur} AS (
+  SELECT p.m, p.j, COALESCE(n.cf, p.cf) AS cf
+  FROM {prev} p LEFT JOIN (
+    SELECT m, j, list(fp ORDER BY dim) AS cf FROM psum{it} GROUP BY m, j) n
+    ON n.m = p.m AND n.j = p.j)"""
+        )
+    parts.append(
+        f"""cbf AS (
+  SELECT m, j, list_transform(cf, x -> x / 1000000.0) AS c
+  FROM cb{PQ_TRAIN_ITERS})"""
+    )
+    return ",\n".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +605,8 @@ def ann_ivf_pq_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.select("vec_id", "v", (o % 100).alias("cell"))
     qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    if qrow is None:  # vec_id 0 absent: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, adc_dist double")
     qv, qcell = list(qrow["v"]), int(qrow["cell"])
     # driver-side ADC LUTs (the ann_ivf_pq_search discipline): 128 doubles,
     # each replaying the oracle's fold order bitwise

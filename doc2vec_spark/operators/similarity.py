@@ -122,6 +122,8 @@ def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.select("vec_id", "v", srp_bucket_expr(F.col("v")).alias("bucket"))
     qrow = b.filter(F.col("vec_id") == 0).select("v", "bucket").first()
+    if qrow is None:  # no query row (empty table or vec_id 0 absent): oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qbucket = qrow["v"], qrow["bucket"]
     cand = b.filter(F.col("bucket") == qbucket).select(
         "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
@@ -226,6 +228,8 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.select("vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell"))
     qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    if qrow is None:  # no query row: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qcell = qrow["v"], qrow["cell"]
     cand = b.filter(F.col("cell") == qcell).select(
         "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
@@ -271,7 +275,7 @@ _CC: list[list[float]] = [
 ]
 
 
-def _with_pq_codes(df, vcol: str = "v"):
+def _with_pq_codes(df, vcol: str = "v", codebooks=None, cc=None):
     """Append code_0..code_{M-1} via ONE Arrow-batched numpy argmin — the
     semdedup assign_cell pattern.
 
@@ -288,8 +292,11 @@ def _with_pq_codes(df, vcol: str = "v"):
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    cb = np.asarray(CODEBOOKS)  # (M, K, SUB)
-    cc = np.asarray(_CC)  # (M, K)
+    # codebooks/cc default to the seeded literals; the trained-IVFPQ tier
+    # (serving.train_pq_codebooks) passes its Lloyd-trained codewords with
+    # cc computed by the same left-fold as the oracle's list_dot_product
+    cb = np.asarray(CODEBOOKS if codebooks is None else codebooks)  # (M, K, SUB)
+    cc = np.asarray(_CC if cc is None else cc)  # (M, K)
 
     # no type hints: SERIES -> SERIES is the default scalar pandas_udf path
     @pandas_udf("array<int>")
@@ -386,6 +393,8 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = e.select("vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell"))
     qrow = b.filter(F.col("vec_id") == 0).select("v", "cell").first()
+    if qrow is None:  # no query row: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, adc_dist double")
     qv, qcell = qrow["v"], qrow["cell"]
     # per-subspace ADC LUT computed DRIVER-side from the collected query —
     # 128 Python doubles embedded as literal arrays. Each entry replays the
@@ -479,7 +488,12 @@ def ann_truncate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    qv = e.filter(F.col("vec_id") == 0).select("v").first()["v"]
+    qrow = e.filter(F.col("vec_id") == 0).select("v").first()
+    if qrow is None:  # no query row: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [], "vec_id long, coarse_rnk long, rnk int, distance double"
+        )
+    qv = qrow["v"]
     coarse = e.select(
         "vec_id",
         "v",

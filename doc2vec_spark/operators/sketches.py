@@ -212,6 +212,10 @@ def sk_ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literals so the returned plan stays distributed
     f2_exact = cnts.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("x")).first()["x"]
     xs = sorted(r["sketch_x"] ** 2 for r in rows.collect())
+    if f2_exact is None or not xs:  # empty corpus: oracle's rows_ CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [], "d int, sketch_x long, est_d long, f2_exact long, f2_est long"
+        )
     f2_est = int(xs[len(xs) // 2])
     return (
         rows.select(

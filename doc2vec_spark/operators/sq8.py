@@ -123,7 +123,10 @@ def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", code.alias("c")
     )
     # query codes replayed driver-side with the SAME double arithmetic
-    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["v"]]
+    qrow = e.filter(F.col("vec_id") == 0).first()
+    if qrow is None:  # vec_id 0 absent: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame([], "vec_id long, rnk int, sqdist long")
+    qv = [float(x) for x in qrow["v"]]
     import math
 
     qc = [
