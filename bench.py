@@ -331,6 +331,9 @@ def main() -> None:
         "notes": {
             "doc_knn_query_documentation": "embeds JVM-native since r11 (was Arrow UDF)",
             "doc_knn_query_native": "exercises the Arrow-UDF provider seam since r11 (was native)",
+            "ann_ivf_search_trained": "first rep pays one-time quantizer training; later reps are memoized",
+            "doc_knn_query_routed": "first rep pays one-time quantizer training on the IVF route; later reps are memoized",
+            "ann_ivf_pq_search_trained": "first rep pays one-time quantizer + codebook training; later reps are memoized (the r13 6.95 s stall was this)",
         },
     }
     # Subset runs (SPARK_GRAFT_BENCH_ONLY — scaling rehearsals, one-off

@@ -85,3 +85,126 @@ def test_nearest_cells_head_is_own_cell(spark):
         ranked = _nearest_cells(index, qv, nprobe=3)
         assert ranked[0] == _nearest_cell(index, qv)
         assert len(ranked) == len(set(ranked)) == 3
+
+
+def test_trained_pq_codebooks_reconstruct_better_than_seeded(spark):
+    """VERDICT r13 #5's accuracy gate: the per-subspace Lloyd-trained
+    codebooks must reconstruct the corpus far better than the seeded
+    gaussian literals (which are scale-mismatched to the data). Measured
+    at sf0.001: seeded MSE ~20.5, trained ~0.57 per vector — assert a
+    conservative 5x margin so the gate survives data refreshes."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from doc2vec_spark.operators.serving import train_pq_codebooks
+    from doc2vec_spark.operators.similarity import CODEBOOKS, PQ_M, PQ_SUB
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vs = np.vstack(t["embedding"].to_numpy()).astype(np.float64)
+    trained = np.asarray(train_pq_codebooks(spark, SF_DIR))
+    assert trained.shape == (PQ_M, 16, PQ_SUB)
+
+    def mse(cb):
+        total = 0.0
+        for m in range(PQ_M):
+            sub = vs[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            d = ((sub[:, None, :] - cb[m][None, :, :]) ** 2).sum(-1)
+            total += d.min(1).mean()
+        return total
+
+    m_seeded = mse(np.asarray(CODEBOOKS))
+    m_trained = mse(trained)
+    assert m_trained < m_seeded / 5
+    assert m_trained < 2.0  # absolute sanity: sub-unit avg quantization error
+
+
+def test_trained_pq_query_rank1_self(spark):
+    """The ADC self-consistency invariant carried over from the seeded
+    variant: the query vector itself must surface at rank 1 through the
+    trained pipeline."""
+    from doc2vec_spark.operators.serving import ann_ivf_pq_search_trained
+
+    rows = ann_ivf_pq_search_trained(spark, SF_DIR).collect()
+    assert rows and rows[0]["vec_id"] == 0 and rows[0]["rnk"] == 1
+
+
+def _sync_store(spark, tmp_path, markdowns):
+    from doc2vec_spark.store import ChunkStore
+    from doc2vec_spark.sync import sync_documents
+
+    store = ChunkStore(spark, str(tmp_path / "chunks"))
+    docs = spark.createDataFrame(
+        [(f"https://d/{i}", md, "prod", "1.0") for i, md in enumerate(markdowns)],
+        "url string, markdown string, product_name string, version string",
+    )
+    sync_documents(spark, store, docs)
+    return store
+
+
+def test_persisted_ann_index_survives_sessions_and_rewrites(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #2's lifecycle gate, both halves:
+    1. sync -> persisted index -> a NEW consumer (fresh AnnIndexStore over
+       the same path, train forcibly disabled) probes without retraining
+       and gets the bitwise-identical index;
+    2. a rewrite of the chunk data — plan-identical (same store path, same
+       read() plan) — must serve the NEW index, not the stale one."""
+    from doc2vec_spark import index_store as ixs
+    from doc2vec_spark.index_store import AnnIndexStore, ensure_chunk_ann_index
+    from doc2vec_spark.operators import serving
+    from doc2vec_spark.sync import sync_documents
+
+    bodies = [f"# D{i}\ndocumentation paragraph about topic {i}. " * 25 for i in range(6)]
+    store = _sync_store(spark, tmp_path, bodies)
+    kv_path = str(tmp_path / "sync_state.json")
+
+    idx1 = ensure_chunk_ann_index(store, AnnIndexStore(kv_path))
+    assert idx1 and all(isinstance(c, int) for c in idx1)
+
+    # (1) new session: a fresh consumer must LOAD, never retrain
+    def _no_train(*a, **k):
+        raise AssertionError("retrained despite a current persisted index")
+
+    monkeypatch.setattr(serving, "build_chunk_ann_index", _no_train)
+    idx2 = ensure_chunk_ann_index(store, AnnIndexStore(kv_path))
+    assert idx2 == idx1
+    monkeypatch.undo()
+
+    # (2) rewrite under the same plan: the sync commit moves the version
+    # token, so the stale index must NOT be served — it retrains on the
+    # new data and persists the new version
+    docs2 = spark.createDataFrame(
+        [
+            (f"https://d/{i}", f"# D{i}\nreplaced corpus text {i}. " * 30, "prod", "2.0")
+            for i in range(6)
+        ],
+        "url string, markdown string, product_name string, version string",
+    )
+    sync_documents(spark, store, docs2)
+    assert AnnIndexStore(kv_path).load(store.version_token()) is None  # stale-by-commit
+    idx3 = ensure_chunk_ann_index(store, AnnIndexStore(kv_path))
+    assert idx3 != idx1  # trained on the rewritten data
+    assert AnnIndexStore(kv_path).load(store.version_token()) == idx3
+
+
+def test_persisted_index_feeds_routed_query(spark, tmp_path):
+    """End to end: the persisted index drives query_documentation_routed's
+    probe (index= bypasses the plan-hash memo entirely) and still surfaces
+    the planted document."""
+    from doc2vec_spark.index_store import AnnIndexStore, ensure_chunk_ann_index
+    from doc2vec_spark.operators.serving import query_documentation_routed
+
+    phrase = "the zanzibar quokka protocol handles vector reconciliation"
+    # the planted markdown is the bare phrase (no heading) so its chunk
+    # embedding equals embed_text(phrase) — the round-13 planted-corpus
+    # convention; fillers carry headings like real docs
+    bodies = [phrase] + [
+        f"# F{i}\nordinary filler documentation {i}. " * 25 for i in range(5)
+    ]
+    store = _sync_store(spark, tmp_path, bodies)
+    index = ensure_chunk_ann_index(store, AnnIndexStore(str(tmp_path / "kv.json")))
+    hits = query_documentation_routed(
+        store.read(), phrase, index=index, k=3
+    ).collect()
+    assert hits and hits[0]["url"] == "https://d/0"
