@@ -85,6 +85,28 @@ def main() -> None:
     ]
     print(f"small-corpus fallthrough == exact scan: {same}")
 
+    # 5. the PERSISTED lifecycle (round 14): sync into a ChunkStore, persist
+    #    the trained index beside the sync watermarks, reload WITHOUT
+    #    retraining, and watch a rewrite invalidate it by commit
+    import tempfile
+
+    from doc2vec_spark.index_store import AnnIndexStore, ensure_chunk_ann_index
+    from doc2vec_spark.store import ChunkStore
+    from doc2vec_spark.sync import sync_documents
+
+    with tempfile.TemporaryDirectory() as td:
+        store = ChunkStore(spark, f"{td}/chunks")
+        sync_documents(spark, store, docs)
+        ixs = AnnIndexStore(f"{td}/sync_state.json")
+        idx1 = ensure_chunk_ann_index(store, ixs)  # trains + persists
+        idx2 = ensure_chunk_ann_index(store, ixs)  # loads, no retraining
+        print(f"persisted index reload identical: {idx1 == idx2}")
+        sync_documents(  # rewrite -> version token moves -> index stale
+            spark, store,
+            docs.withColumn("markdown", F.concat(F.col("markdown"), F.lit(" updated"))),
+        )
+        print(f"stale after rewrite: {ixs.load(store.version_token()) is None}")
+
     chunks.unpersist()
 
 

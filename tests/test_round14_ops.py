@@ -208,3 +208,46 @@ def test_persisted_index_feeds_routed_query(spark, tmp_path):
         store.read(), phrase, index=index, k=3
     ).collect()
     assert hits and hits[0]["url"] == "https://d/0"
+
+
+def test_pq_codebook_training_matches_oracle_ctes(spark, duck):
+    """Train-side parity pinned DIRECTLY (stronger than the end-to-end
+    search hash): the engine's integer Lloyd (train_pq_codebooks) must
+    produce bitwise the codeword floats the oracle's _pq_train_ctes
+    derive in SQL, for every (m, j, dim)."""
+    from doc2vec_spark.operators.kmeans import _SAMPLE_CTE
+    from doc2vec_spark.operators.serving import _pq_train_ctes, train_pq_codebooks
+    from doc2vec_spark.operators.similarity import PQ_K, PQ_M
+
+    engine = train_pq_codebooks(spark, SF_DIR)
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_SAMPLE_CTE},
+    {_pq_train_ctes()}
+    SELECT m, j, c FROM cbf ORDER BY m, j
+    """
+    rows = duck.sql(sql).fetchall()
+    assert len(rows) == PQ_M * PQ_K
+    for m, j, c in rows:
+        assert list(c) == engine[m][j], (m, j)
+
+
+def test_index_store_corrupt_payload_and_invalidate(spark, tmp_path):
+    """A corrupted persisted payload must read as absent (retrain), never
+    raise into the serving path; invalidate() removes only the index key."""
+    from doc2vec_spark.index_store import INDEX_KEY, AnnIndexStore
+
+    ixs = AnnIndexStore(str(tmp_path / "kv.json"))
+    tok = (1, (("0", "x"),))
+    ixs.save({0: [0.5, 0.25], 1: [1.0, 2.0]}, tok)
+    assert ixs.load(tok) == {0: [0.5, 0.25], 1: [1.0, 2.0]}
+    assert ixs.load((2, ())) is None  # different committed version
+
+    ixs.kv.put(INDEX_KEY, "{not json")
+    assert ixs.load(tok) is None
+
+    ixs.save({0: [0.5]}, tok)
+    ixs.kv.put("watermark:other", "keep-me")
+    ixs.invalidate()
+    assert ixs.load(tok) is None
+    assert ixs.kv.get("watermark:other") == "keep-me"
