@@ -14,7 +14,10 @@ row every ANN oracle keys on. Engine paths that ``first()`` the query
 vector unguarded crash here while the oracle's empty query-CTE emits 0
 rows.
 
-Usage:  python scripts/degenerate_sweep.py [--mode empty|noquery] [--only n1,n2]
+``--mode noprobe`` is the third shape: documents lacks the doc_id 0/7
+probe rows (the text/feature-search query anchors).
+
+Usage:  python scripts/degenerate_sweep.py [--mode empty|noquery|noprobe] [--only n1,n2]
 Output: one line per divergence + a JSON summary line; exit 0 iff every
 query either matches or is a documented divergence (DOCUMENTED below).
 """
@@ -50,7 +53,7 @@ DOCUMENTED = {
 def build_dataset(mode: str) -> Path:
     import pyarrow.parquet as pq
 
-    out = EMPTY_DIR if mode == "empty" else REPO / ".sfnoquery"
+    out = EMPTY_DIR if mode == "empty" else REPO / f".sf{mode}"
     out.mkdir(exist_ok=True)
     from doc2vec_spark.tables import TABLES
 
@@ -59,12 +62,21 @@ def build_dataset(mode: str) -> Path:
         dst = out / f"{t}.parquet"
         if mode == "empty":
             pq.write_table(pq.read_schema(src).empty_table(), dst)
-        else:  # noquery: full data, but embeddings lacks the vec_id-0 query row
+        elif mode == "noquery":  # full data, embeddings lacks the vec_id-0 query row
             tbl = pq.read_table(src)
             if t == "embeddings":
                 import pyarrow.compute as pc
 
                 tbl = tbl.filter(pc.field("vec_id") != 0)
+            pq.write_table(tbl, dst)
+        else:  # noprobe: full data, documents lacks the doc_id 0/7 probe rows
+            tbl = pq.read_table(src)
+            if t == "documents":
+                import pyarrow.compute as pc
+
+                tbl = tbl.filter(
+                    ~pc.is_in(pc.field("doc_id"), value_set=__import__("pyarrow").array([0, 7]))
+                )
             pq.write_table(tbl, dst)
     return out
 
@@ -94,7 +106,9 @@ def _normalize(df):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="")
-    ap.add_argument("--mode", default="empty", choices=("empty", "noquery"))
+    ap.add_argument(
+        "--mode", default="empty", choices=("empty", "noquery", "noprobe")
+    )
     args = ap.parse_args()
 
     data_dir = build_dataset(args.mode)
