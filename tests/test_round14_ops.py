@@ -251,3 +251,28 @@ def test_index_store_corrupt_payload_and_invalidate(spark, tmp_path):
     ixs.invalidate()
     assert ixs.load(tok) is None
     assert ixs.kv.get("watermark:other") == "keep-me"
+
+
+def test_nprobe_probe_is_membership_filter_not_join(spark):
+    """The nprobe>1 probe must stay a map-only membership predicate on the
+    assignment fold (In/isin over probed cells) — no join, no extra
+    exchange added by widening the probe (the multiprobe plan pin,
+    carried to the serving API)."""
+    from doc2vec_spark.operators.serving import (
+        build_chunk_ann_index,
+        query_documentation_routed,
+    )
+
+    phrase, chunks = _mini_corpus(spark)
+    index = build_chunk_ann_index(chunks)
+    df = query_documentation_routed(
+        chunks, phrase, index=index, ann_threshold=0, k=3, nprobe=2
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "least(" in plan  # the assignment fold is present
+    # no join anywhere in the probe plan (query_documentation itself is
+    # join-free over a single chunk frame)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
