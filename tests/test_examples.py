@@ -38,3 +38,5 @@ def test_serving_ann_example_runs(spark, capsys):
     assert "index built:" in out
     assert "probe answer: https://docs.example.com/planted.md" in out
     assert "small-corpus fallthrough == exact scan: True" in out
+    assert "persisted index reload identical: True" in out
+    assert "stale after rewrite: True" in out
