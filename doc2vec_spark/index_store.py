@@ -73,9 +73,20 @@ class AnnIndexStore:
             payload = json.loads(raw)
         except ValueError:
             return None
+        # corrupt-reads-as-absent covers the whole payload shape, not just
+        # invalid JSON (review r14): a non-object payload or a missing/
+        # non-object centroids map must read as absent, never raise
+        if not isinstance(payload, dict):
+            return None
         if payload.get("version") != _token_str(version_token):
             return None
-        return {int(c): list(v) for c, v in payload["centroids"].items()}
+        cents = payload.get("centroids")
+        if not isinstance(cents, dict):
+            return None
+        try:
+            return {int(c): list(v) for c, v in cents.items()}
+        except (TypeError, ValueError):
+            return None
 
     def invalidate(self) -> None:
         self.kv.delete(INDEX_KEY)
@@ -99,5 +110,16 @@ def ensure_chunk_ann_index(
     if cached is not None:
         return cached
     index = build_chunk_ann_index(store.read() if chunks is None else chunks)
-    index_store.save(index, token)
+    # empty store -> empty index: return it (the routed API falls through
+    # to the exact scan on a falsy index) but persist nothing — there is
+    # no training to reuse, and a later non-empty sync must retrain anyway
+    if not index:
+        return index
+    # the sync that commits DURING training moves the token; persisting the
+    # fresh centroids under the PRE-training token would mispair them with
+    # the old committed data (review r14 TOCTOU). Save only when the commit
+    # state is unchanged; the caller still gets the index either way, and
+    # the next call retrains against the new commit.
+    if store.version_token() == token:
+        index_store.save(index, token)
     return index

@@ -339,7 +339,7 @@ def _nearest_cells(
     id, so the probe must too. ``nprobe`` is the production recall knob
     (ann_ivf_search_multiprobe's semantics): the query's own cell is
     always probed[0]."""
-    return sorted(sorted(index), key=lambda c: (_py_d6(qvec, index[c]), c))[:nprobe]
+    return sorted(index, key=lambda c: (_py_d6(qvec, index[c]), c))[:nprobe]
 
 
 def _nearest_cell(index: dict[int, list[float]], qvec: list[float]) -> int:
@@ -409,8 +409,12 @@ def query_documentation_routed(
     from doc2vec_spark.embedding import DEFAULT_DIM, embed_text
     from doc2vec_spark.query import query_documentation
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     d = DEFAULT_DIM if dim is None else dim
     thresh = SERVE_EXACT_MAX if ann_threshold is None else ann_threshold
+    if not index:  # an EMPTY trained index (empty store) = no index: exact scan
+        index = None
     if index is None:
         n = corpus_size if corpus_size is not None else chunks.count()
         if n > thresh:
@@ -476,7 +480,7 @@ def train_pq_codebooks(
 
     own = frame is None
     fp_key = dataset_fingerprint(sf_dir) if own else None
-    key = (sf_dir, fp_key, PQ_TRAIN_ITERS) if own and fp_key else None
+    key = (sf_dir, fp_key, PQ_M, PQ_K, PQ_TRAIN_ITERS) if own and fp_key else None
     if key is not None and key in _PQ_TRAIN_MEMO:
         # deep copy: callers may mutate the nested lists (the FPS-memo lesson)
         return [[list(w) for w in m_] for m_ in _PQ_TRAIN_MEMO[key]]

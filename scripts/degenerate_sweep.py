@@ -150,7 +150,11 @@ def main() -> int:
                 status, detail = "rows", f"{len(s_rows)} vs {len(d_rows)} rows"
         if status == "match":
             match.append(name)
-        elif name in DOCUMENTED:
+        elif name in DOCUMENTED and args.mode == "empty" and status == "rows":
+            # the allowlist covers exactly the known shape: a ROW-COUNT
+            # divergence on EMPTY input (grand-total semantics). A crash, a
+            # schema change, or a divergence in any other mode is a real
+            # regression and must fail the sweep (review r14).
             documented.append(name)
             print(f"DOCUMENTED {name}: {DOCUMENTED[name]}")
         else:

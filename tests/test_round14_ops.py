@@ -276,3 +276,47 @@ def test_nprobe_probe_is_membership_filter_not_join(spark):
     # join-free over a single chunk frame)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_routed_api_empty_index_and_bad_nprobe(spark, tmp_path):
+    """Review r14: an EMPTY trained index (fresh tenant) must fall through
+    to the exact scan instead of crashing on a zero-arm least()/probed[0];
+    nprobe < 1 is a ValueError, not a silent empty/near-full scan."""
+    from doc2vec_spark.index_store import AnnIndexStore, ensure_chunk_ann_index
+    from doc2vec_spark.operators.serving import query_documentation_routed
+    from doc2vec_spark.store import ChunkStore
+
+    store = ChunkStore(spark, str(tmp_path / "chunks"))  # never synced: empty
+    ixs = AnnIndexStore(str(tmp_path / "kv.json"))
+    idx = ensure_chunk_ann_index(store, ixs)
+    assert idx == {}
+    assert ixs.load(store.version_token()) is None  # nothing persisted
+
+    _, chunks = _mini_corpus(spark, n_filler=2)
+    rows = query_documentation_routed(chunks, "alpha", index=idx, k=2).collect()
+    assert rows  # falls through to the exact scan
+
+    with pytest.raises(ValueError):
+        query_documentation_routed(chunks, "alpha", nprobe=0, k=2)
+
+
+def test_index_store_rejects_malformed_payload_shapes(spark, tmp_path):
+    """Review r14: corrupt-reads-as-absent must hold for VALID-JSON shapes
+    too — null, scalars, missing/non-dict centroids, non-numeric cells."""
+    from doc2vec_spark.index_store import INDEX_KEY, AnnIndexStore
+
+    ixs = AnnIndexStore(str(tmp_path / "kv.json"))
+    tok = (1, ())
+    ixs.save({0: [1.0]}, tok)
+    ver = __import__("json").loads(ixs.kv.get(INDEX_KEY))["version"]
+    for bad in (
+        "null",
+        "5",
+        '"x"',
+        "[]",
+        '{"version": %r}' % ver,
+        '{"version": %r, "centroids": 7}' % ver,
+        '{"version": %r, "centroids": {"not-an-int": [1.0]}}' % ver,
+    ):
+        ixs.kv.put(INDEX_KEY, bad)
+        assert ixs.load(tok) is None, bad
