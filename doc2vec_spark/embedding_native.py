@@ -158,7 +158,12 @@ def doc_knn_query_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.query import query_documentation
 
     corpus = _doc_corpus(spark, sf_dir)
-    query_text = corpus.filter(F.col("doc_id") == 7).select("text").first()["text"]
+    qrow = corpus.filter(F.col("doc_id") == 7).select("text").first()
+    if qrow is None:  # no probe doc: oracle's qc CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [], "url string, chunk_id string, chunk_index int, distance double"
+        )
+    query_text = qrow["text"]
     chunks = with_embeddings(chunk_documents(corpus))
     out = query_documentation(chunks, query_text, k=4)
     return out.select(

@@ -237,7 +237,12 @@ def doc_knn_query_documentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.query import query_documentation
 
     corpus = _doc_corpus(spark, sf_dir)
-    query_text = corpus.filter(F.col("doc_id") == 7).select("text").first()["text"]
+    qrow = corpus.filter(F.col("doc_id") == 7).select("text").first()
+    if qrow is None:  # no probe doc: oracle's qc CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [], "url string, chunk_id string, chunk_index int, distance double"
+        )
+    query_text = qrow["text"]
     chunks = with_embeddings_native(chunk_documents(corpus))
     out = query_documentation(chunks, query_text, k=4)
     return out.select(
@@ -267,10 +272,11 @@ HYBRID_TOP = 5
 def _hybrid_oracle() -> str:
     from doc2vec_spark.embedding import components_sql, vector_sql
 
-    qtoks = (
-        "(SELECT regexp_split_to_array(trim(text), '\\s+')[1:8] "
-        "FROM documents WHERE doc_id = 7)"
-    )
+    # q is a 0-or-1-row CTE (not a scalar subquery): a missing probe doc
+    # empties every downstream CTE through the cross joins, so the oracle
+    # emits 0 rows — the engine's empty-guard contract (empty results are
+    # first-class, mcp/src/server.ts:100-107) instead of NULL-token fusion
+    qtoks = "regexp_split_to_array(trim(text), '\\s+')[1:8]"
     dist = (
         "1.0 - list_sum(list_transform(range(0, 64), i -> "
         "CAST(e[i+1] AS DOUBLE) * CAST(v[i+1] AS DOUBLE))) / "
@@ -278,7 +284,8 @@ def _hybrid_oracle() -> str:
         "sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
     )
     return f"""
-    WITH q AS (SELECT array_to_string({qtoks}, ' ') AS qtext, {qtoks} AS qtoks),
+    WITH q AS (SELECT array_to_string(qt, ' ') AS qtext, qt AS qtoks
+               FROM (SELECT {qtoks} AS qt FROM documents WHERE doc_id = 7)),
     qc AS (SELECT {components_sql('qtext')} AS comps FROM q),
     qv AS (SELECT {vector_sql('comps')} AS v FROM qc),
     base AS (SELECT doc_id, trim(text) AS content,
@@ -350,11 +357,16 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ASCII-only, matching DuckDB's RE2 \s) — a Python re.split here would
     # disagree on unicode whitespace (NBSP etc.) and embed a different query
     # string than the oracle
-    q_tokens = (
+    qrow = (
         docs.filter(F.col("doc_id") == 7)
         .select(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8).alias("t"))
-        .first()["t"]
+        .first()
     )
+    if qrow is None:  # no probe doc: oracle's q CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [], "doc_id long, rank_kw int, rank_vec int, rrf_score double"
+        )
+    q_tokens = qrow["t"]
     q_text = " ".join(q_tokens)
 
     base = docs.filter(F.trim(F.col("text")) != "").select(
@@ -490,6 +502,13 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(BM25_TERMS))
         ],
     ).first()  # bounded: exactly one row of corpus constants
+    if not stats["n"]:  # empty corpus: oracle's b CTE is empty -> 0 rows
+        return spark.createDataFrame(
+            [],
+            "doc_id long, "
+            + ", ".join(f"tf_{t} long" for t in BM25_TERMS)
+            + ", bm25 double",
+        )
     n, avgdl = stats["n"], stats["sl"] / stats["n"]
     k1, b1m, b, k1p1 = (float(BM25_K1), float(BM25_B_1M), float(BM25_B), float(BM25_K1P1))
 
