@@ -23,9 +23,12 @@ and the result unpacks as cost = v div 100, n_pieces = v % 100
 Engine plan: one distinct-words aggregation (the only corpus-keyed
 shuffle), piece counting as a bounded explode over the DISTINCT words,
 the TOP_V+alphabet vocab collected driver-side (bounded literal-LUT
-precedent) into a map literal, and the DP as ONE map-only F.aggregate
-fold over char positions — O(MAXLEN * MAXP) map lookups per distinct
-word, no join, no window. Output is the bounded per-n_pieces profile.
+precedent) and re-shipped as a BROADCAST-JOINED cost frame (not a
+create_map literal — plan size stays constant in alphabet size), piece
+costs pre-gathered into one dense per-word array, and the DP as ONE
+map-only F.aggregate fold over char positions — O(MAXLEN * MAXP)
+element_at reads per distinct word. Output is the bounded per-n_pieces
+profile.
 The oracle unrolls the same DP as a generated chain of MAXLEN CTEs
 (the _lloyd_ctes iterative-CTE precedent) — same integers, textbook
 single-plan form.
@@ -153,8 +156,9 @@ def _dp_ctes() -> str:
     f"frequency-derived vocab (all 1-grams + top-{TOP_V} 2..{MAXP}-grams, "
     "renormalized). Integer-exact via the packed (micro-nat cost * 100 + "
     "piece count) Viterbi key — ONE BIGINT DP minimizes (cost, n_pieces) "
-    "lexicographically. Engine: distinct-words shuffle + literal-map fold "
-    "(map-only, no join/window); oracle: the same DP unrolled as "
+    "lexicographically. Engine: distinct-words shuffle, broadcast-joined "
+    "piece costs gathered into a dense per-word array, map-only fold; "
+    "oracle: the same DP unrolled as "
     f"{MAXLEN} generated CTEs. Output: per-piece-count profile of the "
     "whole corpus segmentation.",
 )
@@ -217,17 +221,71 @@ def ta_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cost_unats long, wsum_cost_unats long, sample_word string",
         )
     total = sum(c for _, c in vocab)
-    pk_map = F.create_map(
-        *[x for p, c in vocab for x in (F.lit(p), F.lit(_py_pk(c, total)))]
+    # Piece costs ship as a BROADCAST-JOINED frame, not an F.create_map
+    # literal (ADVICE r13): the literal's branch count is alphabet-sized —
+    # ~340 expressions on the ASCII fixture but tens of thousands on a CJK
+    # corpus, the round-12 deep-literal-chain codegen trap. The pk values
+    # are still derived driver-side by _py_pk so the micro-nat integers
+    # stay byte-identical to the oracle's; driver/broadcast state is
+    # bounded by TOP_V + alphabet size (a few MB even for full Unicode).
+    pcost = F.broadcast(
+        spark.createDataFrame(
+            [(p, _py_pk(c, total)) for p, c in vocab], "piece string, pk long"
+        )
     )
 
-    # the packed Viterbi fold: map-only over distinct words
+    # Dense per-word cost array: slot (e-1)*MAXP + l = packed cost of the
+    # length-l piece ENDING at char e (INF where l > e, so indexing needs
+    # no gaps). One bounded explode over DISTINCT words (len*MAXP <= 80
+    # rows each), one broadcast hash join, one word-keyed shuffle back.
+    slots = (
+        words.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("e"),
+        )
+        .select(
+            "word",
+            "freq",
+            "e",
+            F.explode(F.array(*[F.lit(l) for l in range(1, MAXP + 1)])).alias("l"),
+        )
+        .select(
+            "word",
+            "freq",
+            ((F.col("e") - 1) * MAXP + F.col("l")).alias("idx"),
+            "l",
+            F.when(
+                F.col("l") <= F.col("e"),
+                F.col("word").substr(F.col("e") - F.col("l") + 1, F.col("l")),
+            ).alias("piece"),
+        )
+    )
+    costed = slots.join(pcost, "piece", "left").select(
+        "word",
+        "freq",
+        "idx",
+        F.when(F.col("piece").isNull(), F.lit(_INF))
+        .otherwise(
+            F.coalesce(
+                F.col("pk"),
+                F.when(F.col("l") == 1, F.lit(_UNK_PK)).otherwise(F.lit(_INF)),
+            )
+        )
+        .alias("cost"),
+    )
+    arrs = costed.groupBy("word", "freq").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cost"))), lambda s: s.cost
+        ).alias("pkarr")
+    )
+
+    # the packed Viterbi fold: map-only over distinct words; every piece
+    # cost is one element_at into the precomputed dense array
     def step(acc, i):
         cands = []
         for l in range(1, MAXP + 1):
-            piece = F.col("word").substr(i - F.lit(l) + 1, F.lit(l))
-            default = F.lit(_UNK_PK) if l == 1 else F.lit(_INF)
-            cost = F.coalesce(F.element_at(pk_map, piece), default)
+            cost = F.element_at(F.col("pkarr"), (i - 1) * MAXP + F.lit(l))
             prev = F.element_at(acc, i - F.lit(l) + 1)
             cands.append(F.when(i >= l, prev + cost).otherwise(F.lit(_INF)))
         return F.concat(acc, F.array(F.least(*cands)))
@@ -238,7 +296,7 @@ def ta_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         step,
         lambda acc: F.element_at(acc, F.length(F.col("word")) + 1),
     )
-    final = words.select("word", "freq", packed.alias("c"))
+    final = arrs.select("word", "freq", packed.alias("c"))
     return final.groupBy((F.col("c") % 100).alias("n_pieces")).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum("freq").cast("long").alias("total_freq"),
