@@ -327,6 +327,21 @@ def build_chunk_ann_index(
     return {c: [fp / _FP for fp in v] for c, v in cents.items()}
 
 
+def train_chunk_pq_codebooks(chunks: DataFrame) -> list[list[list[float]]]:
+    """Trained PQ codebooks over a chunk table's embeddings — the
+    product-quantizer sibling of build_chunk_ann_index, same bounded
+    md5-ordered sample, same frame seam. A deployment trains both once per
+    sync and persists them together (index_store.ensure_pq_codebooks);
+    the result is M*K*SUB floats of driver state, FLAT in corpus size."""
+    from doc2vec_spark.functions.vectors import as_double_array, l2_norm
+
+    e = chunks.select(
+        F.col("chunk_id").alias("vec_id"),
+        as_double_array(F.col("embedding")).alias("v"),
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("nv"))
+    return train_pq_codebooks(chunks.sparkSession, "", frame=e)
+
+
 def _nearest_cells(
     index: dict[int, list[float]], qvec: list[float], nprobe: int = 1
 ) -> list[int]:
@@ -413,8 +428,12 @@ def query_documentation_routed(
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     d = DEFAULT_DIM if dim is None else dim
     thresh = SERVE_EXACT_MAX if ann_threshold is None else ann_threshold
-    if not index:  # an EMPTY trained index (empty store) = no index: exact scan
-        index = None
+    if index is not None and not index:
+        # an explicitly passed EMPTY index (fresh tenant / empty store)
+        # FORCES the exact scan: it must not fall back into corpus-size
+        # routing, which consults/trains the plan-hash memo — the
+        # stale-prone path the persisted store exists to bypass (ADVICE r14)
+        return query_documentation(chunks, query_text, dim=d, **kwargs)
     if index is None:
         n = corpus_size if corpus_size is not None else chunks.count()
         if n > thresh:
