@@ -1424,7 +1424,10 @@ def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     )
-    offset = base.agg(F.max("vec_id")).first()[0] + 1  # bounded: 1-row job
+    mx = base.agg(F.max("vec_id")).first()[0]  # bounded: 1-row job
+    if mx is None:  # empty corpus: nothing to plant; band join emits 0 rows
+        return base
+    offset = mx + 1
     planted = base.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
         "label",

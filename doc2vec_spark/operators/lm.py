@@ -181,6 +181,17 @@ def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = scoped_cache(raw)  # read by the total AND the scoring join
     t_target = tgt.agg(F.sum("tc")).first()[0]  # bounded 1-row scalars
     t_raw = raw.agg(F.sum("rc")).first()[0]
+    if t_raw is None:  # empty corpus: oracle's per_doc CTE emits 0 rows
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, s_target long, s_raw long, "
+            "importance_ppm long",
+        )
+    # No in-domain exemplar docs: the oracle's tt total is NULL, so every
+    # importance_ppm is NULL — mirror that instead of crashing on int(None).
+    target_total = (
+        F.lit(float(t_target)) if t_target is not None else F.lit(None).cast("double")
+    )
     per_doc = (
         toks.join(tgt, "tok", "left")
         .join(raw, "tok")
@@ -199,7 +210,7 @@ def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(
             F.lit(1000000.0)
             * ((F.col("s_target") + 1) * F.lit(1.0) * F.lit(int(t_raw)))
-            / ((F.col("s_raw") + 1) * F.lit(1.0) * F.lit(int(t_target)))
+            / ((F.col("s_raw") + 1) * F.lit(1.0) * target_total)
         )
         .cast("long")
         .alias("importance_ppm"),
