@@ -26,6 +26,10 @@ centroids beside the sync watermarks:
   if current, else train on the committed chunks and persist. A new
   SparkSession (or process) loads without retraining; a rewrite under the
   SAME logical plan retrains because the token moved.
+- ``ensure_pq_codebooks`` (round 16) is the product-quantizer sibling:
+  the M x K x SUB trained codeword floats persist under the same version
+  token beside the coarse centroids, so a fresh session serves trained-PQ
+  ADC scans without re-paying the per-subspace Lloyd loop.
 
 At 100 TB the payload is still k * dim floats (tiny, driver-side); the
 expensive artifact it guards — the per-row cell assignment — is persisted
@@ -43,10 +47,37 @@ from pyspark.sql import DataFrame
 from doc2vec_spark.store import ChunkStore, SyncStateStore
 
 INDEX_KEY = "ann_index"
+PQ_KEY = "ann_pq_codebooks"
+
+# cell ids are packed into the assignment fold as (d6 * 100 + cell) % 100
+# (serving.cell_assignment_col / _d6_int callers), so any id outside
+# [0, CELL_ID_CAP) would silently COLLIDE with another cell after the mod —
+# a persisted payload carrying one must read as absent, never load.
+CELL_ID_CAP = 100
 
 
 def _token_str(version_token: tuple) -> str:
     return repr(version_token)
+
+
+def _finite_floats(v) -> list[float] | None:
+    """v as a non-empty list of finite numbers, else None. Guards the
+    value level the r14 shape checks missed: {"0": "abc"} passes
+    list("abc") and only crashes later inside cell_assignment_col."""
+    import math
+
+    if not isinstance(v, (list, tuple)) or not v:
+        return None
+    out = []
+    for x in v:
+        # bool is an int subclass but never a legitimate centroid component
+        if isinstance(x, bool) or not isinstance(x, (int, float)):
+            return None
+        fx = float(x)
+        if not math.isfinite(fx):
+            return None
+        out.append(fx)
+    return out
 
 
 class AnnIndexStore:
@@ -83,13 +114,68 @@ class AnnIndexStore:
         cents = payload.get("centroids")
         if not isinstance(cents, dict):
             return None
-        try:
-            return {int(c): list(v) for c, v in cents.items()}
-        except (TypeError, ValueError):
+        out: dict[int, list[float]] = {}
+        for c, v in cents.items():
+            try:
+                cell = int(c)
+            except (TypeError, ValueError):
+                return None
+            # value-level validation (ADVICE r14): finite numeric components
+            # and in-range cell ids, or the whole payload reads as absent
+            vec = _finite_floats(v)
+            if vec is None or not 0 <= cell < CELL_ID_CAP:
+                return None
+            out[cell] = vec
+        return out or None
+
+    def save_pq(
+        self, codebooks: list[list[list[float]]], version_token: tuple
+    ) -> None:
+        """Persist trained PQ codebooks ([m][j][sub] floats) under the same
+        commit-version discipline as the coarse centroids. The reference
+        persists its entire index structure in the store
+        (database.ts:36-52); splitting the key lets a deployment train the
+        two quantizers in either order while one atomic-replace KV holds
+        both."""
+        payload = {
+            "version": _token_str(version_token),
+            "codebooks": [[list(w) for w in m_] for m_ in codebooks],
+        }
+        self.kv.put(PQ_KEY, json.dumps(payload))
+
+    def load_pq(self, version_token: tuple) -> list[list[list[float]]] | None:
+        """The persisted PQ codebooks, or None when absent, stale-by-commit,
+        or value-corrupt (same corrupt-reads-as-absent contract as load)."""
+        raw = self.kv.get(PQ_KEY)
+        if raw is None:
             return None
+        try:
+            payload = json.loads(raw)
+        except ValueError:
+            return None
+        if not isinstance(payload, dict):
+            return None
+        if payload.get("version") != _token_str(version_token):
+            return None
+        cbs = payload.get("codebooks")
+        if not isinstance(cbs, list) or not cbs:
+            return None
+        out: list[list[list[float]]] = []
+        for m_ in cbs:
+            if not isinstance(m_, list) or not m_:
+                return None
+            words = []
+            for w in m_:
+                vec = _finite_floats(w)
+                if vec is None:
+                    return None
+                words.append(vec)
+            out.append(words)
+        return out
 
     def invalidate(self) -> None:
         self.kv.delete(INDEX_KEY)
+        self.kv.delete(PQ_KEY)
 
 
 def ensure_chunk_ann_index(
@@ -102,14 +188,22 @@ def ensure_chunk_ann_index(
     committed chunks (or the caller's ``chunks`` frame over them) and
     persist under that version token. Pass the result as ``index=`` to
     serving.query_documentation_routed — the plan-hash memo is then never
-    consulted, so rewrites can't serve stale centroids."""
+    consulted, so rewrites can't serve stale centroids.
+
+    A caller-supplied ``chunks`` frame has no verifiable derivation from the
+    store's committed data (it may be filtered, stale, or unrelated), so it
+    BYPASSES persistence entirely — trains fresh, loads nothing, saves
+    nothing (ADVICE r14: a mispaired index persisted under the committed
+    token would become "current" for every later session)."""
     from doc2vec_spark.operators.serving import build_chunk_ann_index
 
+    if chunks is not None:
+        return build_chunk_ann_index(chunks)
     token = store.version_token()
     cached = index_store.load(token)
     if cached is not None:
         return cached
-    index = build_chunk_ann_index(store.read() if chunks is None else chunks)
+    index = build_chunk_ann_index(store.read())
     # empty store -> empty index: return it (the routed API falls through
     # to the exact scan on a falsy index) but persist nothing — there is
     # no training to reuse, and a later non-empty sync must retrain anyway
@@ -123,3 +217,33 @@ def ensure_chunk_ann_index(
     if store.version_token() == token:
         index_store.save(index, token)
     return index
+
+
+def ensure_pq_codebooks(
+    store: ChunkStore,
+    index_store: AnnIndexStore,
+    chunks: DataFrame | None = None,
+) -> list[list[list[float]]]:
+    """The PQ sibling of ensure_chunk_ann_index (the seam
+    serving.train_chunk_pq_codebooks documents): return the persisted
+    codebooks if trained on the store's CURRENT committed version, else
+    train on the committed chunks and persist under that version token.
+    Same contracts: caller-supplied frames bypass persistence, empty
+    corpora return [] without persisting, and the TOCTOU re-check refuses
+    to pair fresh codebooks with a token that moved during training. A new
+    SparkSession serves trained-PQ without re-paying the per-subspace
+    Lloyd loop (the BENCH_r15 8.6 s first-rep stall)."""
+    from doc2vec_spark.operators.serving import train_chunk_pq_codebooks
+
+    if chunks is not None:
+        return train_chunk_pq_codebooks(chunks)
+    token = store.version_token()
+    cached = index_store.load_pq(token)
+    if cached is not None:
+        return cached
+    cbs = train_chunk_pq_codebooks(store.read())
+    if not cbs:
+        return cbs
+    if store.version_token() == token:
+        index_store.save_pq(cbs, token)
+    return cbs

@@ -144,6 +144,19 @@ def train_kmeans(
     key = (sf_dir, fp_key, KM_K, KM_ITERS) if own and fp_key else None
     if key is not None and key in _TRAIN_MEMO:
         return {c: list(v) for c, v in _TRAIN_MEMO[key].items()}
+    # cross-session disk tier (train_cache.py): same key plus this module's
+    # spec digest, so a code edit that could change the trained centroids
+    # retrains while an unchanged algorithm over unchanged data loads in
+    # O(k*dim) — a fresh bench/driver session skips the Lloyd jobs entirely
+    if key is not None:
+        from doc2vec_spark import train_cache
+
+        disk_key = key + (train_cache.module_digest(__name__),)
+        hit = train_cache.get("km", disk_key)
+        if isinstance(hit, dict) and hit:
+            cents = {int(c): [int(x) for x in v] for c, v in hit.items()}
+            _TRAIN_MEMO[key] = {c: list(v) for c, v in cents.items()}
+            return cents
     e = _sample_e(spark, sf_dir, frame).cache()
     try:
         cents: dict[int, list[int]] = {
@@ -189,6 +202,13 @@ def train_kmeans(
             cents = {c: new.get(c, cents[c]) for c in sorted(cents)}
         if key is not None:
             _TRAIN_MEMO[key] = {c: list(v) for c, v in cents.items()}
+            from doc2vec_spark import train_cache
+
+            train_cache.put(
+                "km",
+                key + (train_cache.module_digest(__name__),),
+                {str(c): list(v) for c, v in cents.items()},
+            )
         return cents
     finally:
         e.unpersist(False)

@@ -503,6 +503,18 @@ def train_pq_codebooks(
     if key is not None and key in _PQ_TRAIN_MEMO:
         # deep copy: callers may mutate the nested lists (the FPS-memo lesson)
         return [[list(w) for w in m_] for m_ in _PQ_TRAIN_MEMO[key]]
+    # cross-session disk tier (train_cache.py, the kmeans.py discipline):
+    # fingerprint + spec-digest keyed, so a fresh session serves trained-PQ
+    # without re-paying the per-subspace Lloyd loop (BENCH_r15's 8.6 s stall)
+    if key is not None:
+        from doc2vec_spark import train_cache
+
+        disk_key = key + (train_cache.module_digest(__name__),)
+        hit = train_cache.get("pq", disk_key)
+        if isinstance(hit, list) and hit:
+            cbs = [[[float(c) for c in w] for w in m_] for m_ in hit]
+            _PQ_TRAIN_MEMO[key] = [[list(w) for w in m_] for m_ in cbs]
+            return cbs
 
     rows = _sample_e(spark, sf_dir, frame).select("vec_id", "v").collect()
     rows.sort(
@@ -540,6 +552,13 @@ def train_pq_codebooks(
     out = [[[float(c) / PQ_FP for c in w] for w in cw[m]] for m in range(PQ_M)]
     if key is not None:
         _PQ_TRAIN_MEMO[key] = [[list(w) for w in m_] for m_ in out]
+        from doc2vec_spark import train_cache
+
+        train_cache.put(
+            "pq",
+            key + (train_cache.module_digest(__name__),),
+            [[list(w) for w in m_] for m_ in out],
+        )
     return out
 
 

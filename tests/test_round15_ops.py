@@ -1,7 +1,11 @@
 """Round-15 behavioral tests: the domain/embedding_native degenerate
 guards (VERDICT r14 "What's missing" #1 — empty tenant / missing probe doc
-must return first-class empty results, mcp/src/server.ts:100-107), the
-unigram pk_map broadcast fix, and PQ-codebook persistence.
+must return first-class empty results, mcp/src/server.ts:100-107) and the
+hybrid-oracle shape assertion. The unigram broadcast rewrite is covered by
+the registry parity harness (test_parity.py at two SFs pins the hash) and
+the broadcast-plan assertion in test_round16_ops.py; PQ-codebook
+persistence tests live in test_round16_ops.py beside the store API they
+exercise (ADVICE r15).
 """
 
 from __future__ import annotations
