@@ -93,6 +93,28 @@ def detail_file_and_metric(only: str | None) -> tuple[str, str]:
     return "BENCH_DETAIL.json", "headline_queries_total"
 
 
+# Calibration-ceiling ledger gate (VERDICT r14/r15): the fixed environment
+# probe's healthy median on this host is ~0.26-0.30 s; r13's 12.19 s core was
+# cut at ~0.26 while r14/r15 ran inside ~0.32-0.35 windows. A full-registry
+# record cut in a degraded window must not OVERWRITE the canonical
+# BENCH_DETAIL.json / BENCH_ROTATION.json ledgers — it parks verbatim in the
+# sidecar below (nothing is hidden; the stdout contract line still prints),
+# and the rotation ledger does not advance (those queries' timings never
+# entered the canonical record, so they stay due).
+CAL_CEILING = 0.31
+DEGRADED_SIDECAR = "BENCH_DETAIL_DEGRADED.json"
+
+
+def is_degraded_window(cal_median: float, ceiling: float | None = None) -> bool:
+    """True when a full-registry run's calibration median exceeds the
+    ceiling: park its detail in DEGRADED_SIDECAR, freeze the ledgers.
+    SPARK_GRAFT_CAL_CEILING overrides (0 disables — e.g. a deliberately
+    loaded rehearsal host)."""
+    if ceiling is None:
+        ceiling = float(os.environ.get("SPARK_GRAFT_CAL_CEILING", CAL_CEILING))
+    return ceiling > 0 and cal_median > ceiling
+
+
 def is_stall(t: float, lo: float) -> bool:
     """A rep is a stall when it exceeds STALL_FACTOR x the query's fastest
     rep by more than the absolute floor (which keeps 0.1 s-class queries
@@ -345,11 +367,27 @@ def main() -> None:
         detail.pop("core_headline", None)
     else:
         detail["rotation"] = rotated
+    cal_median = round(median_of(sorted(calibration)), 3)
+    degraded = not only and is_degraded_window(cal_median)
+    if degraded:
+        detail_name = DEGRADED_SIDECAR
+        detail["degraded"] = {
+            "calibration_median": cal_median,
+            "ceiling": float(os.environ.get("SPARK_GRAFT_CAL_CEILING", CAL_CEILING)),
+            "note": "host window degraded; canonical BENCH_DETAIL/ROTATION ledgers frozen",
+        }
+        print(
+            f"# CALIBRATION ceiling: probe median {cal_median:.3f}s > "
+            f"{float(os.environ.get('SPARK_GRAFT_CAL_CEILING', CAL_CEILING)):.2f}s — "
+            f"detail parked in {DEGRADED_SIDECAR}; BENCH_DETAIL.json and the "
+            "rotation ledger were NOT overwritten",
+            file=sys.stderr,
+        )
     try:
         (Path(_REPO) / detail_name).write_text(json.dumps(detail, indent=1))
     except OSError as exc:  # never let the side file kill the contract line
         print(f"# {detail_name} write failed: {exc}", file=sys.stderr)
-    if not only:
+    if not only and not degraded:
         # advance the rotation ledger: everything timed this run is marked
         # with the new run counter (committed to git so rounds accumulate)
         run_no = int(ledger.get("run", 0)) + 1

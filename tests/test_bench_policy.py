@@ -107,3 +107,21 @@ def test_rotation_pick_least_recently_benched_first():
     assert bench.rotation_pick(cands, last, n=2) == ["d", "e"]
     # empty ledger: pure name order
     assert bench.rotation_pick(cands, {}, n=3) == ["a", "b", "c"]
+
+
+def test_calibration_ceiling_gate(monkeypatch):
+    """VERDICT r14/r15: a full-registry run whose environment probe median
+    exceeds the ceiling must park in the degraded sidecar instead of
+    overwriting the canonical BENCH_DETAIL/ROTATION ledgers."""
+    monkeypatch.delenv("SPARK_GRAFT_CAL_CEILING", raising=False)
+    assert bench.is_degraded_window(0.32)
+    assert not bench.is_degraded_window(0.31)  # at the ceiling is fine
+    assert not bench.is_degraded_window(0.26)
+    # explicit ceiling argument wins
+    assert bench.is_degraded_window(0.28, ceiling=0.25)
+    # env override, including 0 = disabled (deliberately loaded host)
+    monkeypatch.setenv("SPARK_GRAFT_CAL_CEILING", "0.5")
+    assert not bench.is_degraded_window(0.4)
+    monkeypatch.setenv("SPARK_GRAFT_CAL_CEILING", "0")
+    assert not bench.is_degraded_window(9.9)
+    assert bench.DEGRADED_SIDECAR != bench.detail_file_and_metric(None)[0]
