@@ -353,9 +353,9 @@ def main() -> None:
         "notes": {
             "doc_knn_query_documentation": "embeds JVM-native since r11 (was Arrow UDF)",
             "doc_knn_query_native": "exercises the Arrow-UDF provider seam since r11 (was native)",
-            "ann_ivf_search_trained": "first rep pays one-time quantizer training; later reps are memoized",
-            "doc_knn_query_routed": "first rep pays one-time quantizer training on the IVF route; later reps are memoized",
-            "ann_ivf_pq_search_trained": "first rep pays one-time quantizer + codebook training; later reps are memoized (the r13 6.95 s stall was this)",
+            "ann_ivf_search_trained": "since r16 trained centroids load from the train_cache disk tier — no first-rep training (was the r13-r15 first-rep stall)",
+            "doc_knn_query_routed": "since r16 the IVF route's trained centroids load from the train_cache disk tier — no first-rep training",
+            "ann_ivf_pq_search_trained": "since r16 coarse centroids + PQ codebooks load from the train_cache disk tier — no first-rep training (the r13 6.95 s / r15 8.6 s stalls were this)",
         },
     }
     # Subset runs (SPARK_GRAFT_BENCH_ONLY — scaling rehearsals, one-off

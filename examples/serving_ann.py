@@ -90,7 +90,11 @@ def main() -> None:
     #    retraining, and watch a rewrite invalidate it by commit
     import tempfile
 
-    from doc2vec_spark.index_store import AnnIndexStore, ensure_chunk_ann_index
+    from doc2vec_spark.index_store import (
+        AnnIndexStore,
+        ensure_chunk_ann_index,
+        ensure_pq_codebooks,
+    )
     from doc2vec_spark.store import ChunkStore
     from doc2vec_spark.sync import sync_documents
 
@@ -101,11 +105,20 @@ def main() -> None:
         idx1 = ensure_chunk_ann_index(store, ixs)  # trains + persists
         idx2 = ensure_chunk_ann_index(store, ixs)  # loads, no retraining
         print(f"persisted index reload identical: {idx1 == idx2}")
+        # the PQ codebooks persist under the SAME version token (round 16):
+        # a deployment trains both quantizers once per sync and every later
+        # session serves trained-PQ ADC scans without the Lloyd loop
+        cbs1 = ensure_pq_codebooks(store, ixs)  # trains + persists
+        cbs2 = ensure_pq_codebooks(store, ixs)  # loads, no retraining
+        print(f"persisted PQ codebooks reload identical: {cbs1 == cbs2}")
         sync_documents(  # rewrite -> version token moves -> index stale
             spark, store,
             docs.withColumn("markdown", F.concat(F.col("markdown"), F.lit(" updated"))),
         )
         print(f"stale after rewrite: {ixs.load(store.version_token()) is None}")
+        print(
+            f"PQ stale after rewrite: {ixs.load_pq(store.version_token()) is None}"
+        )
 
     chunks.unpersist()
 

@@ -28,7 +28,16 @@ echo "== [2/4] full pytest (red aborts the snapshot) =="
 python -m pytest tests/ -q
 
 echo "== [3/4] bench =="
-python bench.py
+# SPARK_GRAFT_SNAPSHOT_SKIP_BENCH=1: sanctioned ONLY when a full-registry
+# bench already ran at this exact HEAD earlier in the session (a second
+# 30-minute run adds no information and re-rolls the calibration dice —
+# the r16 calibration-ceiling gate makes re-rolls ledger-safe but still
+# wasteful). The caller asserts that precondition by setting the flag.
+if [ "${SPARK_GRAFT_SNAPSHOT_SKIP_BENCH:-0}" = "1" ]; then
+    echo "skipped: full-registry bench already recorded at this HEAD"
+else
+    python bench.py
+fi
 
 echo "== [4/4] commit =="
 git add -A
