@@ -105,13 +105,32 @@ CAL_CEILING = 0.31
 DEGRADED_SIDECAR = "BENCH_DETAIL_DEGRADED.json"
 
 
+def cal_ceiling() -> float:
+    """SPARK_GRAFT_CAL_CEILING parsed defensively: an empty or malformed
+    value falls back to the default with a warning instead of raising a
+    ValueError AFTER the 30-minute timed run and losing the whole record
+    (round-16 review finding)."""
+    raw = os.environ.get("SPARK_GRAFT_CAL_CEILING")
+    if raw is None:
+        return CAL_CEILING
+    try:
+        return float(raw)
+    except ValueError:
+        print(
+            f"# WARN: unparseable SPARK_GRAFT_CAL_CEILING={raw!r}; "
+            f"using default {CAL_CEILING}",
+            file=sys.stderr,
+        )
+        return CAL_CEILING
+
+
 def is_degraded_window(cal_median: float, ceiling: float | None = None) -> bool:
     """True when a full-registry run's calibration median exceeds the
     ceiling: park its detail in DEGRADED_SIDECAR, freeze the ledgers.
     SPARK_GRAFT_CAL_CEILING overrides (0 disables — e.g. a deliberately
     loaded rehearsal host)."""
     if ceiling is None:
-        ceiling = float(os.environ.get("SPARK_GRAFT_CAL_CEILING", CAL_CEILING))
+        ceiling = cal_ceiling()
     return ceiling > 0 and cal_median > ceiling
 
 
@@ -373,12 +392,12 @@ def main() -> None:
         detail_name = DEGRADED_SIDECAR
         detail["degraded"] = {
             "calibration_median": cal_median,
-            "ceiling": float(os.environ.get("SPARK_GRAFT_CAL_CEILING", CAL_CEILING)),
+            "ceiling": cal_ceiling(),
             "note": "host window degraded; canonical BENCH_DETAIL/ROTATION ledgers frozen",
         }
         print(
             f"# CALIBRATION ceiling: probe median {cal_median:.3f}s > "
-            f"{float(os.environ.get('SPARK_GRAFT_CAL_CEILING', CAL_CEILING)):.2f}s — "
+            f"{cal_ceiling():.2f}s — "
             f"detail parked in {DEGRADED_SIDECAR}; BENCH_DETAIL.json and the "
             "rotation ledger were NOT overwritten",
             file=sys.stderr,

@@ -154,9 +154,16 @@ def train_kmeans(
         disk_key = key + (train_cache.module_digest(__name__),)
         hit = train_cache.get("km", disk_key)
         if isinstance(hit, dict) and hit:
-            cents = {int(c): [int(x) for x in v] for c, v in hit.items()}
-            _TRAIN_MEMO[key] = {c: list(v) for c, v in cents.items()}
-            return cents
+            # value-corrupt entries read as absent -> fall through to
+            # retrain (the index_store._finite_floats contract; a hand
+            # edit or interrupted write must never crash the query path)
+            try:
+                cents = {int(c): [int(x) for x in v] for c, v in hit.items()}
+            except (TypeError, ValueError):
+                cents = None
+            if cents and all(v for v in cents.values()):
+                _TRAIN_MEMO[key] = {c: list(v) for c, v in cents.items()}
+                return cents
     e = _sample_e(spark, sf_dir, frame).cache()
     try:
         cents: dict[int, list[int]] = {

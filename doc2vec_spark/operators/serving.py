@@ -512,9 +512,15 @@ def train_pq_codebooks(
         disk_key = key + (train_cache.module_digest(__name__),)
         hit = train_cache.get("pq", disk_key)
         if isinstance(hit, list) and hit:
-            cbs = [[[float(c) for c in w] for w in m_] for m_ in hit]
-            _PQ_TRAIN_MEMO[key] = [[list(w) for w in m_] for m_ in cbs]
-            return cbs
+            # value-corrupt entries read as absent -> retrain (kmeans.py's
+            # disk-hit contract)
+            try:
+                cbs = [[[float(c) for c in w] for w in m_] for m_ in hit]
+            except (TypeError, ValueError):
+                cbs = None
+            if cbs and all(m_ and all(w for w in m_) for m_ in cbs):
+                _PQ_TRAIN_MEMO[key] = [[list(w) for w in m_] for m_ in cbs]
+                return cbs
 
     rows = _sample_e(spark, sf_dir, frame).select("vec_id", "v").collect()
     rows.sort(

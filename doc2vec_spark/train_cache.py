@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import lru_cache
 from pathlib import Path
 
 CACHE_ENV = "SPARK_GRAFT_TRAIN_CACHE"
@@ -50,12 +51,27 @@ def _cache_path() -> Path | None:
     return _DEFAULT
 
 
-def module_digest(dotted: str) -> str:
-    """Spec digest of a first-party module + its transitive import closure
-    (the same digest the driver-stamp discipline hashes)."""
+@lru_cache(maxsize=1)
+def _digests() -> tuple[dict[str, str], str]:
+    """(closure digests, universal stamp), computed ONCE per process —
+    _closure_digests itself re-hashes every module's closure per call."""
     from doc2vec_spark import spec_hashes
 
-    return spec_hashes._closure_digests().get(dotted, dotted)
+    return spec_hashes._closure_digests(), spec_hashes.universal_hash()
+
+
+@lru_cache(maxsize=None)
+def module_digest(dotted: str) -> str:
+    """Spec digest of a first-party module + its transitive import closure,
+    FOLDED WITH the universal-module stamp. Closure digests deliberately
+    exclude UNIVERSAL_MODULES (tables/session/spec/caching) so a loader
+    edit doesn't reopen all 200 driver stamps — the registry compensates
+    with the separate global stamp. A disk cache has no such second
+    channel, and tables.py shapes every training input, so the key must
+    carry both or a loader edit would serve stale artifacts (round-16
+    review finding)."""
+    closures, universal = _digests()
+    return closures.get(dotted, dotted) + ":" + universal
 
 
 def _load_all(path: Path) -> dict:

@@ -125,3 +125,9 @@ def test_calibration_ceiling_gate(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CAL_CEILING", "0")
     assert not bench.is_degraded_window(9.9)
     assert bench.DEGRADED_SIDECAR != bench.detail_file_and_metric(None)[0]
+    # malformed/empty env must fall back to the default instead of raising
+    # a ValueError AFTER the 30-minute run and losing the record
+    for bad in ("", "0,31", "abc"):
+        monkeypatch.setenv("SPARK_GRAFT_CAL_CEILING", bad)
+        assert bench.cal_ceiling() == bench.CAL_CEILING
+        assert bench.is_degraded_window(0.32) and not bench.is_degraded_window(0.26)

@@ -285,16 +285,53 @@ def test_disk_tier_key_carries_the_spec_digest(tmp_path, monkeypatch):
 
     monkeypatch.setenv(train_cache.CACHE_ENV, str(tmp_path / "tc.json"))
     d1 = train_cache.module_digest("doc2vec_spark.operators.kmeans")
-    # the digest is the spec-hash closure digest — the exact quantity the
-    # driver-stamp discipline reopens on, so any edit that reopens the
-    # trained queries' stamps also invalidates their disk-tier entries
+    # the digest folds the spec-hash closure digest (what the driver-stamp
+    # discipline reopens on) WITH the universal-module stamp: closure
+    # digests deliberately exclude tables/session/spec/caching, but a
+    # loader edit changes training inputs, so the disk key must move too
     from doc2vec_spark import spec_hashes
 
-    assert d1 == spec_hashes._closure_digests()["doc2vec_spark.operators.kmeans"]
+    closure = spec_hashes._closure_digests()["doc2vec_spark.operators.kmeans"]
+    assert d1 == closure + ":" + spec_hashes.universal_hash()
     train_cache.put("km", ("sf", "fp", d1), {"0": [1]})
     assert train_cache.get("km", ("sf", "fp", "other-digest")) is None
-    # unknown module: digest falls back to the dotted name (still a key)
-    assert train_cache.module_digest("not.a.module") == "not.a.module"
+    # unknown module: digest falls back to the dotted name (still a key,
+    # still universal-stamped)
+    assert train_cache.module_digest("not.a.module").startswith("not.a.module:")
+
+
+def test_value_corrupt_disk_entries_fall_through_to_retrain(
+    spark, tmp_path, monkeypatch
+):
+    """A valid-JSON cache entry with wrong-typed values must read as
+    absent (retrain), never raise into the query path (round-16 review:
+    the index_store value-validation lesson applies to this tier too)."""
+    from doc2vec_spark import train_cache
+    from doc2vec_spark.operators import kmeans as km
+    from doc2vec_spark.operators import serving as sv
+
+    monkeypatch.setenv(train_cache.CACHE_ENV, str(tmp_path / "tc.json"))
+    monkeypatch.setattr(km, "_TRAIN_MEMO", {})
+    monkeypatch.setattr(sv, "_PQ_TRAIN_MEMO", {})
+    kd = train_cache.module_digest("doc2vec_spark.operators.kmeans")
+    sd = train_cache.module_digest("doc2vec_spark.operators.serving")
+    from doc2vec_spark.operators.coreset import dataset_fingerprint
+    from doc2vec_spark.operators.kmeans import KM_ITERS, KM_K
+    from doc2vec_spark.operators.similarity import PQ_K, PQ_M
+
+    fp = dataset_fingerprint(SF_DIR)
+    km_key = (SF_DIR, fp, KM_K, KM_ITERS) + (kd,)
+    pq_key = (SF_DIR, fp, PQ_M, PQ_K, sv.PQ_TRAIN_ITERS) + (sd,)
+    for bad in ({"0": "abc"}, {"0": 5}, {"x": [1]}, {"0": []}):
+        train_cache.put("km", km_key, bad)
+        cents = km.train_kmeans(spark, SF_DIR)  # retrains, no crash
+        assert cents and all(isinstance(v[0], int) for v in cents.values())
+        monkeypatch.setattr(km, "_TRAIN_MEMO", {})
+    for bad in ("abc", [[]], [["ab"]], [[[1, "x"]]], [5]):
+        train_cache.put("pq", pq_key, bad)
+        cbs = sv.train_pq_codebooks(spark, SF_DIR)  # retrains, no crash
+        assert cbs and isinstance(cbs[0][0][0], float)
+        monkeypatch.setattr(sv, "_PQ_TRAIN_MEMO", {})
 
 
 # ---------------------------------------------------------------------------
