@@ -17,7 +17,14 @@ rows.
 ``--mode noprobe`` is the third shape: documents lacks the doc_id 0/7
 probe rows (the text/feature-search query anchors).
 
-Usage:  python scripts/degenerate_sweep.py [--mode empty|noquery|noprobe] [--only n1,n2]
+``--mode blanktext`` is the fourth shape (round 16): every documents.text
+becomes degenerate — "" / spaces / mixed whitespace / one char, cycling by
+doc_id — while the rows themselves (and the probe anchors) remain. A real
+crawl always contains blank documents; the shape hammers the token-explode
+paths where Spark's split/trim and DuckDB's regexp_split_to_array can
+disagree on empty-string semantics.
+
+Usage:  python scripts/degenerate_sweep.py [--mode empty|noquery|noprobe|blanktext] [--only n1,n2]
 Output: one line per divergence + a JSON summary line; exit 0 iff every
 query either matches or is a documented divergence (DOCUMENTED below).
 """
@@ -69,13 +76,28 @@ def build_dataset(mode: str) -> Path:
 
                 tbl = tbl.filter(pc.field("vec_id") != 0)
             pq.write_table(tbl, dst)
-        else:  # noprobe: full data, documents lacks the doc_id 0/7 probe rows
+        elif mode == "noprobe":  # full data, documents lacks the doc_id 0/7 probe rows
             tbl = pq.read_table(src)
             if t == "documents":
                 import pyarrow.compute as pc
 
                 tbl = tbl.filter(
                     ~pc.is_in(pc.field("doc_id"), value_set=__import__("pyarrow").array([0, 7]))
+                )
+            pq.write_table(tbl, dst)
+        else:  # blanktext: rows intact, every documents.text degenerate
+            tbl = pq.read_table(src)
+            if t == "documents":
+                import pyarrow as pa
+
+                ids = tbl.column("doc_id").to_pylist()
+                cycle = ["", "   ", " \n\t ", "x"]
+                blank = pa.array(
+                    [cycle[i % len(cycle)] for i in ids],
+                    type=tbl.schema.field("text").type,
+                )
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("text"), "text", blank
                 )
             pq.write_table(tbl, dst)
     return out
@@ -107,7 +129,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="")
     ap.add_argument(
-        "--mode", default="empty", choices=("empty", "noquery", "noprobe")
+        "--mode", default="empty", choices=("empty", "noquery", "noprobe", "blanktext")
     )
     args = ap.parse_args()
 
