@@ -349,3 +349,58 @@ def test_unigram_segment_plans_a_broadcast_piece_cost_join(spark):
     # the old shape carried a vocab-sized map literal into codegen; the
     # plan string stays bounded now (no thousand-entry literal dump)
     assert len(plan) < 200_000
+
+
+def test_train_cache_round_trips_arbitrary_json_values(tmp_path, monkeypatch):
+    """Hypothesis property: any JSON-representable artifact survives
+    put/get bitwise (the disk tier's 'hit is bitwise the retrain result'
+    claim rests on exact JSON float round-trips)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from doc2vec_spark import train_cache
+
+    monkeypatch.setenv(train_cache.CACHE_ENV, str(tmp_path / "tc.json"))
+
+    leaf = st.one_of(
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=8),
+    )
+    value = st.one_of(
+        st.lists(st.lists(leaf, max_size=4), max_size=4),
+        st.dictionaries(st.text(max_size=6), st.lists(leaf, max_size=4), max_size=4),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(v=value, key_i=st.integers(min_value=0, max_value=5))
+    def prop(v, key_i):
+        train_cache.put("km", ("prop", key_i), v)
+        assert train_cache.get("km", ("prop", key_i)) == v
+
+    prop()
+
+
+def test_blanktext_dataset_builder_shape(tmp_path):
+    """The fourth sweep mode's corpus: same row count and schema as the
+    source, every text degenerate, probe anchors still present."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import degenerate_sweep as ds
+
+    out = ds.build_dataset("blanktext")
+    src = pq.read_table(f"{ds.SRC_SF}/documents.parquet")
+    new = pq.read_table(str(out / "documents.parquet"))
+    assert new.num_rows == src.num_rows
+    assert new.schema.equals(src.schema)
+    texts = set(new.column("text").to_pylist())
+    assert texts <= {"", "   ", " \n\t ", "x"}
+    ids = set(new.column("doc_id").to_pylist())
+    assert 0 in ids and 7 in ids  # probe anchors intact
+    # non-documents tables are byte-identical copies
+    emb_src = pq.read_table(f"{ds.SRC_SF}/embeddings.parquet")
+    emb_new = pq.read_table(str(out / "embeddings.parquet"))
+    assert emb_new.equals(emb_src)
