@@ -45,3 +45,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS chunks_new_t")
         spark.sql("DROP TABLE IF EXISTS chunks_old_t")
+
+
+def test_stamp_budget_tool_runs():
+    """The planning script stays importable and its report stays shaped:
+    pending count, per-module costs, and a window verdict for an edit set."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "stamp_budget.py"), "operators/lm.py"],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        timeout=120,
+    )
+    assert "pending now:" in out.stdout
+    assert "dependent queries" in out.stdout
+    assert "window:" in out.stdout
