@@ -50,20 +50,33 @@ def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_SQL = "'https://docs.example.com/' || source || '/p' || doc_id::VARCHAR || '.md'"
 
+# DuckDB's one-arg trim() strips ONLY spaces; the chunker strips Python
+# str.strip() whitespace (content-processor.ts buffer.strip()). The charset
+# form pins the oracle to ASCII whitespace — exactly str.strip() on the
+# ASCII driver corpus — so a '\n\t'-padded doc reads as blank on BOTH sides
+# (blanktext sweep divergence, fixed r17).
+_WS_SQL = r"e' \t\n\r\x0b\x0c'"
+_STRIP_TEXT_SQL = f"trim(text, {_WS_SQL})"
+
 
 @_register(
     "doc_chunk_pipeline",
     f"""
     SELECT {_URL_SQL} AS url,
-           sha256(trim(text)) AS chunk_id,
-           trim(text) AS content,
+           sha256({_STRIP_TEXT_SQL}) AS chunk_id,
+           {_STRIP_TEXT_SQL} AS content,
            'Introduction' AS section,
            0 AS chunk_index,
            1 AS total_chunks
     FROM documents
+    WHERE {_STRIP_TEXT_SQL} <> ''
     """,
     "F9 chunker via mapInPandas over the driver corpus; headingless short "
-    "docs have a closed-form expected output, pinning the UDF plumbing to SQL",
+    "docs have a closed-form expected output, pinning the UDF plumbing to SQL. "
+    "Whitespace-only docs are excluded on BOTH sides: the chunker (matching "
+    "content-processor.ts:2151-2336 — empty content is never indexed) emits "
+    "no chunk for them, and the oracle's trim-guard mirrors that (blanktext "
+    "sweep divergence, fixed r17).",
 )
 def doc_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.chunking import chunk_documents
@@ -81,8 +94,12 @@ def doc_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "doc_reconstruct_pages",
-    f"SELECT {_URL_SQL} AS url, trim(text) AS page FROM documents",
-    "T4 page reconstruction through the chunk pipeline (chunk -> ordered concat)",
+    f"SELECT {_URL_SQL} AS url, {_STRIP_TEXT_SQL} AS page FROM documents "
+    f"WHERE {_STRIP_TEXT_SQL} <> ''",
+    "T4 page reconstruction through the chunk pipeline (chunk -> ordered "
+    "concat). A whitespace-only doc yields no chunks (empty content is never "
+    "indexed), hence no page row — the oracle's trim-guard mirrors that "
+    "(blanktext sweep divergence, fixed r17).",
 )
 def doc_reconstruct_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.chunking import chunk_documents
@@ -203,8 +220,8 @@ def _doc_knn_oracle(k: int = 4) -> str:
         "sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
     )
     return f"""
-    WITH base AS (SELECT {_URL_SQL} AS url, sha256(trim(text)) AS chunk_id,
-                         trim(text) AS content, 0 AS chunk_index, doc_id
+    WITH base AS (SELECT {_URL_SQL} AS url, sha256({_STRIP_TEXT_SQL}) AS chunk_id,
+                         {_STRIP_TEXT_SQL} AS content, 0 AS chunk_index, doc_id
                   FROM documents),
     qc AS (SELECT {components_sql('text')} AS comps FROM documents WHERE doc_id = 7),
     qv AS (SELECT {vector_sql('comps')} AS v FROM qc),
@@ -214,7 +231,7 @@ def _doc_knn_oracle(k: int = 4) -> str:
     scored AS (SELECT url, chunk_id, chunk_index, {dist} AS dist FROM ev, qv)
     SELECT url, chunk_id, chunk_index,
            {sql_round('dist', 6)} AS distance
-    FROM scored ORDER BY dist, chunk_id LIMIT {k}
+    FROM scored ORDER BY dist, chunk_id, url, chunk_index LIMIT {k}
     """
 
 
@@ -275,7 +292,13 @@ def _hybrid_oracle() -> str:
     # q is a 0-or-1-row CTE (not a scalar subquery): a missing probe doc
     # empties every downstream CTE through the cross joins, so the oracle
     # emits 0 rows — the engine's empty-guard contract (empty results are
-    # first-class, mcp/src/server.ts:100-107) instead of NULL-token fusion
+    # first-class, mcp/src/server.ts:100-107) instead of NULL-token fusion.
+    # LIMIT 1 (r17, ADVICE r15 #3): on a malformed corpus with a duplicated
+    # probe doc_id the unlimited CTE fanned out through every cross join and
+    # the fusion diverged SILENTLY (same row count, different values); the
+    # engine side takes .first(), so the oracle must be single-row too.
+    # doc_id uniqueness remains the data contract — this only pins the
+    # oracle's degenerate-input shape to the engine's.
     qtoks = "regexp_split_to_array(trim(text), '\\s+')[1:8]"
     dist = (
         "1.0 - list_sum(list_transform(range(0, 64), i -> "
@@ -285,7 +308,8 @@ def _hybrid_oracle() -> str:
     )
     return f"""
     WITH q AS (SELECT array_to_string(qt, ' ') AS qtext, qt AS qtoks
-               FROM (SELECT {qtoks} AS qt FROM documents WHERE doc_id = 7)),
+               FROM (SELECT {qtoks} AS qt FROM documents WHERE doc_id = 7
+                     ORDER BY doc_id LIMIT 1)),
     qc AS (SELECT {components_sql('qtext')} AS comps FROM q),
     qv AS (SELECT {vector_sql('comps')} AS v FROM qc),
     base AS (SELECT doc_id, trim(text) AS content,

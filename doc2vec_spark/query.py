@@ -47,10 +47,17 @@ def query_documentation(
         df = df.filter(has_extension(F.col("url"), list(extensions)))
     df = df.filter(F.trim(F.col("content")) != "")
     dist = cosine_distance(as_double_array(F.col("embedding")), lit_vector(qvec))
+    # Fully deterministic top-k: chunk_id is a content hash, so a corpus of
+    # duplicated content ties at identical (distance, chunk_id) and the cut
+    # would pick arbitrary urls (blanktext sweep, r16) — url + chunk_index
+    # complete a key that is unique per stored chunk, making the k-boundary
+    # well-defined under ties on every input.
     return (
         df.withColumn("distance", dist)
         .drop("embedding")  # P8: never ship the heavy column to the driver
-        .orderBy(F.asc("distance"), F.asc("chunk_id"))
+        .orderBy(
+            F.asc("distance"), F.asc("chunk_id"), F.asc("url"), F.asc("chunk_index")
+        )
         .limit(k)
     )
 
