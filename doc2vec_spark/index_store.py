@@ -53,31 +53,13 @@ PQ_KEY = "ann_pq_codebooks"
 # (serving.cell_assignment_col / _d6_int callers), so any id outside
 # [0, CELL_ID_CAP) would silently COLLIDE with another cell after the mod —
 # a persisted payload carrying one must read as absent, never load.
-CELL_ID_CAP = 100
+# r17: canonical home is train_cache.py — ONE validation discipline for
+# both persistence planes (ADVICE r16 #2); re-exported here for callers.
+from doc2vec_spark.train_cache import CELL_ID_CAP, finite_components as _finite_floats
 
 
 def _token_str(version_token: tuple) -> str:
     return repr(version_token)
-
-
-def _finite_floats(v) -> list[float] | None:
-    """v as a non-empty list of finite numbers, else None. Guards the
-    value level the r14 shape checks missed: {"0": "abc"} passes
-    list("abc") and only crashes later inside cell_assignment_col."""
-    import math
-
-    if not isinstance(v, (list, tuple)) or not v:
-        return None
-    out = []
-    for x in v:
-        # bool is an int subclass but never a legitimate centroid component
-        if isinstance(x, bool) or not isinstance(x, (int, float)):
-            return None
-        fx = float(x)
-        if not math.isfinite(fx):
-            return None
-        out.append(fx)
-    return out
 
 
 class AnnIndexStore:

@@ -156,12 +156,21 @@ def train_kmeans(
         if isinstance(hit, dict) and hit:
             # value-corrupt entries read as absent -> fall through to
             # retrain (the index_store._finite_floats contract; a hand
-            # edit or interrupted write must never crash the query path)
-            try:
-                cents = {int(c): [int(x) for x in v] for c, v in hit.items()}
-            except (TypeError, ValueError):
-                cents = None
-            if cents and all(v for v in cents.values()):
+            # edit or interrupted write must never crash the query path).
+            # r17: shared validators (ADVICE r16 #1/#2) — the old bare
+            # int() accepted numeric strings and crashed with
+            # OverflowError on JSON Infinity; cell ids are range-checked
+            # against the %100 packing cap so a persisted out-of-range id
+            # can never silently collide.
+            cents = {}
+            for c, v in hit.items():
+                ci = train_cache.cell_id(c)
+                comps = train_cache.integer_components(v)
+                if ci is None or comps is None:
+                    cents = None
+                    break
+                cents[ci] = comps
+            if cents:
                 _TRAIN_MEMO[key] = {c: list(v) for c, v in cents.items()}
                 return cents
     e = _sample_e(spark, sf_dir, frame).cache()

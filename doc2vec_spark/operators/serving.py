@@ -513,12 +513,21 @@ def train_pq_codebooks(
         hit = train_cache.get("pq", disk_key)
         if isinstance(hit, list) and hit:
             # value-corrupt entries read as absent -> retrain (kmeans.py's
-            # disk-hit contract)
-            try:
-                cbs = [[[float(c) for c in w] for w in m_] for m_ in hit]
-            except (TypeError, ValueError):
-                cbs = None
-            if cbs and all(m_ and all(w for w in m_) for m_ in cbs):
+            # disk-hit contract). r17: train_cache.finite_components
+            # (ADVICE r16 #2) — the old bare float() accepted numeric
+            # strings and non-finite values (JSON Infinity survives
+            # round-trip), serving a corrupt codebook instead of retraining.
+            cbs = []
+            for m_ in hit:
+                if not isinstance(m_, list) or not m_:
+                    cbs = None
+                    break
+                ws = [train_cache.finite_components(w) for w in m_]
+                if any(w is None for w in ws):
+                    cbs = None
+                    break
+                cbs.append(ws)
+            if cbs:
                 _PQ_TRAIN_MEMO[key] = [[list(w) for w in m_] for m_ in cbs]
                 return cbs
 

@@ -27,24 +27,105 @@ Training is deterministic (md5-ordered bounded sample, integer fixed-point
 arithmetic), so a hit is bitwise the retrain result. JSON float round-trips
 are exact (repr-based). Corrupt or unreadable cache reads as absent; writes
 are atomic-replace (tmp + os.replace) and never raise into the query path.
-The file lives at <repo>/.train_cache.json (gitignored — it is a host-local
-artifact, not a deliverable); SPARK_GRAFT_TRAIN_CACHE overrides the path,
-empty value disables the tier entirely.
+
+Layout (r17, VERDICT r16 #4): ONE FILE PER ENTRY under
+<repo>/.train_cache/ — the r16 single-JSON layout did read-merge-write of
+the whole store, so two concurrent writers could silently drop each
+other's entry (lost update, never corruption; a miss only costs a
+retrain). Per-entry files make every put an independent atomic
+os.replace: concurrent writers of different keys never interact, and
+same-key writers race only between bitwise-identical payloads (training
+is deterministic). Each file records its full logical key and is
+verified on read, so a hash-prefix collision reads as absent rather than
+serving the wrong artifact. Eviction unlinks oldest-mtime files beyond
+MAX_ENTRIES and swallows the already-deleted race. The directory is
+gitignored (host-local artifact, not a deliverable);
+SPARK_GRAFT_TRAIN_CACHE overrides the path, empty value disables the
+tier entirely.
+
+This module also owns the shared VALUE validators for disk-tier hit paths
+(ADVICE r16 #1/#2): the r16 consumers coerced with bare int()/float(),
+which accepted numeric strings, bools, and JSON ``Infinity`` (whose int()
+raises OverflowError — a corrupt entry crashed the query path the
+contract says must fall through to retrain). index_store.py reuses
+``finite_components``/``CELL_ID_CAP`` so both persistence planes enforce
+one discipline.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from functools import lru_cache
 from pathlib import Path
 
 CACHE_ENV = "SPARK_GRAFT_TRAIN_CACHE"
-_DEFAULT = Path(__file__).resolve().parent.parent / ".train_cache.json"
-MAX_ENTRIES = 32  # bounded: insertion-ordered, oldest evicted first
+_DEFAULT = Path(__file__).resolve().parent.parent / ".train_cache"
+MAX_ENTRIES = 32  # bounded: oldest-mtime evicted first
+
+# cell ids are packed into the assignment fold as (d6 * 100 + cell) % 100
+# (serving.cell_assignment_col / _d6_int callers), so any id outside
+# [0, CELL_ID_CAP) would silently COLLIDE with another cell after the mod —
+# a persisted payload carrying one must read as absent, never load.
+# index_store.py imports this constant (single source of truth).
+CELL_ID_CAP = 100
 
 
-def _cache_path() -> Path | None:
+def finite_components(v) -> list[float] | None:
+    """v as a non-empty list of finite numbers, else None. Rejects bools
+    (int subclass, never a legitimate component) and numeric STRINGS
+    (float("1e999") would otherwise smuggle non-finite values past JSON).
+    The value-level guard the r14 shape checks missed: {"0": "abc"} passes
+    list("abc") and only crashes later inside cell_assignment_col."""
+    import math
+
+    if not isinstance(v, (list, tuple)) or not v:
+        return None
+    out = []
+    for x in v:
+        if isinstance(x, bool) or not isinstance(x, (int, float)):
+            return None
+        fx = float(x)
+        if not math.isfinite(fx):
+            return None
+        out.append(fx)
+    return out
+
+
+def integer_components(v) -> list[int] | None:
+    """v as a non-empty list of true ints (the kmeans fixed-point payload
+    shape), else None. Stricter than finite_components: a float component
+    means the entry was not written by train_kmeans — read as absent
+    rather than truncating (JSON Infinity/NaN arrive as floats and are
+    rejected here by TYPE, closing the r16 OverflowError crash)."""
+    if not isinstance(v, (list, tuple)) or not v:
+        return None
+    out = []
+    for x in v:
+        if isinstance(x, bool) or not isinstance(x, int):
+            return None
+        out.append(x)
+    return out
+
+
+def cell_id(c) -> int | None:
+    """c as a valid packed-assignment cell id in [0, CELL_ID_CAP), else
+    None. Accepts ints and the all-digit strings JSON object keys arrive
+    as; rejects bools, signs, and out-of-range ids (which would silently
+    collide under the %100 packing)."""
+    if isinstance(c, bool):
+        return None
+    if isinstance(c, str):
+        if not c.isdigit():
+            return None
+        c = int(c)
+    if not isinstance(c, int) or not (0 <= c < CELL_ID_CAP):
+        return None
+    return c
+
+
+def _cache_dir() -> Path | None:
     v = os.environ.get(CACHE_ENV)
     if v is not None:
         return Path(v) if v else None
@@ -74,39 +155,72 @@ def module_digest(dotted: str) -> str:
     return closures.get(dotted, dotted) + ":" + universal
 
 
-def _load_all(path: Path) -> dict:
-    try:
-        payload = json.loads(path.read_text())
-    except (OSError, ValueError):
-        return {}
-    return payload if isinstance(payload, dict) else {}
+def _entry_path(root: Path, logical: str) -> Path:
+    return root / (hashlib.sha256(logical.encode()).hexdigest()[:32] + ".json")
 
 
 def get(kind: str, key: tuple):
     """The cached artifact for (kind, key), or None. ``key`` must already
     carry the dataset fingerprint and module digest — this tier only
-    stores/retrieves under its repr."""
-    path = _cache_path()
-    if path is None:
+    stores/retrieves under its repr. Any unreadable/corrupt/mismatched
+    entry reads as absent."""
+    root = _cache_dir()
+    if root is None:
         return None
-    return _load_all(path).get(f"{kind}:{key!r}")
+    logical = f"{kind}:{key!r}"
+    try:
+        payload = json.loads(_entry_path(root, logical).read_text())
+    except (OSError, ValueError):
+        return None
+    if not isinstance(payload, dict) or payload.get("k") != logical:
+        return None  # hand edit / hash-prefix collision: absent, never wrong
+    return payload.get("v")
 
 
 def put(kind: str, key: tuple, value) -> None:
-    """Persist atomically; evict oldest entries beyond MAX_ENTRIES. Any
-    I/O failure is swallowed — the cache is an optimization, never a
-    correctness dependency."""
-    path = _cache_path()
-    if path is None:
+    """Persist atomically: per-entry tmp file (pid-suffixed, so concurrent
+    writers never share a tmp) + os.replace. No read-merge-write of any
+    shared state, so a concurrent writer of another key can never be lost
+    (VERDICT r16 #4). Any I/O failure is swallowed — the cache is an
+    optimization, never a correctness dependency."""
+    root = _cache_dir()
+    if root is None:
         return
+    logical = f"{kind}:{key!r}"
     try:
-        entries = _load_all(path)
-        entries.pop(f"{kind}:{key!r}", None)  # re-insert at the tail
-        entries[f"{kind}:{key!r}"] = value
-        while len(entries) > MAX_ENTRIES:
-            entries.pop(next(iter(entries)))
-        tmp = path.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps(entries))
-        os.replace(tmp, path)
+        root.mkdir(parents=True, exist_ok=True)
+        dst = _entry_path(root, logical)
+        tmp = dst.with_suffix(f".tmp.{os.getpid()}")
+        tmp.write_text(json.dumps({"k": logical, "v": value}))
+        os.replace(tmp, dst)
+        _evict(root)
     except OSError:
         pass
+
+
+def _evict(root: Path) -> None:
+    """Unlink oldest-mtime entries beyond MAX_ENTRIES. Races with other
+    evictors/writers are benign: a vanished file is skipped; worst case a
+    concurrent toucher loses a just-written entry, costing one retrain."""
+    def mtime(p: Path) -> float:
+        try:
+            return p.stat().st_mtime
+        except OSError:  # vanished between glob and stat
+            return 0.0
+
+    entries = sorted((p for p in root.glob("*.json")), key=lambda p: (mtime(p), p.name))
+    for p in entries[: max(0, len(entries) - MAX_ENTRIES)]:
+        try:
+            p.unlink()
+        except OSError:
+            pass
+    # a writer that died between write_text and os.replace leaves a tmp
+    # file; reap stale ones (an ACTIVE writer's tmp is seconds old)
+    import time
+
+    for p in root.glob("*.tmp.*"):
+        if time.time() - mtime(p) > 3600.0:
+            try:
+                p.unlink()
+            except OSError:
+                pass
