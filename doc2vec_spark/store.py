@@ -390,7 +390,29 @@ class ChunkStore:
 
     def upsert_documents(self, chunks: DataFrame) -> None:
         """K1/K2: replace all chunks of every url present in ``chunks``,
-        keep everything else."""
+        keep everything else.
+
+        r17 ingest gate (VERDICT r16 #8): (url, chunk_index) is the chunk
+        primary key — the reference's url-keyed upsert makes duplicates
+        unrepresentable (database.ts:339-472), and the r16 dup-PK probe
+        showed duplicated keys fanning silently through 14 downstream
+        joins/groupings. Key uniqueness is a DATA CONTRACT enforced here,
+        at the one choke point every ingest passes through, instead of
+        dup-tolerant semantics in 200 queries. Cost: one batch-sized
+        aggregate (the batch scales with the sync, not the store)."""
+        dup = (
+            chunks.groupBy("url", "chunk_index")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(3)
+            .collect()
+        )
+        if dup:
+            sample = "; ".join(f"({r['url']}, {r['chunk_index']})" for r in dup)
+            raise ValueError(
+                "duplicate chunk keys in upsert batch — (url, chunk_index) "
+                f"must be unique per sync; first offenders: {sample}"
+            )
         self.apply(chunks, None)
 
     def delete_by_urls(self, urls: DataFrame) -> None:
