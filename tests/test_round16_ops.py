@@ -225,23 +225,29 @@ def test_valid_payload_still_loads(tmp_path):
 def test_train_cache_round_trip_and_eviction(tmp_path, monkeypatch):
     from doc2vec_spark import train_cache
 
-    path = tmp_path / "cache.json"
+    path = tmp_path / "cache"  # r17: a DIRECTORY of per-entry files
     monkeypatch.setenv(train_cache.CACHE_ENV, str(path))
     assert train_cache.get("km", ("a",)) is None
     train_cache.put("km", ("a",), {"0": [1, 2]})
     assert train_cache.get("km", ("a",)) == {"0": [1, 2]}
     # kind separates namespaces
     assert train_cache.get("pq", ("a",)) is None
-    # eviction keeps the most recent MAX_ENTRIES
+    # eviction keeps the most recent MAX_ENTRIES (oldest-mtime swept; give
+    # each entry a distinct mtime so "oldest" is filesystem-independent)
+    import os
+
+    os.utime(train_cache._entry_path(path, "km:('a',)"), (1, 1))
     for i in range(train_cache.MAX_ENTRIES + 5):
         train_cache.put("km", ("k", i), [i])
+        os.utime(train_cache._entry_path(path, f"km:{('k', i)!r}"), (i + 2, i + 2))
     assert train_cache.get("km", ("a",)) is None  # oldest evicted
     assert train_cache.get("km", ("k", train_cache.MAX_ENTRIES + 4)) == [
         train_cache.MAX_ENTRIES + 4
     ]
-    # corrupt file reads as absent, then heals on the next put
-    path.write_text("{not json")
-    assert train_cache.get("km", ("k", 3)) is None
+    # corrupt entry file reads as absent, then heals on the next put
+    key = ("k", train_cache.MAX_ENTRIES + 3)
+    train_cache._entry_path(path, f"km:{key!r}").write_text("{not json")
+    assert train_cache.get("km", key) is None
     train_cache.put("km", ("z",), [9])
     assert train_cache.get("km", ("z",)) == [9]
     # empty env value disables the tier
@@ -385,10 +391,11 @@ def test_blanktext_dataset_builder_shape(tmp_path):
     """The fourth sweep mode's corpus: same row count and schema as the
     source, every text degenerate, probe anchors still present."""
     import sys
+    from pathlib import Path
 
     import pyarrow.parquet as pq
 
-    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
     import degenerate_sweep as ds
 
     out = ds.build_dataset("blanktext")
