@@ -223,7 +223,8 @@ def _doc_knn_oracle(k: int = 4) -> str:
     WITH base AS (SELECT {_URL_SQL} AS url, sha256({_STRIP_TEXT_SQL}) AS chunk_id,
                          {_STRIP_TEXT_SQL} AS content, 0 AS chunk_index, doc_id
                   FROM documents),
-    qc AS (SELECT {components_sql('text')} AS comps FROM documents WHERE doc_id = 7),
+    qc AS (SELECT {components_sql('text')} AS comps FROM documents WHERE doc_id = 7
+           ORDER BY doc_id LIMIT 1),
     qv AS (SELECT {vector_sql('comps')} AS v FROM qc),
     ec AS (SELECT url, chunk_id, chunk_index, {components_sql('content')} AS comps
            FROM base WHERE trim(content) <> ''),
