@@ -259,3 +259,29 @@ def test_upsert_rejects_duplicate_chunk_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate chunk keys"):
         store.upsert_documents(dup)
     assert store.count() == n  # rejected batch ingested NOTHING
+
+
+def test_dupkey_dataset_builder_shape(tmp_path):
+    """The fifth sweep mode's corpus: the doc_id 0/7 rows appear exactly
+    twice, everything else once, non-documents tables byte-identical."""
+    import sys
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import degenerate_sweep as ds
+
+    out = ds.build_dataset("dupkey")
+    src = pq.read_table(f"{ds.SRC_SF}/documents.parquet")
+    new = pq.read_table(str(out / "documents.parquet"))
+    assert new.num_rows == src.num_rows + 2
+    assert new.schema.equals(src.schema)
+    from collections import Counter
+
+    counts = Counter(new.column("doc_id").to_pylist())
+    assert counts[0] == 2 and counts[7] == 2
+    assert all(v == 1 for k, v in counts.items() if k not in (0, 7))
+    emb_src = pq.read_table(f"{ds.SRC_SF}/embeddings.parquet")
+    emb_new = pq.read_table(str(out / "embeddings.parquet"))
+    assert emb_new.equals(emb_src)
