@@ -55,7 +55,11 @@ PQ_KEY = "ann_pq_codebooks"
 # a persisted payload carrying one must read as absent, never load.
 # r17: canonical home is train_cache.py — ONE validation discipline for
 # both persistence planes (ADVICE r16 #2); re-exported here for callers.
-from doc2vec_spark.train_cache import CELL_ID_CAP, finite_components as _finite_floats
+from doc2vec_spark.train_cache import (
+    CELL_ID_CAP,
+    cell_id,
+    finite_components as _finite_floats,
+)
 
 
 def _token_str(version_token: tuple) -> str:
@@ -98,16 +102,19 @@ class AnnIndexStore:
             return None
         out: dict[int, list[float]] = {}
         for c, v in cents.items():
-            try:
-                cell = int(c)
-            except (TypeError, ValueError):
-                return None
-            # value-level validation (ADVICE r14): finite numeric components
-            # and in-range cell ids, or the whole payload reads as absent
+            # key + value validation through the SHARED validators (ADVICE
+            # r14/r16): bare int(c) accepted ' 7'/'+7'/'7_0' (the last one
+            # silently as cell 70) and unicode digits; cell_id rejects all
+            # of them, so both persistence planes apply one key discipline
+            cell = cell_id(c)
             vec = _finite_floats(v)
-            if vec is None or not 0 <= cell < CELL_ID_CAP:
+            if cell is None or vec is None:
                 return None
             out[cell] = vec
+        # cardinality: keys that alias one cell id would silently drop a
+        # centroid — read the whole payload as absent instead
+        if len(out) != len(cents):
+            return None
         return out or None
 
     def save_pq(

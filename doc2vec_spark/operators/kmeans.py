@@ -170,7 +170,10 @@ def train_kmeans(
                     cents = None
                     break
                 cents[ci] = comps
-            if cents:
+            # cardinality check (r17 review): two keys normalizing to one
+            # cell id ("7" + "07") would silently DROP a centroid; a
+            # colliding payload reads as absent like any other corruption
+            if cents and len(cents) == len(hit):
                 _TRAIN_MEMO[key] = {c: list(v) for c, v in cents.items()}
                 return cents
     e = _sample_e(spark, sf_dir, frame).cache()

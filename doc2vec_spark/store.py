@@ -171,7 +171,51 @@ class ChunkStore:
         ``new_chunks`` get their chunks replaced (delete-by-url-then-insert,
         database.ts:630-678 + doc2vec.ts:1957-1969), urls in ``delete_urls``
         are purged. Only buckets containing a touched url are rewritten.
-        Commits serialize on the store's advisory write lock."""
+        Commits serialize on the store's advisory write lock.
+
+        The batch is persisted for the commit's duration (r17 review): the
+        chunker/embedder lineage behind a typical batch is a mapInPandas
+        stage, and the commit reads the batch at least twice (touched-url
+        collect + the bucket write) — three times with the key gate below —
+        so without a persist every ingest re-ran the Python chunk/embed
+        pipeline per pass. Unpersisted in a finally.
+
+        Key-uniqueness gate (VERDICT r16 #8): (url, chunk_index) is the
+        chunk primary key — the reference's url-keyed upsert makes
+        duplicates unrepresentable (database.ts:339-472), and the r16
+        dup-PK probe showed duplicated keys fanning silently through 14
+        downstream joins/groupings. EVERY ingest passes through apply()
+        (upsert_documents and sync.run_sync alike — enforcing it only in
+        the wrapper would let the main sync path bypass it), so the
+        contract is checked here: one batch-sized aggregate over the
+        persisted batch, whole-batch rejection, nothing written."""
+        if new_chunks is not None:
+            new_chunks = new_chunks.persist()
+        try:
+            self._apply_inner(new_chunks, delete_urls)
+        finally:
+            if new_chunks is not None:
+                new_chunks.unpersist()
+
+    def _apply_inner(
+        self, new_chunks: DataFrame | None, delete_urls: DataFrame | None
+    ) -> None:
+        if new_chunks is not None:
+            dup = (
+                new_chunks.groupBy("url", "chunk_index")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(3)
+                .collect()
+            )
+            if dup:
+                sample = "; ".join(
+                    f"({r['url']}, {r['chunk_index']})" for r in dup
+                )
+                raise ValueError(
+                    "duplicate chunk keys in ingest batch — (url, chunk_index) "
+                    f"must be unique per commit; first offenders: {sample}"
+                )
         parts = []
         if new_chunks is not None:
             parts.append(new_chunks.select("url"))
@@ -390,29 +434,8 @@ class ChunkStore:
 
     def upsert_documents(self, chunks: DataFrame) -> None:
         """K1/K2: replace all chunks of every url present in ``chunks``,
-        keep everything else.
-
-        r17 ingest gate (VERDICT r16 #8): (url, chunk_index) is the chunk
-        primary key — the reference's url-keyed upsert makes duplicates
-        unrepresentable (database.ts:339-472), and the r16 dup-PK probe
-        showed duplicated keys fanning silently through 14 downstream
-        joins/groupings. Key uniqueness is a DATA CONTRACT enforced here,
-        at the one choke point every ingest passes through, instead of
-        dup-tolerant semantics in 200 queries. Cost: one batch-sized
-        aggregate (the batch scales with the sync, not the store)."""
-        dup = (
-            chunks.groupBy("url", "chunk_index")
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(3)
-            .collect()
-        )
-        if dup:
-            sample = "; ".join(f"({r['url']}, {r['chunk_index']})" for r in dup)
-            raise ValueError(
-                "duplicate chunk keys in upsert batch — (url, chunk_index) "
-                f"must be unique per sync; first offenders: {sample}"
-            )
+        keep everything else. Key uniqueness is enforced by apply() — the
+        choke point sync.run_sync also passes through."""
         self.apply(chunks, None)
 
     def delete_by_urls(self, urls: DataFrame) -> None:

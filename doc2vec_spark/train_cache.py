@@ -111,13 +111,18 @@ def integer_components(v) -> list[int] | None:
 
 def cell_id(c) -> int | None:
     """c as a valid packed-assignment cell id in [0, CELL_ID_CAP), else
-    None. Accepts ints and the all-digit strings JSON object keys arrive
-    as; rejects bools, signs, and out-of-range ids (which would silently
-    collide under the %100 packing)."""
+    None. Accepts ints and the ASCII-digit strings JSON object keys arrive
+    as; rejects bools, signs, whitespace/underscore int() extensions, and
+    out-of-range ids (which would silently collide under the %100
+    packing). ASCII check matters twice over (r17 review): str.isdigit()
+    alone accepts unicode digits where int() either RAISES ('\\u00b2' —
+    a ValueError escaping into the query path breaks the reads-as-absent
+    contract) or silently normalizes ('\\u0667' -> 7, aliasing a key we
+    never wrote)."""
     if isinstance(c, bool):
         return None
     if isinstance(c, str):
-        if not c.isdigit():
+        if not (c.isascii() and c.isdigit()):
             return None
         c = int(c)
     if not isinstance(c, int) or not (0 <= c < CELL_ID_CAP):

@@ -37,7 +37,7 @@ def test_knn_topk_deterministic_under_ties(spark):
         assert all(r["distance"] == pytest.approx(0.0, abs=1e-12) for r in rows)
 
 
-def test_chunk_oracle_trim_guard_is_python_strip(duck_scratch=None):
+def test_chunk_oracle_trim_guard_is_python_strip():
     """The oracle's whitespace-only exclusion must match str.strip(): a
     '\\n\\t'-padded doc is blank on both sides (DuckDB's one-arg trim strips
     spaces only — the r17 guard uses the ASCII-whitespace charset form)."""
@@ -184,6 +184,13 @@ def test_train_cache_eviction_bound_on_files(tmp_path, monkeypatch):
         ("cell_id", "-1", None),
         ("cell_id", "07x", None),
         ("cell_id", True, None),
+        # r17 review: str.isdigit() alone accepts unicode digits — int()
+        # RAISES on '²' (superscript two) and silently normalizes
+        # '٧' (Arabic-Indic 7) to a key we never wrote
+        ("cell_id", "²", None),
+        ("cell_id", "٧", None),
+        ("cell_id", " 7", None),
+        ("cell_id", "+7", None),
     ],
 )
 def test_shared_validators(fn, val, ok):
@@ -259,6 +266,12 @@ def test_upsert_rejects_duplicate_chunk_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate chunk keys"):
         store.upsert_documents(dup)
     assert store.count() == n  # rejected batch ingested NOTHING
+    # the gate lives in apply() itself (r17 review: sync.run_sync commits
+    # through apply, not the upsert wrapper — a wrapper-only gate would
+    # let the main ingest path bypass the contract)
+    with pytest.raises(ValueError, match="duplicate chunk keys"):
+        store.apply(dup, None)
+    assert store.count() == n
 
 
 def test_dupkey_dataset_builder_shape(tmp_path):
