@@ -298,3 +298,55 @@ def test_dupkey_dataset_builder_shape(tmp_path):
     emb_src = pq.read_table(f"{ds.SRC_SF}/embeddings.parquet")
     emb_new = pq.read_table(str(out / "embeddings.parquet"))
     assert emb_new.equals(emb_src)
+
+
+# ---------------------------------------------------------------------------
+# validator total-function properties: the reads-as-absent contract means
+# NEVER RAISE, on any JSON-decodable input whatsoever
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _json_scalars = (
+        st.none()
+        | st.booleans()
+        | st.integers()
+        | st.floats(allow_nan=True, allow_infinity=True)
+        | st.text()
+    )
+    _json_values = st.recursive(
+        _json_scalars,
+        lambda child: st.lists(child, max_size=4)
+        | st.dictionaries(st.text(max_size=8), child, max_size=4),
+        max_leaves=12,
+    )
+
+    @given(_json_values)
+    @settings(max_examples=300, deadline=None)
+    def test_validators_are_total_functions(v):
+        """Any corrupt payload shape must map to a value or None — an
+        exception here IS the r16 OverflowError bug class."""
+        from doc2vec_spark import train_cache
+
+        for fn in (
+            train_cache.finite_components,
+            train_cache.integer_components,
+            train_cache.cell_id,
+        ):
+            out = fn(v)  # must not raise
+            assert out is None or isinstance(out, (int, list))
+
+    @given(st.text(max_size=12))
+    @settings(max_examples=300, deadline=None)
+    def test_cell_id_on_text_never_raises_and_roundtrips(s):
+        from doc2vec_spark import train_cache
+
+        out = train_cache.cell_id(s)
+        if out is not None:  # accepted keys are canonical ASCII decimals
+            assert 0 <= out < train_cache.CELL_ID_CAP
+            assert s.isascii() and s.isdigit() and int(s) == out
+
+except ImportError:  # hypothesis is baked into this env; belt and braces
+    pass
