@@ -189,12 +189,16 @@ class ChunkStore:
         the wrapper would let the main sync path bypass it), so the
         contract is checked here: one batch-sized aggregate over the
         persisted batch, whole-batch rejection, nothing written."""
-        if new_chunks is not None:
+        # persist only if the CALLER hasn't (sync.run_sync hands us its own
+        # persisted frame) — unpersisting a borrowed cache would silently
+        # drop the caller's, and re-persisting raises on level mismatch
+        own_persist = new_chunks is not None and not new_chunks.is_cached
+        if own_persist:
             new_chunks = new_chunks.persist()
         try:
             self._apply_inner(new_chunks, delete_urls)
         finally:
-            if new_chunks is not None:
+            if own_persist:
                 new_chunks.unpersist()
 
     def _apply_inner(
