@@ -101,27 +101,62 @@ def detail_file_and_metric(only: str | None) -> tuple[str, str]:
 # sidecar below (nothing is hidden; the stdout contract line still prints),
 # and the rotation ledger does not advance (those queries' timings never
 # entered the canonical record, so they stay due).
-CAL_CEILING = 0.31
+#
+# r18 (VERDICT r17 #3): the ceiling is RELATIVE — CAL_CEILING_FACTOR x the
+# trailing CANONICAL calibration floor (the probe median of the last
+# full-registry run that entered BENCH_DETAIL.json), never below the
+# absolute CAL_CEILING floor. The r17 absolute-only gate parked three honest
+# full runs when the host floor drifted 0.256 -> 0.29-0.32: a permanent
+# host re-provision moved the baseline, and a fixed constant can't follow
+# it. Tying the gate to the last accepted record lets the ceiling track a
+# re-provisioned host within one qualifying run while still rejecting the
+# multi-x co-tenant windows the gate exists for.
+CAL_CEILING = 0.31  # absolute floor of the ceiling / fallback with no record
+CAL_CEILING_FACTOR = 1.25
 DEGRADED_SIDECAR = "BENCH_DETAIL_DEGRADED.json"
+
+
+def trailing_canonical_calibration(repo: str | Path | None = None) -> float | None:
+    """Probe median of the last CANONICAL full-registry record
+    (BENCH_DETAIL.json "calibration"), or None when absent/unreadable/
+    empty — degraded-sidecar runs never feed this, so the floor only moves
+    when a run actually qualified."""
+    try:
+        detail = json.loads(
+            (Path(repo if repo is not None else _REPO) / "BENCH_DETAIL.json").read_text()
+        )
+        cal = sorted(float(x) for x in detail.get("calibration", []))
+    except (OSError, ValueError, TypeError):
+        return None
+    if not cal or cal[len(cal) // 2] <= 0:
+        return None
+    return median_of(cal)
 
 
 def cal_ceiling() -> float:
     """SPARK_GRAFT_CAL_CEILING parsed defensively: an empty or malformed
-    value falls back to the default with a warning instead of raising a
-    ValueError AFTER the 30-minute timed run and losing the whole record
-    (round-16 review finding)."""
+    value falls back to the computed ceiling with a warning instead of
+    raising a ValueError AFTER the 30-minute timed run and losing the whole
+    record (round-16 review finding). Without an override the ceiling is
+    max(CAL_CEILING, CAL_CEILING_FACTOR x trailing canonical floor)."""
+    trailing = trailing_canonical_calibration()
+    computed = (
+        CAL_CEILING
+        if trailing is None
+        else max(CAL_CEILING, round(CAL_CEILING_FACTOR * trailing, 3))
+    )
     raw = os.environ.get("SPARK_GRAFT_CAL_CEILING")
     if raw is None:
-        return CAL_CEILING
+        return computed
     try:
         return float(raw)
     except ValueError:
         print(
             f"# WARN: unparseable SPARK_GRAFT_CAL_CEILING={raw!r}; "
-            f"using default {CAL_CEILING}",
+            f"using computed ceiling {computed}",
             file=sys.stderr,
         )
-        return CAL_CEILING
+        return computed
 
 
 def is_degraded_window(cal_median: float, ceiling: float | None = None) -> bool:

@@ -622,22 +622,30 @@ _ADM_FEAT_SQL = f"""
     ),
 )
 def pipe_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc2vec_spark.operators.dedup import word_shingles
+    from doc2vec_spark.operators.dedup import _tokens, word_shingles_from
 
     docs = load(spark, sf_dir, "documents")
     is_batch = F.col("source") == BLOOM_BATCH_SOURCE
-    sh = docs.select(
-        "doc_id",
-        is_batch.alias("is_batch"),
-        F.explode(
-            F.transform(
-                word_shingles(ADM_SHINGLE_N),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                    "long"
-                ),
-            )
-        ).alias("h"),
-    ).distinct()
+    # tokens bound before the shingle lambdas (r18, same fix as the dedup
+    # family): unbound word_shingles re-splits the document per shingle
+    # index inside the interpreted HOF lambda — measured 18x on the map
+    # stage, values bit-identical.
+    sh = (
+        docs.select("doc_id", is_batch.alias("is_batch"), _tokens().alias("ws"))
+        .select(
+            "doc_id",
+            "is_batch",
+            F.explode(
+                F.transform(
+                    word_shingles_from(F.col("ws"), ADM_SHINGLE_N),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
     corpus_sh = sh.filter(~F.col("is_batch")).select(
         F.col("doc_id").alias("c_doc"), "h"
     )

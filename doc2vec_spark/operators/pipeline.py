@@ -51,6 +51,15 @@ MAX_SHINGLE5_DF = 50
 MIN_SHARED_EDGE = 2  # >= 2 shared distinct 5-grams -> candidate edge
 CC_MAX_ITERS = 15
 CC_STEPS_PER_ROUND = 2  # full propagate+compress steps fused per materialized job
+# Loop-scope shuffle sizing (r18): iterative CC re-shuffles its label/edge
+# state every round, so partition count should track the MEASURED state size
+# (known for free from the init materialization), not the session default —
+# a few-hundred-edge sf0.1 graph paying 32-task exchanges per round is pure
+# dispatch floor, while the clamp keeps the session default as the ceiling
+# so a 100 TB edge set still fans out fully. ~2M longs-pair rows per
+# partition ≈ 50-60 MB shuffle blocks, inside executor memory at the target
+# scales.
+STAR_EDGES_PER_PARTITION = 2_000_000
 
 
 def _register(name: str, oracle: str | None, doc: str = ""):
@@ -324,7 +333,7 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h) rows: 5-gram shingles hashed map-side to 60-bit md5-prefix
     longs — 8-byte shuffle keys instead of ~30-char strings (same
     engine-portable construction as the dedup ops; the oracle mirrors it)."""
-    from doc2vec_spark.operators.dedup import word_shingles
+    from doc2vec_spark.operators.dedup import _tokens, word_shingles_from
     from doc2vec_spark.session import default_parallelism
 
     # the pre-explode round-robin decouples the shingle explode's
@@ -332,14 +341,22 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one task without it; at scale it also rebalances doc-size skew
     # before the 10x-expanding explode)
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                word_shingles(SHINGLE_N),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            )
-        ).alias("h"),
+    # tokens bound to a column before the shingle lambdas (r18): the
+    # unbound word_shingles form inlines the regexp split into every
+    # element_at in the 5-gram lambda — 5 re-splits of the document per
+    # shingle index, interpreted. Binding measured 18x on this map stage
+    # (10.3 s -> 0.58 s single-threaded at sf0.1), values bit-identical.
+    return (
+        docs.select("doc_id", _tokens().alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    word_shingles_from(F.col("ws"), SHINGLE_N),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                )
+            ).alias("h"),
+        )
     )
 
 
@@ -551,7 +568,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     # AQE-off batch jobs absorb the v-shuffle as one stage INSIDE the job —
     # and a typical near-clique corpus runs exactly one batch, so the edge
     # list shuffles once either way.
-    symp.count()
+    n_symp = symp.count()
     # init = the propagate step applied to the identity labeling: min over
     # the closed neighborhood straight from the edge list (self-loops make
     # that one groupBy). Cache-backed: batch 0's job fills it, and the
@@ -583,8 +600,17 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     # driving concurrent queries on this session should clone it with
     # spark.newSession() first.
     adaptive = spark.conf.get("spark.sql.adaptive.enabled", None)
+    # r18: loop-scope shuffle partitions sized to the MEASURED
+    # closed-neighborhood row count (free from the cache-fill count above)
+    # instead of the session default — with AQE off every batch exchange
+    # dispatches exactly this many tasks, and a few-hundred-edge graph
+    # paying 32-task exchanges per stage is pure scheduler floor. Clamped
+    # to the session default so a 100 TB edge set still fans out fully.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(prev_parts), int(n_symp) // STAR_EDGES_PER_PARTITION + 1))
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for batch in range(n_batches):
             lmat = labels  # materialized input generation of this batch
 
@@ -644,6 +670,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             spark.conf.unset("spark.sql.adaptive.enabled")
         else:
             spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     symp.unpersist(False)  # plain cache: lineage survives, recompute possible
     park_blocks(_CC_FAMILY, gen_blocks)  # freed at next CC entry
     if gen_cache is not None:
@@ -705,35 +732,63 @@ def connected_components_star(
         return out, blocks, (metrics["n"], metrics["h"])
 
     free_cc_checkpoints()
+    spark = edges.sparkSession
+    # init checkpoint stays under the caller's AQE: upstream is the one
+    # corpus-sized edge build, where runtime re-planning (skew, coalescing)
+    # earns its scheduler jobs. Its observation also hands us the canonical
+    # edge COUNT for free — the loop's partition sizing below.
     cur, cur_blocks, prev_sig = _observed_ckpt(_canon(edges), "init")
-    for rnd in range(max_iters):
-        # large-star over the symmetric adjacency: emit (v, m(u)) for v > u
-        sym = _symmetrize(cur)
-        m = (
-            sym.groupBy("u")
-            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        )
-        large = _canon(
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # small-star over larger->smaller oriented edges: connect all
-        # smaller neighbors and the node itself to the minimum
-        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
-        small, small_blocks, sig = _observed_ckpt(
-            _canon(
-                large.join(m2, "u")
+    # r18 loop treatment, mirroring connected_components (r9): AQE OFF for
+    # the iterations — with it on, every exchange of every round's
+    # checkpoint job becomes its own scheduler job (measured: 23 jobs ->
+    # 11 for the same sf0.1 graph), pure per-round latency with nothing to
+    # re-plan on already-materialized label-state. And shuffle partitions
+    # sized to the measured edge count instead of the session default: an
+    # iterative loop re-shuffles its (shrinking) edge set every round, so a
+    # 285-edge graph paying 32-task exchanges is pure dispatch floor, while
+    # at 100 TB the clamp keeps the session default as the ceiling.
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(1, min(int(prev_parts), int(prev_sig[0]) // STAR_EDGES_PER_PARTITION + 1))
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        for rnd in range(max_iters):
+            # large-star over the symmetric adjacency: emit (v, m(u)) for v > u
+            sym = _symmetrize(cur)
+            m = (
+                sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            )
+            large = _canon(
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .union(m2.select("u", F.col("m").alias("v")))
-            ),
-            f"r{rnd}",
-        )
-        free_blocks(cur_blocks)  # small is materialized; last round is dead
-        cur, cur_blocks = small, small_blocks
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+            )
+            # small-star over larger->smaller oriented edges: connect all
+            # smaller neighbors and the node itself to the minimum
+            m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small, small_blocks, sig = _observed_ckpt(
+                _canon(
+                    large.join(m2, "u")
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .union(m2.select("u", F.col("m").alias("v")))
+                ),
+                f"r{rnd}",
+            )
+            free_blocks(cur_blocks)  # small is materialized; last round is dead
+            cur, cur_blocks = small, small_blocks
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        # restore the true prior state (unset stays unset — the ADVICE r9
+        # scoping discipline, same as connected_components)
+        if adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     park_blocks(_CC_FAMILY, cur_blocks)  # freed at next CC entry
     sym = _symmetrize(cur)
     return (

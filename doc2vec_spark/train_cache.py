@@ -199,21 +199,34 @@ def put(kind: str, key: tuple, value) -> None:
         tmp.write_text(json.dumps({"k": logical, "v": value}))
         os.replace(tmp, dst)
         _evict(root)
-    except OSError:
+    except (OSError, TypeError, ValueError):
+        # ADVICE r17 #2: json.dumps raises TypeError (and ValueError for
+        # circular refs) on a non-serializable value — the 'never raise
+        # into the query path' contract covers serialization, not just I/O.
         pass
 
 
 def _evict(root: Path) -> None:
     """Unlink oldest-mtime entries beyond MAX_ENTRIES. Races with other
     evictors/writers are benign: a vanished file is skipped; worst case a
-    concurrent toucher loses a just-written entry, costing one retrain."""
+    concurrent toucher loses a just-written entry, costing one retrain.
+
+    ADVICE r17 #1: only files THIS module wrote (32-hex-char entry names
+    from _entry_path) are eviction candidates — SPARK_GRAFT_TRAIN_CACHE may
+    point at a directory containing unrelated JSON files, and a bare
+    *.json glob would delete them."""
+    import re
+
     def mtime(p: Path) -> float:
         try:
             return p.stat().st_mtime
         except OSError:  # vanished between glob and stat
             return 0.0
 
-    entries = sorted((p for p in root.glob("*.json")), key=lambda p: (mtime(p), p.name))
+    entries = sorted(
+        (p for p in root.glob("*.json") if re.fullmatch(r"[0-9a-f]{32}\.json", p.name)),
+        key=lambda p: (mtime(p), p.name),
+    )
     for p in entries[: max(0, len(entries) - MAX_ENTRIES)]:
         try:
             p.unlink()
@@ -224,6 +237,8 @@ def _evict(root: Path) -> None:
     import time
 
     for p in root.glob("*.tmp.*"):
+        if not re.fullmatch(r"[0-9a-f]{32}\.tmp\.\d+", p.name):
+            continue  # same ownership discipline as the entry glob above
         if time.time() - mtime(p) > 3600.0:
             try:
                 p.unlink()

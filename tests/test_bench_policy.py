@@ -109,11 +109,25 @@ def test_rotation_pick_least_recently_benched_first():
     assert bench.rotation_pick(cands, {}, n=3) == ["a", "b", "c"]
 
 
-def test_calibration_ceiling_gate(monkeypatch):
+def _pin_trailing(monkeypatch, tmp_path, cal_list):
+    """Point the ceiling computation at a synthetic canonical record."""
+    import json
+
+    if cal_list is not None:
+        (tmp_path / "BENCH_DETAIL.json").write_text(
+            json.dumps({"calibration": cal_list})
+        )
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+
+
+def test_calibration_ceiling_gate(monkeypatch, tmp_path):
     """VERDICT r14/r15: a full-registry run whose environment probe median
     exceeds the ceiling must park in the degraded sidecar instead of
     overwriting the canonical BENCH_DETAIL/ROTATION ledgers."""
     monkeypatch.delenv("SPARK_GRAFT_CAL_CEILING", raising=False)
+    # no canonical record at all -> absolute fallback
+    _pin_trailing(monkeypatch, tmp_path, None)
+    assert bench.cal_ceiling() == bench.CAL_CEILING
     assert bench.is_degraded_window(0.32)
     assert not bench.is_degraded_window(0.31)  # at the ceiling is fine
     assert not bench.is_degraded_window(0.26)
@@ -125,9 +139,35 @@ def test_calibration_ceiling_gate(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CAL_CEILING", "0")
     assert not bench.is_degraded_window(9.9)
     assert bench.DEGRADED_SIDECAR != bench.detail_file_and_metric(None)[0]
-    # malformed/empty env must fall back to the default instead of raising
-    # a ValueError AFTER the 30-minute run and losing the record
+    # malformed/empty env must fall back to the computed ceiling instead of
+    # raising a ValueError AFTER the 30-minute run and losing the record
     for bad in ("", "0,31", "abc"):
         monkeypatch.setenv("SPARK_GRAFT_CAL_CEILING", bad)
         assert bench.cal_ceiling() == bench.CAL_CEILING
         assert bench.is_degraded_window(0.32) and not bench.is_degraded_window(0.26)
+
+
+def test_calibration_ceiling_tracks_trailing_canonical_floor(monkeypatch, tmp_path):
+    """VERDICT r17 #3: the ceiling is CAL_CEILING_FACTOR x the probe median
+    of the last canonical record, floored at the absolute CAL_CEILING — a
+    2-5% host-floor drift (r17: 0.256 -> 0.29-0.32) must not park honest
+    full runs for a whole round, while multi-x co-tenant windows still do."""
+    monkeypatch.delenv("SPARK_GRAFT_CAL_CEILING", raising=False)
+    # r17 shape: canonical floor 0.30 -> ceiling 0.375; the 0.32 drift run
+    # that the absolute gate parked now qualifies, a 0.6 window still parks
+    _pin_trailing(monkeypatch, tmp_path, [0.30, 0.30, 0.30])
+    assert bench.cal_ceiling() == 0.375
+    assert not bench.is_degraded_window(0.32)
+    assert bench.is_degraded_window(0.6)
+    # a FAST canonical floor never tightens the gate below the absolute
+    # floor (a lucky 0.20 record must not start parking healthy 0.28 runs)
+    (tmp_path / "BENCH_DETAIL.json").write_text('{"calibration": [0.2, 0.2, 0.2]}')
+    assert bench.cal_ceiling() == bench.CAL_CEILING
+    assert not bench.is_degraded_window(0.28)
+    # unreadable / empty / non-numeric records fall back to the absolute
+    for body in ("{not json", '{"calibration": []}', '{"calibration": ["x"]}'):
+        (tmp_path / "BENCH_DETAIL.json").write_text(body)
+        assert bench.cal_ceiling() == bench.CAL_CEILING
+    # degenerate non-positive medians are rejected, not used
+    (tmp_path / "BENCH_DETAIL.json").write_text('{"calibration": [0.0, 0.0]}')
+    assert bench.cal_ceiling() == bench.CAL_CEILING
