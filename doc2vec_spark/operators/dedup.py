@@ -114,6 +114,35 @@ def word_shingles(n: int = 3) -> Column:
     return word_shingles_from(_tokens(), n)
 
 
+def corpus_agg_partitions(sf_dir: str, table: str = "documents") -> int:
+    """Shuffle-partition count for corpus-shingle posting aggregates,
+    scaled to the table's on-disk parquet size (local metadata only — free;
+    non-file schemes fall back to the session default).
+
+    Why (r18, caught by the 32x containment rehearsal): a collect_set/list
+    posting groupBy over a grown corpus at the FIXED session default packs
+    millions of array buffers into each reduce task — at 32x documents the
+    posting build took 8.0 s at 32 partitions vs 2.85 s pre-partitioned by
+    the group key at the size-scaled count (fewer groups per task, and the
+    exchange moves raw rows instead of per-group partial array buffers).
+    Callers only repartition when the computed count EXCEEDS the session
+    default, so small corpora keep AQE's post-shuffle coalescing exactly as
+    before. ~150 KB of documents parquet per partition calibrates to the
+    measured comfortable group load; the 32x-default ceiling keeps the
+    count bounded on a single host while a real cluster's larger default
+    scales the ceiling with it."""
+    import os
+
+    from doc2vec_spark.session import default_parallelism
+
+    n = default_parallelism()
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except (OSError, ValueError, TypeError):
+        return n
+    return int(max(n, min(32 * n, size // (150 << 10) + 1)))
+
+
 _SHINGLES_SQL = """
   SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
@@ -224,7 +253,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one shuffle: posting list per (lang, shingle-hash); the df cap is a
     # size filter on the posting, and both the pair expansion and the
-    # per-doc size count are derived from the SAME cached postings
+    # per-doc size count are derived from the SAME cached postings.
+    # Above the session default the shingle table is pre-partitioned by the
+    # group key at a size-scaled count (corpus_agg_partitions, r18): a
+    # grown corpus otherwise packs millions of posting buffers per reduce
+    # task at the fixed default — the 32x rehearsal's super-linearity.
+    nparts = corpus_agg_partitions(sf_dir)
+    if nparts > default_parallelism():
+        hashed = hashed.repartition(nparts, "lang", "h")
     postings = (
         hashed.groupBy("lang", "h")
         .agg(F.collect_list("doc_id").alias("ids"))
@@ -321,6 +357,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard/containment parity the docstring claims). word_shingles_from
     # is already per-doc distinct, so the set only collapses the same doc
     # re-emitting a shingle across rows — cardinality per posting unchanged.
+    # Above the session default the shingle table is pre-partitioned by the
+    # group key at a size-scaled count (corpus_agg_partitions: the 32x
+    # rehearsal's super-linearity fix); small corpora skip it and keep AQE
+    # coalescing.
+    nparts = corpus_agg_partitions(sf_dir)
+    if nparts > default_parallelism():
+        hashed = hashed.repartition(nparts, "lang", "h")
     postings = (
         hashed.groupBy("lang", "h")
         .agg(F.collect_set("doc_id").alias("ids"))

@@ -333,7 +333,11 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h) rows: 5-gram shingles hashed map-side to 60-bit md5-prefix
     longs — 8-byte shuffle keys instead of ~30-char strings (same
     engine-portable construction as the dedup ops; the oracle mirrors it)."""
-    from doc2vec_spark.operators.dedup import _tokens, word_shingles_from
+    from doc2vec_spark.operators.dedup import (
+        _tokens,
+        corpus_agg_partitions,
+        word_shingles_from,
+    )
     from doc2vec_spark.session import default_parallelism
 
     # the pre-explode round-robin decouples the shingle explode's
@@ -346,7 +350,7 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at in the 5-gram lambda — 5 re-splits of the document per
     # shingle index, interpreted. Binding measured 18x on this map stage
     # (10.3 s -> 0.58 s single-threaded at sf0.1), values bit-identical.
-    return (
+    rows = (
         docs.select("doc_id", _tokens().alias("ws"))
         .select(
             "doc_id",
@@ -358,6 +362,15 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
+    # every consumer groups these rows by h into posting lists; above the
+    # session default, pre-partition by h at a size-scaled count
+    # (corpus_agg_partitions — the r18 32x rehearsal's super-linearity fix
+    # for collect_* posting aggregates at a fixed partition default).
+    # Small corpora skip it and keep AQE's post-shuffle coalescing.
+    nparts = corpus_agg_partitions(sf_dir)
+    if nparts > default_parallelism():
+        rows = rows.repartition(nparts, "h")
+    return rows
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,38 @@ def test_cc_loop_partition_sizing_clamps():
 
 
 # ---------------------------------------------------------------------------
+# size-scaled posting-aggregate partitioning (the 32x rehearsal fix)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_agg_partitions_scales_and_clamps(tmp_path):
+    """corpus_agg_partitions: session default for small/missing corpora
+    (callers then skip the pre-repartition and keep AQE coalescing),
+    size-scaled above it, ceilinged at 32x the default."""
+    from doc2vec_spark.operators.dedup import corpus_agg_partitions
+    from doc2vec_spark.session import default_parallelism
+
+    n = default_parallelism()
+    # missing table / bad dir -> default (non-file schemes take this path)
+    assert corpus_agg_partitions(str(tmp_path)) == n
+    assert corpus_agg_partitions("s3a://bucket/prefix") == n
+    # small corpus -> default (sf0.1 documents is ~0.6 MB)
+    assert corpus_agg_partitions("/root/testdata/sf0.1") == n
+    # growing sizes scale the count; the ceiling is 32x the default
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "documents.parquet").write_bytes(b"x" * (20 << 20))  # 20 MB
+    mid = corpus_agg_partitions(str(small))
+    assert n < mid <= 32 * n
+    big = tmp_path / "big"
+    big.mkdir()
+    with (big / "documents.parquet").open("wb") as f:
+        f.seek((10 << 30) - 1)
+        f.write(b"\0")  # 10 GB sparse
+    assert corpus_agg_partitions(str(big)) == 32 * n
+
+
+# ---------------------------------------------------------------------------
 # bound-tokens shingle rewrite: Spark-vs-Spark value identity
 # ---------------------------------------------------------------------------
 
