@@ -503,9 +503,33 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+def _small_corpus(sf_dir: str) -> bool:
+    """True when the documents table is small enough that the size-scaled
+    posting partition count stays at the session default — the signal the
+    CC entry points use to widen their static-plan (AQE-off) scope over
+    the edge build itself (r18): below the threshold every edge-build
+    exchange is tiny, runtime re-planning has nothing to re-plan, and each
+    AQE materialization job is pure scheduler floor (measured: 12 -> 6
+    jobs, 1.87 -> 1.59 s for dedup_cc_clusters at sf0.1). At scale the
+    count exceeds the default and the edge build keeps AQE's skew handling
+    and coalescing exactly as before."""
+    from doc2vec_spark.operators.dedup import corpus_agg_partitions
+    from doc2vec_spark.session import default_parallelism
+
+    return corpus_agg_partitions(sf_dir) <= default_parallelism()
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = CC_MAX_ITERS, small_input: bool = False
+) -> DataFrame:
     """Min-label propagation with path compression over an undirected edge
     list (u, v) -> (doc_id, component) where component = min doc id reachable.
+
+    ``small_input=True`` (callers pass ``_small_corpus(sf_dir)``) widens the
+    loop's AQE-off scope over the upstream edge materialization: on a small
+    corpus the edge build's exchanges are tiny and statically plannable, so
+    paying one scheduler job per exchange buys nothing. Large corpora keep
+    AQE on the edge build (skew, coalescing) — the 100 TB path is unchanged.
 
     Round-9 job-depth cut (VERDICT r8 #4). Three structural changes take the
     typical near-clique dup graph from three materialized rounds of ~6
@@ -572,56 +596,67 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .select("e.u", "e.v")
         .cache()
     )
-    # materialize the edge cache BEFORE the AQE toggle: the upstream edge
-    # build is the one corpus-sized scan in this algorithm and keeps AQE's
-    # runtime re-planning (skew, coalescing); the loop below is pure
-    # label-state — nothing for AQE to re-plan, one scheduler job per
-    # exchange to pay. The cache is deliberately NOT pre-partitioned by the
-    # join key: that exchange would cost its own AQE job here, while the
-    # AQE-off batch jobs absorb the v-shuffle as one stage INSIDE the job —
-    # and a typical near-clique corpus runs exactly one batch, so the edge
-    # list shuffles once either way.
-    n_symp = symp.count()
-    # init = the propagate step applied to the identity labeling: min over
-    # the closed neighborhood straight from the edge list (self-loops make
-    # that one groupBy). Cache-backed: batch 0's job fills it, and the
-    # compression references below read the cache instead of re-deriving.
-    labels: DataFrame = (
-        symp.groupBy(F.col("u").alias("doc_id")).agg(F.min("v").alias("label")).cache()
-    )
-    gen_blocks: list = []
-    gen_cache = labels  # cache handle backing the current generation, if any
-    # the fused fixed-point confirmation needs a step AFTER the mid
-    # observation; a 1-step batch would compare an observation to itself
-    assert CC_STEPS_PER_ROUND >= 2
-    n_batches = (max_iters + CC_STEPS_PER_ROUND - 1) // CC_STEPS_PER_ROUND
-
-    def _metrics(obs_df: DataFrame, obs: Observation) -> DataFrame:
-        return obs_df.observe(
-            obs,
-            F.sum(F.col("label").cast("decimal(28, 0)")).alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-
-    # ADVICE r9 scoping: capture whether the conf was EXPLICITLY set —
-    # RuntimeConfig.get with a None default returns None for an unset key —
-    # so the finally below restores the true prior state (unset stays
-    # unset) instead of writing a literal default. The override is still
-    # session-visible for the loop's duration; that is safe here because
-    # the engine runs registry queries sequentially on one session (the
-    # _scoped wrapper enforces one-at-a-time cache scopes) — a caller
-    # driving concurrent queries on this session should clone it with
-    # spark.newSession() first.
+    # materialize the edge cache BEFORE the AQE toggle (unless small_input:
+    # then the static scope below covers it): the upstream edge build is
+    # the one corpus-sized scan in this algorithm and keeps AQE's runtime
+    # re-planning (skew, coalescing); the loop below is pure label-state —
+    # nothing for AQE to re-plan, one scheduler job per exchange to pay.
+    # The cache is deliberately NOT pre-partitioned by the join key: that
+    # exchange would cost its own AQE job here, while the AQE-off batch
+    # jobs absorb the v-shuffle as one stage INSIDE the job — and a
+    # typical near-clique corpus runs exactly one batch, so the edge list
+    # shuffles once either way.
     adaptive = spark.conf.get("spark.sql.adaptive.enabled", None)
-    # r18: loop-scope shuffle partitions sized to the MEASURED
-    # closed-neighborhood row count (free from the cache-fill count above)
-    # instead of the session default — with AQE off every batch exchange
-    # dispatches exactly this many tasks, and a few-hundred-edge graph
-    # paying 32-task exchanges per stage is pure scheduler floor. Clamped
-    # to the session default so a 100 TB edge set still fans out fully.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(1, min(int(prev_parts), int(n_symp) // STAR_EDGES_PER_PARTITION + 1))
+    if small_input:
+        # r18: static plan for the edge materialization too — tiny
+        # exchanges, nothing for AQE to re-plan, one job instead of six
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # ADVICE r9 scoping (conf capture above the try): capture whether the
+    # conf was EXPLICITLY set — RuntimeConfig.get with a None default
+    # returns None for an unset key — so the finally below restores the
+    # true prior state (unset stays unset) instead of writing a literal
+    # default. The override is still session-visible for the loop's
+    # duration; that is safe here because the engine runs registry queries
+    # sequentially on one session (the _scoped wrapper enforces
+    # one-at-a-time cache scopes) — a caller driving concurrent queries on
+    # this session should clone it with spark.newSession() first.
     try:
+        n_symp = symp.count()
+        # init = the propagate step applied to the identity labeling: min
+        # over the closed neighborhood straight from the edge list
+        # (self-loops make that one groupBy). Cache-backed: batch 0's job
+        # fills it, and the compression references below read the cache
+        # instead of re-deriving.
+        labels: DataFrame = (
+            symp.groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("v").alias("label"))
+            .cache()
+        )
+        gen_blocks: list = []
+        gen_cache = labels  # cache handle backing the current generation
+        # the fused fixed-point confirmation needs a step AFTER the mid
+        # observation; a 1-step batch would compare an observation to itself
+        assert CC_STEPS_PER_ROUND >= 2
+        n_batches = (max_iters + CC_STEPS_PER_ROUND - 1) // CC_STEPS_PER_ROUND
+
+        def _metrics(obs_df: DataFrame, obs: Observation) -> DataFrame:
+            return obs_df.observe(
+                obs,
+                F.sum(F.col("label").cast("decimal(28, 0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        # r18: loop-scope shuffle partitions sized to the MEASURED
+        # closed-neighborhood row count (free from the cache-fill count
+        # above) instead of the session default — with AQE off every batch
+        # exchange dispatches exactly this many tasks, and a few-hundred-
+        # edge graph paying 32-task exchanges per stage is pure scheduler
+        # floor. Clamped to the session default so a 100 TB edge set still
+        # fans out fully.
+        parts = max(
+            1, min(int(prev_parts), int(n_symp) // STAR_EDGES_PER_PARTITION + 1)
+        )
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for batch in range(n_batches):
@@ -705,7 +740,7 @@ def _canon(df: DataFrame) -> DataFrame:
 
 
 def connected_components_star(
-    edges: DataFrame, max_iters: int = 30
+    edges: DataFrame, max_iters: int = 30, small_input: bool = False
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (Kiveris et
     al., "Connected Components in MapReduce and Beyond", SoCC'14) —
@@ -746,11 +781,6 @@ def connected_components_star(
 
     free_cc_checkpoints()
     spark = edges.sparkSession
-    # init checkpoint stays under the caller's AQE: upstream is the one
-    # corpus-sized edge build, where runtime re-planning (skew, coalescing)
-    # earns its scheduler jobs. Its observation also hands us the canonical
-    # edge COUNT for free — the loop's partition sizing below.
-    cur, cur_blocks, prev_sig = _observed_ckpt(_canon(edges), "init")
     # r18 loop treatment, mirroring connected_components (r9): AQE OFF for
     # the iterations — with it on, every exchange of every round's
     # checkpoint job becomes its own scheduler job (measured: 23 jobs ->
@@ -760,10 +790,21 @@ def connected_components_star(
     # iterative loop re-shuffles its (shrinking) edge set every round, so a
     # 285-edge graph paying 32-task exchanges is pure dispatch floor, while
     # at 100 TB the clamp keeps the session default as the ceiling.
+    # The init checkpoint stays under the caller's AQE UNLESS small_input
+    # (callers pass _small_corpus(sf_dir)): at scale the upstream edge
+    # build earns AQE's skew handling; on a small corpus its exchanges are
+    # tiny and the static plan drops the per-exchange scheduler jobs. The
+    # init observation hands us the canonical edge COUNT for free — the
+    # loop's partition sizing below.
     adaptive = spark.conf.get("spark.sql.adaptive.enabled", None)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(1, min(int(prev_parts), int(prev_sig[0]) // STAR_EDGES_PER_PARTITION + 1))
     try:
+        if small_input:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        cur, cur_blocks, prev_sig = _observed_ckpt(_canon(edges), "init")
+        parts = max(
+            1, min(int(prev_parts), int(prev_sig[0]) // STAR_EDGES_PER_PARTITION + 1)
+        )
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         for rnd in range(max_iters):
@@ -844,7 +885,9 @@ _CC_ORACLE = f"""
     "hash-verified (the driver corpus contains a 3-doc chain).",
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comp = connected_components(candidate_edges(spark, sf_dir))
+    comp = connected_components(
+        candidate_edges(spark, sf_dir), small_input=_small_corpus(sf_dir)
+    )
     return comp.select(
         "doc_id",
         "component",
@@ -866,7 +909,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = candidate_edges(spark, sf_dir)
-    comp = connected_components_star(edges)
+    comp = connected_components_star(edges, small_input=_small_corpus(sf_dir))
     # star CC labels only nodes WITH edges (isolated docs have no candidate
     # pairs and are their own component) — same as the propagation variant,
     # whose seed groupBy also only sees edge endpoints; the oracle's
@@ -1410,7 +1453,9 @@ def pipe_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    comp = connected_components(candidate_edges(spark, sf_dir))
+    comp = connected_components(
+        candidate_edges(spark, sf_dir), small_input=_small_corpus(sf_dir)
+    )
     scored = (
         docs.join(comp, "doc_id", "left")
         .select(

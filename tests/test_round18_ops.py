@@ -77,10 +77,12 @@ def test_put_swallows_unserializable_value(tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("variant", ["propagation", "star"])
-def test_cc_loops_restore_session_conf(spark, variant):
+@pytest.mark.parametrize("small_input", [False, True])
+def test_cc_loops_restore_session_conf(spark, variant, small_input):
     """Both CC variants override spark.sql.adaptive.enabled AND
     spark.sql.shuffle.partitions for their iteration scope only; after the
-    call the session sees exactly its prior values."""
+    call the session sees exactly its prior values — in both the default
+    scope and the widened small_input (static edge-build) scope."""
     from pyspark.sql import functions as F
 
     from doc2vec_spark.operators.pipeline import (
@@ -94,7 +96,10 @@ def test_cc_loops_restore_session_conf(spark, variant):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "u long, v long"
     )
     fn = connected_components if variant == "propagation" else connected_components_star
-    out = {r["doc_id"]: r["component"] for r in fn(edges).collect()}
+    out = {
+        r["doc_id"]: r["component"]
+        for r in fn(edges, small_input=small_input).collect()
+    }
     assert out[3] == 1 and out[11] == 10 and out[22] == 20
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get("spark.sql.adaptive.enabled", None) == prev_aqe
