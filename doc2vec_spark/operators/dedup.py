@@ -1032,11 +1032,20 @@ def _positioned_shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
-    return (
+    rows = (
         docs.select("doc_id", _tokens().alias("ws"))
         .select("doc_id", F.explode(entries).alias("e"))
         .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h"))
     )
+    # the consumer groups this (positioned, NOT distinct — so larger than
+    # the set-semantics tables) corpus-wide table by h into posting
+    # structs; same size-scaled pre-partition as the other posting builds
+    # (corpus_agg_partitions, r18 — the 32x rehearsal's super-linearity
+    # fix). Small corpora skip it and keep AQE coalescing.
+    nparts = corpus_agg_partitions(sf_dir)
+    if nparts > default_parallelism():
+        rows = rows.repartition(nparts, "h")
+    return rows
 
 
 @_register(
