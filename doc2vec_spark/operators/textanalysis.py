@@ -210,8 +210,18 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection — no explode, no shuffle. At 100 TB this is a map-only scan.
     # Short docs (< 5 tokens) are guarded: an unguarded sequence(1, size-4)
     # descends through 0 and element_at(ws, 0) raises.
+    #
+    # PERF CONTRACT (r19, the r18 18x class): the token array is BOUND in
+    # its own projection before the shingle lambda references it. Inlining
+    # the split Column would embed a copy of the regexp split per
+    # element_at reference — five re-splits of the whole document per
+    # shingle index, all interpreted (HOF lambdas run outside whole-stage
+    # codegen, no runtime CSE). See dedup.word_shingles' contract note.
     docs = load(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bound = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    ws = F.col("ws")
     idx = F.sequence(F.lit(1), F.size(ws) - 4)
     grams = F.when(
         F.size(ws) >= 5,
@@ -222,7 +232,7 @@ def ta_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    return bound.select(
         "doc_id",
         F.array_min(grams).alias("fingerprint"),
         F.size(F.array_distinct(grams)).alias("n_shingles"),
@@ -362,9 +372,17 @@ def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_c"))
     )
-    ws = F.split(F.trim(F.col("text")), r"\s+")
     # Guarded for < 3-token docs: sequence(1, size-2) descends through 0
     # there (element_at(ws, 0) raises) and total_g=0 would divide by zero.
+    #
+    # PERF CONTRACT (r19, the r18 18x class): tokens bound in their own
+    # projection before the 3-gram lambda — an inlined split Column would
+    # re-split the document 3x per gram index, interpreted (no codegen/CSE
+    # inside HOF lambdas). See dedup.word_shingles' contract note.
+    bound = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    ws = F.col("ws")
     idx = F.sequence(F.lit(1), F.size(ws) - 2)
     gram = F.when(
         F.size(ws) >= 3,
@@ -375,7 +393,7 @@ def ta_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
+    grams = bound.select(
         "doc_id",
         F.greatest(F.size(ws) - 2, F.lit(0)).alias("total_g"),
         F.size(F.array_distinct(gram)).alias("dist_g"),
