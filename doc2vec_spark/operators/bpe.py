@@ -64,6 +64,8 @@ expressions over distinct words. Corpus size never enters the loop.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,48 +179,123 @@ def _cand_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w
 
 
-def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
-    """NUM_MERGES greedy merges learned on the word-frequency table.
+# vocabularies at or below this row count get the static-plan loop scope:
+# every per-merge aggregate's exchange is tiny, so AQE's per-exchange
+# materialization jobs and a session-default reduce fan-out are pure
+# scheduler floor (the r18 CC-loop finding, applied to the BPE loop).
+# Above it the loop keeps AQE untouched — a production vocabulary is
+# millions of distinct words and wants skew handling + coalescing.
+SMALL_VOCAB_WORDS = 10_000
+
+
+@contextmanager
+def _small_vocab_static_scope(spark: SparkSession, n_words: int):
+    """AQE-off + vocab-scaled shuffle width for the training loop when the
+    vocabulary is measured small; restores both confs in ``finally`` (on
+    success AND mid-loop failure — the pipeline.py CC-loop discipline).
+    ``n_words`` above the threshold is a no-op: the 100 TB path keeps
+    AQE's skew handling and post-shuffle coalescing exactly as before."""
+    if n_words > SMALL_VOCAB_WORDS:
+        yield
+        return
+    conf = spark.conf
+    adaptive = conf.get("spark.sql.adaptive.enabled", None)
+    parts = conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(max(1, n_words // 2500 + 1)))
+        yield
+    finally:
+        if adaptive is None:
+            conf.unset("spark.sql.adaptive.enabled")
+        else:
+            conf.set("spark.sql.adaptive.enabled", adaptive)
+        if parts is None:
+            conf.unset("spark.sql.shuffle.partitions")
+        else:
+            conf.set("spark.sql.shuffle.partitions", parts)
+
+
+def _pair_counts(cand: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Adjacent-cell pair counts of the vocabulary segmented under
+    ``merges``, weighted by word frequency — the per-step training
+    statistic shared by the sequential and batched loops.
+
+    PERF CONTRACT (r19, the r18 18x class): the segmentation is BOUND in
+    its own projection before the zip_with/slice expressions reference it.
+    Inlined, the ``cells`` Column would be copied into all four argument
+    positions — four evaluations of the full split + 2x``len(merges)``
+    replace chain per word, all interpreted (the zip_with HOF keeps the
+    projection outside whole-stage codegen, so no runtime CSE). Negligible
+    on the 31-word registry vocabulary; 4x the dominant map cost on a
+    production multi-million-word one."""
+    bound = cand.select(
+        "freq", F.split(_seg_col(F.col("word"), merges), SEP).alias("cells")
+    )
+    cells = F.col("cells")
+    return (
+        bound.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(cells, 1, F.size(cells) - 1),
+                    F.slice(cells, 2, F.size(cells) - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def train_merges_from(
+    spark: SparkSession, cand: DataFrame, num_merges: int = NUM_MERGES
+) -> list[tuple[str, str]]:
+    """NUM_MERGES greedy merges learned on an (already cached) candidate
+    word-frequency table.
 
     Driver-paced by design: each step is ONE vocabulary-sized job (explode
     adjacent cells of the current segmentation, sum word frequencies, take
     the ordered head) and the carried state is a <= NUM_MERGES-row literal
     — the bounded-summary discipline of the waterfill/KMV operators. The
-    corpus-sized work happened once, in the word-frequency aggregation."""
-    cand = _cand_words(spark, sf_dir).cache()
+    corpus-sized work happened once, in the word-frequency aggregation.
+    The count below materializes the cache and gates the static-plan
+    scope, so the first merge step starts from a warm vocabulary."""
     merges: list[tuple[str, str]] = []
-    for _ in range(NUM_MERGES):
-        cells = F.split(_seg_col(F.col("word"), merges), SEP)
-        pairs = (
-            cand.select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice(cells, 1, F.size(cells) - 1),
-                        F.slice(cells, 2, F.size(cells) - 1),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                    )
-                ).alias("p"),
+    n_words = cand.count()
+    with _small_vocab_static_scope(spark, n_words):
+        for _ in range(num_merges):
+            head = (
+                _pair_counts(cand, merges)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(len(merges) + 1)
+                .collect()
             )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-        )
-        head = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(
-            len(merges) + 1
-        )
-        best = next(
-            (
-                (r["a"], r["b"])
-                for r in head.collect()
-                if (r["a"], r["b"]) not in merges
-            ),
-            None,
-        )
-        if best is None:
-            break
-        merges.append(best)
-    cand.unpersist(False)
+            best = next(
+                (
+                    (r["a"], r["b"])
+                    for r in head
+                    if (r["a"], r["b"]) not in merges
+                ),
+                None,
+            )
+            if best is None:
+                break
+            merges.append(best)
     return merges
+
+
+def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """``train_merges_from`` over a transient cache of the candidate table
+    (callers that also need the table afterwards — apply — cache it
+    themselves and call ``train_merges_from`` directly, so the corpus-sized
+    word aggregation runs exactly once)."""
+    cand = _cand_words(spark, sf_dir).cache()
+    try:
+        return train_merges_from(spark, cand)
+    finally:
+        cand.unpersist(False)
 
 
 @_register(
@@ -311,56 +388,46 @@ def train_merges_batched(
     for ch in _BATCH_STATE_SENTINELS:
         cand = cand.filter(~F.col("word").contains(ch))
     cand = cand.cache()
-    merges: list[tuple[str, str]] = []
-    for _round in range(num_merges):  # <= one round per merge: termination
-        if len(merges) >= num_merges:
-            break
-        cells = F.split(_seg_col(F.col("word"), merges), SEP)
-        pairs = (
-            cand.select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice(cells, 1, F.size(cells) - 1),
-                        F.slice(cells, 2, F.size(cells) - 1),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    try:
+        merges: list[tuple[str, str]] = []
+        n_words = cand.count()
+        with _small_vocab_static_scope(spark, n_words):
+            for _round in range(num_merges):  # <= one round per merge: termination
+                if len(merges) >= num_merges:
+                    break
+                pairs = _pair_counts(cand, merges)
+                # already-learned pairs leave the candidate pool BEFORE the
+                # head cut (a merged pair can reappear in counts via the
+                # under-merge runs case) — mirrors the oracle's WHERE, so
+                # both engines scan the same OVERFETCH fresh candidates
+                if merges:
+                    pairs = pairs.filter(
+                        ~F.concat(F.col("a"), F.lit(PSEP), F.col("b")).isin(
+                            [a + PSEP + b for a, b in merges]
+                        )
                     )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-        )
-        # already-learned pairs leave the candidate pool BEFORE the head cut
-        # (a merged pair can reappear in counts via the under-merge runs
-        # case) — mirrors the oracle's WHERE, so both engines scan the same
-        # OVERFETCH fresh candidates
-        if merges:
-            pairs = pairs.filter(
-                ~F.concat(F.col("a"), F.lit(PSEP), F.col("b")).isin(
-                    [a + PSEP + b for a, b in merges]
+                head = (
+                    pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                    .limit(BPE_BATCH_OVERFETCH)
+                    .collect()
                 )
-            )
-        head = (
-            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(BPE_BATCH_OVERFETCH)
-            .collect()
-        )
-        room = min(cap, num_merges - len(merges))
-        used: set[str] = set()
-        accepted: list[tuple[str, str]] = []
-        for r in head:
-            if len(accepted) >= room:
-                break
-            a, b = r["a"], r["b"]
-            if a in used or b in used or (a + b) in used:
-                continue
-            accepted.append((a, b))
-            used |= {a, b, a + b}
-        if not accepted:
-            break
-        merges.extend(accepted)
-    cand.unpersist(False)
-    return merges
+                room = min(cap, num_merges - len(merges))
+                used: set[str] = set()
+                accepted: list[tuple[str, str]] = []
+                for r in head:
+                    if len(accepted) >= room:
+                        break
+                    a, b = r["a"], r["b"]
+                    if a in used or b in used or (a + b) in used:
+                        continue
+                    accepted.append((a, b))
+                    used |= {a, b, a + b}
+                if not accepted:
+                    break
+                merges.extend(accepted)
+        return merges
+    finally:
+        cand.unpersist(False)
 
 
 def _batched_train_cte() -> str:
@@ -465,6 +532,14 @@ def ta_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# the cached candidate table the LAST ta_bpe_apply returned a frame over:
+# the returned frame still references it, so it is parked and freed at the
+# NEXT apply entry — the defer-one-generation discipline of checkpoints.py
+# (consume or persist an apply result before calling apply again; every
+# registry caller does).
+_PARKED_APPLY_CACHE: list[DataFrame] = []
+
+
 @_register(
     "ta_bpe_apply",
     f"""
@@ -487,15 +562,22 @@ def ta_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wordpiece greedy longest-match encoder.",
 )
 def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = train_merges(spark, sf_dir)
-    seg = _seg_col(F.col("word"), merges)
-    return (
-        _cand_words(spark, sf_dir)
-        .select(
-            "word",
-            "freq",
-            F.replace(seg, F.lit(SEP), F.lit("|")).alias("pieces"),
-            F.size(F.split(seg, SEP)).cast("long").alias("n_pieces"),
-        )
-        .orderBy("word")
+    # One corpus-sized word aggregation total (r19): train and apply share
+    # a single cached candidate table — previously train cached its own
+    # copy and the returned apply plan re-aggregated the corpus from
+    # scratch, a second full corpus scan+shuffle for identical rows.
+    while _PARKED_APPLY_CACHE:
+        _PARKED_APPLY_CACHE.pop().unpersist(False)
+    cand = _cand_words(spark, sf_dir).cache()
+    _PARKED_APPLY_CACHE.append(cand)
+    merges = train_merges_from(spark, cand)
+    bound = cand.select(
+        "word", "freq", _seg_col(F.col("word"), merges).alias("seg")
     )
+    seg = F.col("seg")
+    return bound.select(
+        "word",
+        "freq",
+        F.replace(seg, F.lit(SEP), F.lit("|")).alias("pieces"),
+        F.size(F.split(seg, SEP)).cast("long").alias("n_pieces"),
+    ).orderBy("word")
