@@ -255,12 +255,19 @@ def w1_prefix_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # turns the prefix match into a broadcast HASH join. The startswith
     # formulation compiles to BroadcastNestedLoopJoin: same result here, but
     # O(pages x prefixes) comparisons instead of O(pages x depth) probes.
-    parts = F.split(F.col("url"), "/")
+    # PERF CONTRACT (r19, the r18 18x class; caught by the plan lint): the
+    # url split is BOUND to a column before the ancestor lambda slices it —
+    # inlined, every slice(parts, 1, k) carries its own copy of the split,
+    # re-splitting the url once per ancestor index, interpreted.
+    bound = pages.select(
+        "doc_id", "url", F.split(F.col("url"), "/").alias("parts")
+    )
+    parts = F.col("parts")
     ancestors = F.transform(
         F.sequence(F.lit(3), F.size(parts)),
         lambda k: F.array_join(F.slice(parts, 1, k), "/"),
     )
-    candidates = pages.select(
+    candidates = bound.select(
         "doc_id", "url", F.explode(ancestors).alias("prefix")
     )
     joined = candidates.join(F.broadcast(prefixes), "prefix")
