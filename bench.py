@@ -113,6 +113,15 @@ def detail_file_and_metric(only: str | None) -> tuple[str, str]:
 # multi-x co-tenant windows the gate exists for.
 CAL_CEILING = 0.31  # absolute floor of the ceiling / fallback with no record
 CAL_CEILING_FACTOR = 1.25
+# r19 (ADVICE r18 #3): the relative ceiling must not ratchet without bound —
+# each canonical run up to 1.25x the trailing record qualifies and becomes
+# the new floor, so <=25%-per-round co-tenant drift could walk the gate up
+# indefinitely. The absolute cap pins it inside the healthy band (probe
+# 0.26-0.34 across every canonical record to date; the documented co-tenant
+# degradation band starts ~0.4): drift can move the gate 0.31 -> 0.50 at
+# most. A genuine host re-provision slower than this is an explicit
+# SPARK_GRAFT_CAL_CEILING override recorded in COVERAGE, not a silent walk.
+CAL_CEILING_MAX = 0.50
 DEGRADED_SIDECAR = "BENCH_DETAIL_DEGRADED.json"
 
 
@@ -138,12 +147,17 @@ def cal_ceiling() -> float:
     value falls back to the computed ceiling with a warning instead of
     raising a ValueError AFTER the 30-minute timed run and losing the whole
     record (round-16 review finding). Without an override the ceiling is
-    max(CAL_CEILING, CAL_CEILING_FACTOR x trailing canonical floor)."""
+    max(CAL_CEILING, CAL_CEILING_FACTOR x trailing canonical floor),
+    bounded above by CAL_CEILING_MAX (ADVICE r18 #3: no unbounded
+    ratchet)."""
     trailing = trailing_canonical_calibration()
     computed = (
         CAL_CEILING
         if trailing is None
-        else max(CAL_CEILING, round(CAL_CEILING_FACTOR * trailing, 3))
+        else min(
+            CAL_CEILING_MAX,
+            max(CAL_CEILING, round(CAL_CEILING_FACTOR * trailing, 3)),
+        )
     )
     raw = os.environ.get("SPARK_GRAFT_CAL_CEILING")
     if raw is None:

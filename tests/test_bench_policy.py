@@ -171,3 +171,29 @@ def test_calibration_ceiling_tracks_trailing_canonical_floor(monkeypatch, tmp_pa
     # degenerate non-positive medians are rejected, not used
     (tmp_path / "BENCH_DETAIL.json").write_text('{"calibration": [0.0, 0.0]}')
     assert bench.cal_ceiling() == bench.CAL_CEILING
+
+
+def test_calibration_ceiling_capped_against_ratchet(monkeypatch, tmp_path):
+    """ADVICE r18 #3: the relative ceiling must not ratchet without bound.
+    Each canonical run up to 1.25x the trailing record qualifies and
+    becomes the new floor, so <=25%-per-round co-tenant drift could walk
+    the gate up indefinitely; CAL_CEILING_MAX pins it. A slower genuine
+    re-provision is an explicit env override, not a silent walk."""
+    monkeypatch.delenv("SPARK_GRAFT_CAL_CEILING", raising=False)
+    # a drifted-but-accepted 0.48 record would compute 0.6 uncapped
+    _pin_trailing(monkeypatch, tmp_path, [0.48, 0.48, 0.48])
+    assert bench.cal_ceiling() == bench.CAL_CEILING_MAX
+    assert bench.is_degraded_window(0.55)
+    # simulate the unbounded walk: every next record 1.24x the last —
+    # the capped ceiling converges instead of growing round over round
+    cal = 0.31
+    for _ in range(10):
+        cal = round(1.24 * cal, 3)
+        _pin_trailing(monkeypatch, tmp_path, [cal] * 3)
+        assert bench.cal_ceiling() <= bench.CAL_CEILING_MAX
+    # records inside the healthy band are unaffected by the cap
+    _pin_trailing(monkeypatch, tmp_path, [0.30, 0.30, 0.30])
+    assert bench.cal_ceiling() == 0.375
+    # the explicit override still wins above the cap (re-provisioned host)
+    monkeypatch.setenv("SPARK_GRAFT_CAL_CEILING", "0.8")
+    assert bench.cal_ceiling() == 0.8
