@@ -261,29 +261,45 @@ def train_merges_from(
     — the bounded-summary discipline of the waterfill/KMV operators. The
     corpus-sized work happened once, in the word-frequency aggregation.
     The count below materializes the cache and gates the static-plan
-    scope, so the first merge step starts from a warm vocabulary."""
+    scope, so the first merge step starts from a warm vocabulary.
+
+    A measured-small vocabulary is additionally re-cached COALESCED to the
+    scope's partition count before the loop: the caller's cache keeps the
+    word aggregation's full reduce width (the session default), so without
+    this every one of the num_merges iterations would launch a
+    default-width map stage over a handful of rows — at 32 partitions x 8
+    merges that was ~70% of the loop's task count. One extra narrow job
+    (local read of the warm cache, no shuffle) buys num_merges narrow
+    iterations; production vocabularies skip it entirely."""
     merges: list[tuple[str, str]] = []
     n_words = cand.count()
-    with _small_vocab_static_scope(spark, n_words):
-        for _ in range(num_merges):
-            head = (
-                _pair_counts(cand, merges)
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(len(merges) + 1)
-                .collect()
-            )
-            best = next(
-                (
-                    (r["a"], r["b"])
-                    for r in head
-                    if (r["a"], r["b"]) not in merges
-                ),
-                None,
-            )
-            if best is None:
-                break
-            merges.append(best)
-    return merges
+    loop_cand = cand
+    if n_words <= SMALL_VOCAB_WORDS:
+        loop_cand = cand.coalesce(max(1, n_words // 2500 + 1)).cache()
+    try:
+        with _small_vocab_static_scope(spark, n_words):
+            for _ in range(num_merges):
+                head = (
+                    _pair_counts(loop_cand, merges)
+                    .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                    .limit(len(merges) + 1)
+                    .collect()
+                )
+                best = next(
+                    (
+                        (r["a"], r["b"])
+                        for r in head
+                        if (r["a"], r["b"]) not in merges
+                    ),
+                    None,
+                )
+                if best is None:
+                    break
+                merges.append(best)
+        return merges
+    finally:
+        if loop_cand is not cand:
+            loop_cand.unpersist(False)
 
 
 def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
@@ -388,14 +404,20 @@ def train_merges_batched(
     for ch in _BATCH_STATE_SENTINELS:
         cand = cand.filter(~F.col("word").contains(ch))
     cand = cand.cache()
+    loop_cand = cand
     try:
         merges: list[tuple[str, str]] = []
         n_words = cand.count()
+        # same narrow re-cache as train_merges_from: a measured-small
+        # vocabulary loops over a coalesced copy instead of paying a
+        # default-width map stage per recount round
+        if n_words <= SMALL_VOCAB_WORDS:
+            loop_cand = cand.coalesce(max(1, n_words // 2500 + 1)).cache()
         with _small_vocab_static_scope(spark, n_words):
             for _round in range(num_merges):  # <= one round per merge: termination
                 if len(merges) >= num_merges:
                     break
-                pairs = _pair_counts(cand, merges)
+                pairs = _pair_counts(loop_cand, merges)
                 # already-learned pairs leave the candidate pool BEFORE the
                 # head cut (a merged pair can reappear in counts via the
                 # under-merge runs case) — mirrors the oracle's WHERE, so
@@ -427,6 +449,8 @@ def train_merges_batched(
                 merges.extend(accepted)
         return merges
     finally:
+        if loop_cand is not cand:
+            loop_cand.unpersist(False)
         cand.unpersist(False)
 
 
