@@ -64,8 +64,6 @@ expressions over distinct words. Corpus size never enters the loop.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,41 +177,57 @@ def _cand_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w
 
 
-# vocabularies at or below this row count get the static-plan loop scope:
-# every per-merge aggregate's exchange is tiny, so AQE's per-exchange
-# materialization jobs and a session-default reduce fan-out are pure
-# scheduler floor (the r18 CC-loop finding, applied to the BPE loop).
-# Above it the loop keeps AQE untouched — a production vocabulary is
-# millions of distinct words and wants skew handling + coalescing.
-SMALL_VOCAB_WORDS = 10_000
+def _bounded_vocab(sf_dir: str) -> bool:
+    """True when the corpus is MEASURED small (pipeline._small_corpus's
+    directory-aware, fail-safe gate): its candidate vocabulary is then a
+    bounded summary — at the ~5 MB corpus ceiling a few hundred thousand
+    distinct words at most — and the training loop may run driver-side
+    like every other literal-LUT operator. Unmeasurable or large corpora
+    return False and take the distributed loop: the 100 TB path keeps
+    AQE's skew handling and per-round vocabulary-sized jobs unchanged."""
+    from doc2vec_spark.operators.pipeline import _small_corpus
+
+    return _small_corpus(sf_dir)
 
 
-@contextmanager
-def _small_vocab_static_scope(spark: SparkSession, n_words: int):
-    """AQE-off + vocab-scaled shuffle width for the training loop when the
-    vocabulary is measured small; restores both confs in ``finally`` (on
-    success AND mid-loop failure — the pipeline.py CC-loop discipline).
-    ``n_words`` above the threshold is a no-op: the 100 TB path keeps
-    AQE's skew handling and post-shuffle coalescing exactly as before."""
-    if n_words > SMALL_VOCAB_WORDS:
-        yield
-        return
-    conf = spark.conf
-    adaptive = conf.get("spark.sql.adaptive.enabled", None)
-    parts = conf.get("spark.sql.shuffle.partitions", None)
-    try:
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(max(1, n_words // 2500 + 1)))
-        yield
-    finally:
-        if adaptive is None:
-            conf.unset("spark.sql.adaptive.enabled")
-        else:
-            conf.set("spark.sql.adaptive.enabled", adaptive)
-        if parts is None:
-            conf.unset("spark.sql.shuffle.partitions")
-        else:
-            conf.set("spark.sql.shuffle.partitions", parts)
+def _local_seg_cells(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Driver-side replica of ``_seg_col``'s two-pass SEP-anchored replace
+    chain (see the module contract): Python str.replace is all-occurrence
+    left-to-right — exactly SQL ``replace`` — and str.strip/split on the
+    non-regex SEP match btrim/split. Byte-identical to the distributed
+    segmentation for every word the candidate filter admits (the oracle's
+    per-code-point '' split and Python's code-point iteration also agree;
+    the distributed path's Java-regex split would diverge from BOTH only
+    on astral-plane chars — pre-existing, corpus-excluded)."""
+    s = SEP + SEP.join(word) + SEP
+    for a, b in merges:
+        pat = SEP + a + SEP + b + SEP
+        rep = SEP + a + b + SEP
+        s = s.replace(pat, rep).replace(pat, rep)
+    return s.strip(SEP).split(SEP)
+
+
+def _local_pair_counts(
+    rows: list[tuple[str, int]], merges: list[tuple[str, str]]
+) -> dict[tuple[str, str], int]:
+    """Adjacent-cell pair counts weighted by word frequency — the
+    driver-side replica of ``_pair_counts`` for bounded vocabularies."""
+    counts: dict[tuple[str, str], int] = {}
+    for word, freq in rows:
+        cells = _local_seg_cells(word, merges)
+        for pair in zip(cells, cells[1:]):
+            counts[pair] = counts.get(pair, 0) + freq
+    return counts
+
+
+def _ordered_fresh_pairs(
+    counts: dict[tuple[str, str], int], merges: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """Candidate pairs in (count DESC, a, b) order with already-learned
+    pairs removed — Python tuple sort on str is code-point order, the same
+    total order as Spark's UTF8String / DuckDB's collation on this data."""
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return [p for p, _ in ordered if p not in merges]
 
 
 def _pair_counts(cand: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
@@ -250,56 +264,52 @@ def _pair_counts(cand: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
 
 
 def train_merges_from(
-    spark: SparkSession, cand: DataFrame, num_merges: int = NUM_MERGES
+    spark: SparkSession,
+    cand: DataFrame,
+    num_merges: int = NUM_MERGES,
+    small_input: bool = False,
 ) -> list[tuple[str, str]]:
     """NUM_MERGES greedy merges learned on an (already cached) candidate
     word-frequency table.
 
-    Driver-paced by design: each step is ONE vocabulary-sized job (explode
-    adjacent cells of the current segmentation, sum word frequencies, take
-    the ordered head) and the carried state is a <= NUM_MERGES-row literal
-    — the bounded-summary discipline of the waterfill/KMV operators. The
-    corpus-sized work happened once, in the word-frequency aggregation.
-    The count below materializes the cache and gates the static-plan
-    scope, so the first merge step starts from a warm vocabulary.
-
-    A measured-small vocabulary is additionally re-cached COALESCED to the
-    scope's partition count before the loop: the caller's cache keeps the
-    word aggregation's full reduce width (the session default), so without
-    this every one of the num_merges iterations would launch a
-    default-width map stage over a handful of rows — at 32 partitions x 8
-    merges that was ~70% of the loop's task count. One extra narrow job
-    (local read of the warm cache, no shuffle) buys num_merges narrow
-    iterations; production vocabularies skip it entirely."""
+    ``small_input=True`` (callers pass ``_bounded_vocab(sf_dir)``): the
+    vocabulary is a measured-bounded summary, so it is collected ONCE and
+    the whole greedy loop runs driver-side — one Spark job total instead
+    of one per merge, each of which paid a full scheduler+Catalyst round
+    trip to aggregate a handful of rows (the job floor, not the tasks,
+    dominated: r19 measured the loop flat after a 78% task cut). The
+    driver replica is byte-identical to the distributed step (pinned by
+    tests and the DuckDB oracle). A production 32k-merge train on an
+    unbounded vocabulary takes the distributed loop below: each step ONE
+    vocabulary-sized job (explode adjacent cells of the current
+    segmentation, sum word frequencies, take the ordered head), the
+    carried state a <= num_merges-row literal — the bounded-summary
+    discipline of the waterfill/KMV operators. The corpus-sized work
+    happened once either way, in the word-frequency aggregation."""
     merges: list[tuple[str, str]] = []
-    n_words = cand.count()
-    loop_cand = cand
-    if n_words <= SMALL_VOCAB_WORDS:
-        loop_cand = cand.coalesce(max(1, n_words // 2500 + 1)).cache()
-    try:
-        with _small_vocab_static_scope(spark, n_words):
-            for _ in range(num_merges):
-                head = (
-                    _pair_counts(loop_cand, merges)
-                    .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                    .limit(len(merges) + 1)
-                    .collect()
-                )
-                best = next(
-                    (
-                        (r["a"], r["b"])
-                        for r in head
-                        if (r["a"], r["b"]) not in merges
-                    ),
-                    None,
-                )
-                if best is None:
-                    break
-                merges.append(best)
+    if small_input:
+        rows = [(r["word"], r["freq"]) for r in cand.collect()]
+        for _ in range(num_merges):
+            fresh = _ordered_fresh_pairs(_local_pair_counts(rows, merges), merges)
+            if not fresh:
+                break
+            merges.append(fresh[0])
         return merges
-    finally:
-        if loop_cand is not cand:
-            loop_cand.unpersist(False)
+    for _ in range(num_merges):
+        head = (
+            _pair_counts(cand, merges)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(len(merges) + 1)
+            .collect()
+        )
+        best = next(
+            ((r["a"], r["b"]) for r in head if (r["a"], r["b"]) not in merges),
+            None,
+        )
+        if best is None:
+            break
+        merges.append(best)
+    return merges
 
 
 def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
@@ -309,7 +319,9 @@ def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     word aggregation runs exactly once)."""
     cand = _cand_words(spark, sf_dir).cache()
     try:
-        return train_merges_from(spark, cand)
+        return train_merges_from(
+            spark, cand, small_input=_bounded_vocab(sf_dir)
+        )
     finally:
         cand.unpersist(False)
 
@@ -394,7 +406,11 @@ def train_merges_batched(
     every pair already accepted this round (consumed symbols a, b and the
     produced symbol a||b all tracked). Deterministic: the outcome is a
     pure function of the ordered candidate list, so the oracle replays the
-    scan with a ``list_reduce`` fold."""
+    scan with a ``list_reduce`` fold.
+
+    ``_bounded_vocab`` corpora run the same scan driver-side over the
+    collected vocabulary (one Spark job total — see train_merges_from);
+    the distributed per-round loop is the unbounded-vocabulary path."""
     cand = _cand_words(spark, sf_dir)
     # the oracle's fold STATE uses chr(4)/chr(5) as its own sentinels, so
     # its cand CTE excludes words containing them — mirror that here or a
@@ -403,55 +419,58 @@ def train_merges_batched(
     # this mirror existed; now it does)
     for ch in _BATCH_STATE_SENTINELS:
         cand = cand.filter(~F.col("word").contains(ch))
-    cand = cand.cache()
-    loop_cand = cand
+    small_input = _bounded_vocab(sf_dir)
+    rows: list[tuple[str, int]] = []
+    if small_input:
+        rows = [(r["word"], r["freq"]) for r in cand.collect()]
+    else:
+        cand = cand.cache()
     try:
         merges: list[tuple[str, str]] = []
-        n_words = cand.count()
-        # same narrow re-cache as train_merges_from: a measured-small
-        # vocabulary loops over a coalesced copy instead of paying a
-        # default-width map stage per recount round
-        if n_words <= SMALL_VOCAB_WORDS:
-            loop_cand = cand.coalesce(max(1, n_words // 2500 + 1)).cache()
-        with _small_vocab_static_scope(spark, n_words):
-            for _round in range(num_merges):  # <= one round per merge: termination
-                if len(merges) >= num_merges:
-                    break
-                pairs = _pair_counts(loop_cand, merges)
-                # already-learned pairs leave the candidate pool BEFORE the
-                # head cut (a merged pair can reappear in counts via the
-                # under-merge runs case) — mirrors the oracle's WHERE, so
-                # both engines scan the same OVERFETCH fresh candidates
+        for _round in range(num_merges):  # <= one round per merge: termination
+            if len(merges) >= num_merges:
+                break
+            # already-learned pairs leave the candidate pool BEFORE the
+            # head cut (a merged pair can reappear in counts via the
+            # under-merge runs case) — mirrors the oracle's WHERE, so
+            # both engines scan the same OVERFETCH fresh candidates
+            if small_input:
+                head = _ordered_fresh_pairs(
+                    _local_pair_counts(rows, merges), merges
+                )[:BPE_BATCH_OVERFETCH]
+            else:
+                pairs = _pair_counts(cand, merges)
                 if merges:
                     pairs = pairs.filter(
                         ~F.concat(F.col("a"), F.lit(PSEP), F.col("b")).isin(
                             [a + PSEP + b for a, b in merges]
                         )
                     )
-                head = (
-                    pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                head = [
+                    (r["a"], r["b"])
+                    for r in pairs.orderBy(
+                        F.desc("n"), F.asc("a"), F.asc("b")
+                    )
                     .limit(BPE_BATCH_OVERFETCH)
                     .collect()
-                )
-                room = min(cap, num_merges - len(merges))
-                used: set[str] = set()
-                accepted: list[tuple[str, str]] = []
-                for r in head:
-                    if len(accepted) >= room:
-                        break
-                    a, b = r["a"], r["b"]
-                    if a in used or b in used or (a + b) in used:
-                        continue
-                    accepted.append((a, b))
-                    used |= {a, b, a + b}
-                if not accepted:
+                ]
+            room = min(cap, num_merges - len(merges))
+            used: set[str] = set()
+            accepted: list[tuple[str, str]] = []
+            for a, b in head:
+                if len(accepted) >= room:
                     break
-                merges.extend(accepted)
+                if a in used or b in used or (a + b) in used:
+                    continue
+                accepted.append((a, b))
+                used |= {a, b, a + b}
+            if not accepted:
+                break
+            merges.extend(accepted)
         return merges
     finally:
-        if loop_cand is not cand:
-            loop_cand.unpersist(False)
-        cand.unpersist(False)
+        if not small_input:
+            cand.unpersist(False)
 
 
 def _batched_train_cte() -> str:
@@ -594,7 +613,9 @@ def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PARKED_APPLY_CACHE.pop().unpersist(False)
     cand = _cand_words(spark, sf_dir).cache()
     _PARKED_APPLY_CACHE.append(cand)
-    merges = train_merges_from(spark, cand)
+    merges = train_merges_from(
+        spark, cand, small_input=_bounded_vocab(sf_dir)
+    )
     bound = cand.select(
         "word", "freq", _seg_col(F.col("word"), merges).alias("seg")
     )

@@ -101,23 +101,28 @@ def test_quality_surrogate_exactly_monotone_with_q(spark):
             assert (q1 < q2) == (s1 < s2), (q1, s1, q2, s2)
 
 
-def test_batched_bpe_job_count_cut(spark):
+def test_batched_bpe_job_count_cut(spark, monkeypatch):
     """THE point of the variant: scheduler jobs scale with RECOUNT ROUNDS,
-    not merges. Measured on this env at NUM_MERGES=8/cap=3: sequential 19
-    jobs, batched 9 (3 rounds of 3+3+2). Bars allow scheduling variance
-    while pinning the cut; at a 32k-merge production train the same ratio
-    is the difference between 32k jobs and ~1k."""
-    from doc2vec_spark.operators.bpe import train_merges, train_merges_batched
+    not merges — on the DISTRIBUTED (unbounded-vocabulary) path, which is
+    forced here through the _bounded_vocab gate: since r19, measured-small
+    corpora train driver-side and both variants cost O(1) jobs, so the
+    cut only manifests at production vocabulary scale. Measured on this
+    env at NUM_MERGES=8/cap=3: sequential 19 jobs, batched 9 (3 rounds of
+    3+3+2). Bars allow scheduling variance while pinning the cut; at a
+    32k-merge production train the same ratio is the difference between
+    32k jobs and ~1k."""
+    import doc2vec_spark.operators.bpe as bpe
 
+    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: False)
     sc = spark.sparkContext
     sc.setJobGroup("bpe_seq_probe", "p", False)
     try:
-        seq = train_merges(spark, SF_DIR)
+        seq = bpe.train_merges(spark, SF_DIR)
     finally:
         sc.setJobGroup(None, None, False)
     sc.setJobGroup("bpe_bat_probe", "p", False)
     try:
-        bat = train_merges_batched(spark, SF_DIR)
+        bat = bpe.train_merges_batched(spark, SF_DIR)
     finally:
         sc.setJobGroup(None, None, False)
     assert len(seq) == len(bat) > 0
@@ -125,6 +130,18 @@ def test_batched_bpe_job_count_cut(spark):
     n_bat = len(sc.statusTracker().getJobIdsForGroup("bpe_bat_probe"))
     assert n_bat <= 12, f"batched job count regressed: {n_bat} (measured 9)"
     assert n_bat <= n_seq - 4, f"batched {n_bat} vs sequential {n_seq}: cut lost"
+    # and the r19 bounded-vocabulary path is O(1) jobs for BOTH variants
+    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: True)
+    sc.setJobGroup("bpe_local_probe", "p", False)
+    try:
+        loc = bpe.train_merges(spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert loc == seq
+    n_loc = len(sc.statusTracker().getJobIdsForGroup("bpe_local_probe"))
+    # the corpus word aggregation under AQE is 3-4 materialization jobs;
+    # the loop itself adds ZERO — the count must not scale with NUM_MERGES
+    assert n_loc <= 5, f"bounded-vocab path should be O(1) jobs, got {n_loc}"
 
 
 def test_coreset_fps_invariants(spark):

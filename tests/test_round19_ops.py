@@ -199,50 +199,67 @@ def test_measured_agg_partitions_engage_on_directory_corpora(tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# BPE loop static-plan scope: conf hygiene + scale gate
+# BPE bounded-vocabulary driver-side training: byte-identity to the
+# distributed loop (the r19 job-floor cut)
 # ---------------------------------------------------------------------------
 
 
-def test_bpe_static_scope_restores_conf_on_success(spark):
-    from doc2vec_spark.operators.bpe import _small_vocab_static_scope
+def test_bpe_local_train_matches_distributed(spark):
+    """The driver-side replica (measured-small corpora) must learn exactly
+    the merge table of the distributed per-round loop — same pair counts,
+    same (count DESC, a, b) tie order, same two-pass anchored replace."""
+    from doc2vec_spark.operators.bpe import _cand_words, train_merges_from
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
-    with _small_vocab_static_scope(spark, 31):
-        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
-    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
-    assert spark.conf.get("spark.sql.adaptive.enabled", None) == prev_aqe
-
-
-def test_bpe_static_scope_restores_conf_on_failure(spark):
-    from doc2vec_spark.operators.bpe import _small_vocab_static_scope
-
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
-    with pytest.raises(RuntimeError):
-        with _small_vocab_static_scope(spark, 31):
-            raise RuntimeError("boom")
-    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
-    assert spark.conf.get("spark.sql.adaptive.enabled", None) == prev_aqe
+    cand = _cand_words(spark, str(SF_DIR)).cache()
+    try:
+        local = train_merges_from(spark, cand, small_input=True)
+        dist = train_merges_from(spark, cand, small_input=False)
+    finally:
+        cand.unpersist(False)
+    assert local == dist and len(local) > 0
 
 
-def test_bpe_static_scope_noop_above_threshold(spark):
-    """A production-scale vocabulary keeps AQE untouched inside the loop."""
-    from doc2vec_spark.operators.bpe import (
-        SMALL_VOCAB_WORDS,
-        _small_vocab_static_scope,
-    )
+def test_bpe_local_train_matches_distributed_adversarial(spark):
+    """Same identity on a hand-built vocabulary hitting the contract's
+    edges: >=6-char identical-symbol runs (the two-pass under-merge case),
+    adjacent merge sites sharing their boundary SEP, count ties broken
+    lexicographically, and multi-level merges of merged symbols."""
+    from doc2vec_spark.operators.bpe import train_merges_from
 
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
-    with _small_vocab_static_scope(spark, SMALL_VOCAB_WORDS + 1):
-        assert spark.conf.get("spark.sql.adaptive.enabled", None) == prev_aqe
+    words = [
+        ("aaaaaa", 50),  # even run >= 6: two-pass under-merge vs greedy
+        ("aaaaaaaaa", 40),  # odd run >= 9
+        ("ababab", 30),  # alternating shared-boundary sites
+        ("abcabc", 30),  # multi-level: ab+c after a+b
+        ("zzz", 25),
+        ("yzyz", 25),  # tie pressure against zz
+        ("xy", 60),
+        ("yx", 60),  # exact count tie -> lexicographic (x,y) first
+    ]
+    cand = spark.createDataFrame(words, "word string, freq bigint").cache()
+    try:
+        local = train_merges_from(spark, cand, small_input=True)
+        dist = train_merges_from(spark, cand, small_input=False)
+    finally:
+        cand.unpersist(False)
+    assert local == dist and len(local) > 0
 
 
-def test_bpe_train_values_stable_and_scope_restored(spark):
-    """train_merges under the static scope learns exactly the r9-pinned
-    merge table (values are plan-shape-independent) and leaves the session
-    conf untouched."""
+def test_bpe_batched_local_matches_distributed(spark, monkeypatch):
+    """The batched disjoint-scan replica must match the distributed batched
+    loop merge-for-merge (forcing each path via the _bounded_vocab gate)."""
+    import doc2vec_spark.operators.bpe as bpe
+
+    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: True)
+    local = bpe.train_merges_batched(spark, str(SF_DIR))
+    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: False)
+    dist = bpe.train_merges_batched(spark, str(SF_DIR))
+    assert local == dist and len(local) > 0
+
+
+def test_bpe_train_values_stable_and_conf_untouched(spark):
+    """train_merges is deterministic across calls and leaves the session
+    conf exactly as it found it."""
     from doc2vec_spark.operators.bpe import train_merges
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -252,6 +269,21 @@ def test_bpe_train_values_stable_and_scope_restored(spark):
     assert m1 == m2 and len(m1) > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
     assert spark.conf.get("spark.sql.adaptive.enabled", None) == prev_aqe
+
+
+def test_bpe_local_seg_cells_matches_sql_replace_semantics():
+    """Spot-pin the driver replica's segmentation against the documented
+    two-pass anchored-replace contract (module docstring examples)."""
+    from doc2vec_spark.operators.bpe import _local_seg_cells
+
+    assert _local_seg_cells("abc", []) == ["a", "b", "c"]
+    # 'aaaaa' under self-merge (a,a): pass one takes alternating sites,
+    # pass two pairs the rest -> aa|a|aa (the documented order)
+    assert _local_seg_cells("aaaaa", [("a", "a")]) == ["aa", "a", "aa"]
+    # 'aaaaaa' -> aa|a|aa|a (the documented even-run under-merge)
+    assert _local_seg_cells("aaaaaa", [("a", "a")]) == ["aa", "a", "aa", "a"]
+    # multi-level: (a,b) then (ab,c)
+    assert _local_seg_cells("abcabc", [("a", "b"), ("ab", "c")]) == ["abc", "abc"]
 
 
 def test_bpe_apply_reads_cached_candidates(spark):
