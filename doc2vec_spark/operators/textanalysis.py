@@ -86,9 +86,23 @@ def _argmax_lang_sql() -> str:
     "Language-ID heuristic: marker-token scoring with deterministic argmax",
 )
 def ta_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PERF CONTRACT (r19, the expression-duplication cousin of the r18 18x
+    # class): the marker scores are BOUND to columns before the argmax
+    # when-chain references them. Each chain step embeds best_score twice
+    # (condition + otherwise), so an inlined score expression — a split +
+    # interpreted filter HOF — doubles per language: ~2^(n-1) copies of the
+    # first language's full re-split per row. Bound refs keep the chain's
+    # growth in cheap attribute nodes (measured 4.3x on this map stage at
+    # sf0.1, values identical).
     docs = load(spark, sf_dir, "documents")
-    pred = _argmax_lang(_lang_scores())
-    return docs.select(
+    scores = _lang_scores()
+    bound = docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"score_{lang}") for lang in _TIE_ORDER],
+    )
+    pred = _argmax_lang({lang: F.col(f"score_{lang}") for lang in _TIE_ORDER})
+    return bound.select(
         "doc_id",
         "lang",
         pred.alias("predicted_lang"),
