@@ -190,6 +190,28 @@ def _bounded_vocab(sf_dir: str) -> bool:
     return _small_corpus(sf_dir)
 
 
+# driver-side training is safe for vocabularies up to this many rows
+# (~3 MB of (word, freq) pairs collected — the same order as the
+# merge-head collects the distributed loop already does 8x per train).
+# Vocabulary plateaus far below corpus growth (Heaps' law), so mid-size
+# corpora routinely stay under it; a production multi-million-word
+# vocabulary exceeds the probe and takes the distributed loop.
+VOCAB_COLLECT_BOUND = 100_000
+
+
+def _collectable_vocab(sf_dir: str, cand: DataFrame) -> bool:
+    """Gate for the driver-side trainer. Two tiers, both fail-safe:
+    a corpus the directory-aware size gate measures small is collectable
+    with NO Spark job; otherwise ONE bounded probe job checks whether the
+    candidate vocabulary itself fits the collect bound (limit+count stops
+    scanning once the bound is exceeded — the r19 32x rehearsal showed a
+    992-word vocabulary paying a 7 s distributed job floor that trains
+    driver-side in ~1 s). Unmeasurable + over-bound -> distributed."""
+    if _bounded_vocab(sf_dir):
+        return True
+    return cand.limit(VOCAB_COLLECT_BOUND + 1).count() <= VOCAB_COLLECT_BOUND
+
+
 def _local_seg_cells(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Driver-side replica of ``_seg_col``'s two-pass SEP-anchored replace
     chain (see the module contract): Python str.replace is all-occurrence
@@ -272,7 +294,7 @@ def train_merges_from(
     """NUM_MERGES greedy merges learned on an (already cached) candidate
     word-frequency table.
 
-    ``small_input=True`` (callers pass ``_bounded_vocab(sf_dir)``): the
+    ``small_input=True`` (callers pass ``_collectable_vocab``): the
     vocabulary is a measured-bounded summary, so it is collected ONCE and
     the whole greedy loop runs driver-side — one Spark job total instead
     of one per merge, each of which paid a full scheduler+Catalyst round
@@ -320,7 +342,7 @@ def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
     cand = _cand_words(spark, sf_dir).cache()
     try:
         return train_merges_from(
-            spark, cand, small_input=_bounded_vocab(sf_dir)
+            spark, cand, small_input=_collectable_vocab(sf_dir, cand)
         )
     finally:
         cand.unpersist(False)
@@ -419,7 +441,7 @@ def train_merges_batched(
     # this mirror existed; now it does)
     for ch in _BATCH_STATE_SENTINELS:
         cand = cand.filter(~F.col("word").contains(ch))
-    small_input = _bounded_vocab(sf_dir)
+    small_input = _collectable_vocab(sf_dir, cand)
     rows: list[tuple[str, int]] = []
     if small_input:
         rows = [(r["word"], r["freq"]) for r in cand.collect()]
@@ -614,7 +636,7 @@ def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _cand_words(spark, sf_dir).cache()
     _PARKED_APPLY_CACHE.append(cand)
     merges = train_merges_from(
-        spark, cand, small_input=_bounded_vocab(sf_dir)
+        spark, cand, small_input=_collectable_vocab(sf_dir, cand)
     )
     bound = cand.select(
         "word", "freq", _seg_col(F.col("word"), merges).alias("seg")

@@ -113,7 +113,7 @@ def test_batched_bpe_job_count_cut(spark, monkeypatch):
     32k jobs and ~1k."""
     import doc2vec_spark.operators.bpe as bpe
 
-    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: False)
+    monkeypatch.setattr(bpe, "_collectable_vocab", lambda sf_dir, cand: False)
     sc = spark.sparkContext
     sc.setJobGroup("bpe_seq_probe", "p", False)
     try:
@@ -131,7 +131,7 @@ def test_batched_bpe_job_count_cut(spark, monkeypatch):
     assert n_bat <= 12, f"batched job count regressed: {n_bat} (measured 9)"
     assert n_bat <= n_seq - 4, f"batched {n_bat} vs sequential {n_seq}: cut lost"
     # and the r19 bounded-vocabulary path is O(1) jobs for BOTH variants
-    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: True)
+    monkeypatch.setattr(bpe, "_collectable_vocab", lambda sf_dir, cand: True)
     sc.setJobGroup("bpe_local_probe", "p", False)
     try:
         loc = bpe.train_merges(spark, SF_DIR)

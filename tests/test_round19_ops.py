@@ -250,9 +250,9 @@ def test_bpe_batched_local_matches_distributed(spark, monkeypatch):
     loop merge-for-merge (forcing each path via the _bounded_vocab gate)."""
     import doc2vec_spark.operators.bpe as bpe
 
-    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: True)
+    monkeypatch.setattr(bpe, "_collectable_vocab", lambda sf_dir, cand: True)
     local = bpe.train_merges_batched(spark, str(SF_DIR))
-    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: False)
+    monkeypatch.setattr(bpe, "_collectable_vocab", lambda sf_dir, cand: False)
     dist = bpe.train_merges_batched(spark, str(SF_DIR))
     assert local == dist and len(local) > 0
 
