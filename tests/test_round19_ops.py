@@ -300,3 +300,30 @@ def test_bpe_apply_reads_cached_candidates(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["n_pieces"] == len(r["pieces"].split("|"))
+
+
+# ---------------------------------------------------------------------------
+# KNOWN GAP pin (ADVICE r18 #1, dedup side — scheduled r20)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.xfail(
+    reason="ADVICE r18 #1 dedup side: corpus_agg_partitions getsize reads the "
+    "dir inode for directory-layout corpora; fix scheduled r20 (stamp window "
+    "— dedup.py = 49 dependents). Flip this to a plain assert when it lands.",
+    strict=True,
+)
+def test_dedup_agg_partitions_engage_on_directory_corpora(tmp_path):
+    """Directory-layout corpora must engage dedup's size-scaled posting
+    partitioning exactly as single-file ones do (pipeline's measured
+    helper already does — this pins the dedup-side parity gap)."""
+    from doc2vec_spark.operators.dedup import corpus_agg_partitions
+    from doc2vec_spark.session import default_parallelism
+
+    n = default_parallelism()
+    d = tmp_path / "dircorpus"
+    pq = d / "documents.parquet"
+    pq.mkdir(parents=True)
+    for i in range(2):
+        (pq / f"part-{i:05d}.snappy.parquet").write_bytes(b"x" * (10 << 20))
+    assert corpus_agg_partitions(str(d)) > n
