@@ -269,18 +269,30 @@ def encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _subword_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_words, n_subword_tokens): occurrences broadcast-join the
-    distinct-word encoding (vocab-TABLE path), then one map-side-combinable
-    per-doc sum."""
+def _subword_doc_counts(
+    spark: SparkSession, sf_dir: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *carry, n_words, n_subword_tokens): occurrences
+    broadcast-join the distinct-word encoding (vocab-TABLE path), then one
+    map-side-combinable per-doc sum.
+
+    ``carry`` (r19): additional documents columns — functionally dependent
+    on doc_id — ride through the occurrence explode and the per-doc group
+    key, so per-source/per-lang consumers (budget, packing) need no second
+    corpus-grain join back to documents. At 100 TB that join is a full
+    shuffle of the documents table against the per-doc counts; carrying
+    the column widens the existing per-doc exchange key by a dependent
+    attribute instead (same row count, no extra exchange)."""
     docs = load(spark, sf_dir, "documents")
     enc = _table_enc(spark, sf_dir).select("word", "n_pieces")
     occ = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        "doc_id",
+        *carry,
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
     return (
         occ.join(F.broadcast(enc), "word")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_pieces").alias("n_subword_tokens"),
@@ -392,22 +404,24 @@ def _sw_pack_group_col() -> Column:
     "single window shuffle.",
 )
 def pipe_sequence_pack_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    sw = _subword_doc_counts(spark, sf_dir).select(
-        "doc_id", F.col("n_subword_tokens").alias("n_tok")
-    )
-    # Documented row-set asymmetry vs pipe_sequence_pack (ADVICE r9): this
-    # INNER join drops documents with zero eligible words entirely (the
-    # subword-count table has no row for them), whereas the whitespace
+    # Documented row-set asymmetry vs pipe_sequence_pack (ADVICE r9): docs
+    # with zero eligible words have no per-doc count row and are excluded
+    # entirely (pre-r19 an INNER join encoded this; now the count table
+    # simply has no row for them — same row set), whereas the whitespace
     # variant assigns empty/whitespace-only docs n_tok=1 (split('') has
     # size 1). Deliberate: a subword dataloader has nothing to pack for an
     # empty doc, so excluding it is the truthful accounting — padding it to
     # one phantom token would misstate the training-token budget. The
     # oracle's inner JOIN in the CTE above encodes the same exclusion, so
-    # both engines agree row-for-row.
-    tok = docs.select(
-        "doc_id", "lang", _sw_pack_group_col().alias("pack_group")
-    ).join(sw, "doc_id")
+    # both engines agree row-for-row. ``lang`` rides the per-doc group key
+    # (r19: no corpus-grain join back to documents); pack_group derives
+    # from doc_id post-agg.
+    tok = _subword_doc_counts(spark, sf_dir, carry=("lang",)).select(
+        "doc_id",
+        "lang",
+        _sw_pack_group_col().alias("pack_group"),
+        F.col("n_subword_tokens").alias("n_tok"),
+    )
     w = (
         Window.partitionBy("lang", "pack_group")
         .orderBy("doc_id")
@@ -507,14 +521,13 @@ def _budget_subword_oracle() -> str:
 def pipe_data_budget_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.operators.budget import QUALITY_MIN_TOKENS, waterfill
 
-    docs = load(spark, sf_dir, "documents")
-    sw = _subword_doc_counts(spark, sf_dir).select(
-        "doc_id", F.col("n_subword_tokens").alias("toks")
+    # ``source`` rides the per-doc group key (r19): previously a second
+    # corpus-grain shuffle join pulled it back from documents
+    sw = _subword_doc_counts(spark, sf_dir, carry=("source",)).select(
+        "source", F.col("n_subword_tokens").alias("toks")
     )
     per_source = (
-        docs.select("doc_id", "source")
-        .join(sw, "doc_id")
-        .groupBy("source")
+        sw.groupBy("source")
         .agg(
             F.sum("toks").alias("t_s"),
             F.sum(
