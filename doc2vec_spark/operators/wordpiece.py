@@ -131,19 +131,6 @@ def _tbl_ctes() -> str:
 
 _TBL_CTES = _tbl_ctes()
 
-# Per-doc subword totals over the enc CTE — shared by the packing and
-# budget oracles below.
-_SW_DOC_TOK_SQL = """
-sw AS (
-  SELECT o.doc_id, CAST(SUM(e.n_pieces) AS BIGINT) AS n_tok
-  FROM (SELECT doc_id, word FROM (
-          SELECT doc_id,
-                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-          FROM documents) WHERE word <> '') o
-  JOIN enc e USING (word) GROUP BY o.doc_id)
-"""
-
-
 def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT-word frequency table — the one corpus-sized shuffle."""
     docs = load(spark, sf_dir, "documents")
@@ -379,10 +366,16 @@ def _sw_pack_group_col() -> Column:
     "pipe_sequence_pack_subword",
     f"""
     {_TBL_CTES},
-    {_SW_DOC_TOK_SQL},
+    swl AS (
+      SELECT o.doc_id, o.lang, CAST(SUM(e.n_pieces) AS BIGINT) AS n_tok
+      FROM (SELECT doc_id, lang, word FROM (
+              SELECT doc_id, lang,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+              FROM documents) WHERE word <> '') o
+      JOIN enc e USING (word) GROUP BY o.doc_id, o.lang),
     tok AS (
-      SELECT d.doc_id, d.lang, {_sw_pack_group_sql('d.doc_id')} AS pack_group, sw.n_tok
-      FROM documents d JOIN sw ON d.doc_id = sw.doc_id),
+      SELECT doc_id, lang, {_sw_pack_group_sql('doc_id')} AS pack_group, n_tok
+      FROM swl),
     iv AS (
       SELECT doc_id, lang, pack_group, n_tok,
              CAST(SUM(n_tok) OVER (PARTITION BY lang, pack_group ORDER BY doc_id
@@ -464,10 +457,13 @@ def _budget_subword_oracle() -> str:
 
     return f"""
     {_TBL_CTES},
-    {_SW_DOC_TOK_SQL},
     per_doc AS (
-      SELECT d.source, sw.n_tok AS toks
-      FROM sw JOIN documents d ON d.doc_id = sw.doc_id),
+      SELECT o.source, CAST(SUM(e.n_pieces) AS BIGINT) AS toks
+      FROM (SELECT doc_id, source, word FROM (
+              SELECT doc_id, source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+              FROM documents) WHERE word <> '') o
+      JOIN enc e USING (word) GROUP BY o.doc_id, o.source),
     per_source AS (
       SELECT source,
              CAST(SUM(toks) AS BIGINT) AS t_s,
