@@ -202,11 +202,15 @@ VOCAB_COLLECT_BOUND = 100_000
 def _collectable_vocab(sf_dir: str, cand: DataFrame) -> bool:
     """Gate for the driver-side trainer. Two tiers, both fail-safe:
     a corpus the directory-aware size gate measures small is collectable
-    with NO Spark job; otherwise ONE bounded probe job checks whether the
-    candidate vocabulary itself fits the collect bound (limit+count stops
-    scanning once the bound is exceeded — the r19 32x rehearsal showed a
-    992-word vocabulary paying a 7 s distributed job floor that trains
-    driver-side in ~1 s). Unmeasurable + over-bound -> distributed."""
+    with NO Spark job; otherwise ONE probe job checks whether the
+    candidate vocabulary fits the collect bound. The limit bounds the
+    probe's RESULT (and the count moved driver-ward is <= N+1 rows), but
+    it cannot short-circuit the corpus-sized word aggregation underneath —
+    a limit above a groupBy still runs the full shuffle — so callers MUST
+    cache ``cand`` before probing: the probe then materializes the cache
+    and the training rounds reuse it (ADVICE r19 #2; the r19 32x rehearsal
+    showed a 992-word vocabulary paying a 7 s distributed job floor that
+    trains driver-side in ~1 s). Unmeasurable + over-bound -> distributed."""
     if _bounded_vocab(sf_dir):
         return True
     return cand.limit(VOCAB_COLLECT_BOUND + 1).count() <= VOCAB_COLLECT_BOUND
@@ -441,12 +445,18 @@ def train_merges_batched(
     # this mirror existed; now it does)
     for ch in _BATCH_STATE_SENTINELS:
         cand = cand.filter(~F.col("word").contains(ch))
+    # Cache BEFORE the vocabulary probe (ADVICE r19 #2, mirroring
+    # train_merges): on the unbounded path the probe's limit+count must
+    # execute the full corpus-sized word aggregation anyway — a limit
+    # above a groupBy cannot short-circuit the shuffle — so caching first
+    # makes the probe MATERIALIZE the cache instead of discarding that
+    # work and re-running the identical aggregation in round 1 (a net
+    # extra corpus-sized job on exactly the 100 TB path).
+    cand = cand.cache()
     small_input = _collectable_vocab(sf_dir, cand)
     rows: list[tuple[str, int]] = []
     if small_input:
         rows = [(r["word"], r["freq"]) for r in cand.collect()]
-    else:
-        cand = cand.cache()
     try:
         merges: list[tuple[str, str]] = []
         for _round in range(num_merges):  # <= one round per merge: termination
@@ -491,8 +501,7 @@ def train_merges_batched(
             merges.extend(accepted)
         return merges
     finally:
-        if not small_input:
-            cand.unpersist(False)
+        cand.unpersist(False)
 
 
 def _batched_train_cte() -> str:
@@ -597,14 +606,6 @@ def ta_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
-# the cached candidate table the LAST ta_bpe_apply returned a frame over:
-# the returned frame still references it, so it is parked and freed at the
-# NEXT apply entry — the defer-one-generation discipline of checkpoints.py
-# (consume or persist an apply result before calling apply again; every
-# registry caller does).
-_PARKED_APPLY_CACHE: list[DataFrame] = []
-
-
 @_register(
     "ta_bpe_apply",
     f"""
@@ -631,10 +632,16 @@ def ta_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a single cached candidate table — previously train cached its own
     # copy and the returned apply plan re-aggregated the corpus from
     # scratch, a second full corpus scan+shuffle for identical rows.
-    while _PARKED_APPLY_CACHE:
-        _PARKED_APPLY_CACHE.pop().unpersist(False)
-    cand = _cand_words(spark, sf_dir).cache()
-    _PARKED_APPLY_CACHE.append(cand)
+    # The cache is SCOPED (r20, ADVICE r19 #3 / VERDICT r19 #4): the
+    # returned plan still references it, and caching.py's invocation-scoped
+    # release frees it at the next registry invocation entry — the same
+    # defer-one-generation lifetime the old _PARKED_APPLY_CACHE module
+    # global provided, minus its hazards (an unguarded unpersist that threw
+    # on frames from a since-stopped SparkSession, and cross-consumer
+    # interleaving unpersisting a plan another caller still held).
+    from doc2vec_spark.caching import scoped_cache
+
+    cand = scoped_cache(_cand_words(spark, sf_dir))
     merges = train_merges_from(
         spark, cand, small_input=_collectable_vocab(sf_dir, cand)
     )

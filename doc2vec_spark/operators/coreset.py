@@ -117,6 +117,17 @@ _FPS_MEMO: dict[tuple, list] = {}
 def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
     """(mtime, size) of the table's parquet (folded per file for directory
     layouts) — the memo-invalidation key; () for non-local paths."""
+    # KNOWN GAP (r20, found during the ADVICE r19 #1 nested-layout sweep;
+    # coreset.py = 10 dependents and the union with the r20 dedup.py window
+    # is 54/50, so the code fix is deferred): for a NESTED directory layout
+    # (store.py's partitionBy shape) this one-level fold fingerprints the
+    # bucket=K subdirectory inodes — a part file rewritten two levels down
+    # does not bump those mtimes, so the memo would serve a stale FPS
+    # selection. Latent: _FPS_MEMO is per-process and embeddings are never
+    # rewritten mid-process on any tested path (driver embeddings are
+    # single-file). Fix shape when the window allows: recurse like
+    # dedup.corpus_parquet_bytes with per-FILE (relpath, mtime, size), or
+    # fail-safe return () when any listed entry is itself a directory.
     import os
 
     path = os.path.join(sf_dir, f"{table}.parquet")

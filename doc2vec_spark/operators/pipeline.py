@@ -32,6 +32,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doc2vec_spark.caching import scoped_cache
+from doc2vec_spark.operators.dedup import (
+    POSTING_BYTES_PER_PARTITION as _POSTING_BYTES_PER_PARTITION,
+    corpus_agg_partitions as _corpus_agg_partitions_measured,
+    corpus_parquet_bytes as _corpus_parquet_bytes,
+)
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
 
@@ -500,50 +505,11 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
-# calibration of the size-scaled posting partition count: ~150 KB of
-# documents parquet per partition (mirrors dedup.corpus_agg_partitions —
-# r20 unifies the two when dedup.py's stamp window reopens; keep in sync)
-_POSTING_BYTES_PER_PARTITION = 150 << 10
-
-
-def _corpus_parquet_bytes(sf_dir: str, table: str = "documents") -> int | None:
-    """On-disk byte size of the table's parquet, or None when it cannot be
-    measured. Directory layouts — store.py's standard write shape — fold
-    per part file (ADVICE r18: a bare getsize on a directory returns the
-    dir INODE size, ~4096 bytes, silently mis-measuring every
-    directory-layout corpus as tiny); single-file layouts stat once;
-    non-local schemes (s3a:// ...) and unreadable paths return None so
-    callers can distinguish 'measured small' from 'unmeasurable' and
-    fail SAFE (treat as large: keep AQE, keep the 100 TB path)."""
-    import os
-
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    try:
-        if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-            )
-        return os.path.getsize(path)
-    except (OSError, ValueError, TypeError):
-        return None
-
-
-def _corpus_agg_partitions_measured(sf_dir: str) -> int:
-    """Size-scaled shuffle-partition count for corpus-shingle posting
-    aggregates, from the directory-aware measurement above (same formula
-    and calibration as dedup.corpus_agg_partitions, whose single-file
-    getsize under-measures directory corpora; unified in r20). Unmeasurable
-    sizes return the session default — callers only repartition ABOVE the
-    default, so an unmeasured corpus keeps AQE's runtime re-planning."""
-    from doc2vec_spark.session import default_parallelism
-
-    n = default_parallelism()
-    size = _corpus_parquet_bytes(sf_dir)
-    if size is None:
-        return n
-    return int(max(n, min(32 * n, size // _POSTING_BYTES_PER_PARTITION + 1)))
+# Size measurement + posting partition calibration are single-sourced in
+# dedup.py since r20 (the r19 "unified in r20" commitment): dedup.
+# corpus_parquet_bytes folds directory layouts RECURSIVELY (nested
+# partitionBy shapes included — ADVICE r19 #1), and the top-of-module
+# aliases below keep pipeline's historical call sites stable.
 
 
 def _small_corpus(sf_dir: str) -> bool:

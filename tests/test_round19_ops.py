@@ -1,13 +1,19 @@
-"""Round-19 behavioral tests.
+"""Round-19/20 behavioral tests.
 
-Covers the r19 edits:
-- the PLAN LINT for the r18 18x class (VERDICT r18 #4): no registry query's
-  plan may evaluate a regexp split inside a higher-order-function lambda
-  body — the interpreted per-element re-split pathology fixed across dedup
-  (r18), textanalysis, bpe and reference_parity (r19). Enforced on BOTH the
+Covers the r19 edits plus the r20 lint extensions:
+- the PLAN LINT, three classes (VERDICT r18 #4 + VERDICT r19 #3): no
+  registry query's plan may (a) evaluate a regexp split inside a
+  higher-order-function lambda body — the interpreted per-element re-split
+  pathology fixed across dedup (r18), textanalysis, bpe and
+  reference_parity (r19); (b) evaluate a LOOP-INVARIANT
+  regexp_replace/regexp_extract/sha2/md5/xxhash64/crc32 inside a lambda
+  body (per-element uses of the lambda variable, e.g. minhash, are
+  legitimate); (c) duplicate one expensive subtree more than 40 times in a
+  single plan — the ta_langid when-chain argmax class, which doubles an
+  unbound score per chain step (2^(n-1) copies). Enforced on BOTH the
   analyzed and the optimized plan (the optimizer must not re-inline a bound
-  column into the lambda), and proven able to catch a deliberately-unbound
-  fixture.
+  column into the lambda), each class proven able to catch a
+  deliberately-pathological fixture, 200/200 green with zero allowlists.
 - directory-aware corpus size measurement + the _small_corpus fail-safe
   (ADVICE r18 #1/#2): dir layouts fold per part file; unmeasurable corpora
   are NOT small (AQE stays on — the 100 TB invariant).
@@ -30,6 +36,49 @@ from tests.conftest import SF_DIR
 # ---------------------------------------------------------------------------
 
 _SPLIT_IN_LAMBDA = re.compile(r"(?<![\w.])(split|regexp_split)\(")
+# the r20 sibling class (VERDICT r19 #3a): other expensive expressions that
+# the r18/r19 audits found duplicated into lambda bodies elsewhere in the
+# wild — flagged only when LOOP-INVARIANT (their argument subtree never
+# touches a lambda variable), because e.g. minhash legitimately computes
+# md5(seed || element) per element
+_EXPENSIVE_IN_LAMBDA = re.compile(
+    r"(?<![\w.])(regexp_replace|regexp_extract|sha2|md5|xxhash64|crc32)\("
+)
+# the r20 when-chain class (VERDICT r19 #3b): the ta_langid argmax shape
+# duplicated an unbound score expression ~2^(n-1) times across a when-chain
+# (textanalysis.py:89 — each step embeds best_score twice: condition +
+# otherwise, so the copy count DOUBLES per chain step). Detector: an
+# IDENTICAL expensive subtree string — expression ids and lambda-variable
+# ids normalized away, since the analyzer mints fresh ids per copy —
+# repeated many times in ONE plan. Calibration over all 200 registry
+# queries (r20): clean maximum is 26 (ann_ivf_recall's per-query-struct
+# cosine distances, a deliberate bounded-NUM_Q evaluation per the r19
+# VERDICT plan audit); the pathological 7-label fixture below produces
+# 2^6 = 64+. Threshold 40 sits between with ~1.5x margin each way, and the
+# exponential growth of the target class means real instances blow far
+# past it while linear legitimate shapes stay far below.
+_REPEAT_SUBTREE_FNS = re.compile(
+    r"(?<![\w.])(aggregate|transform|filter|zip_with|exists"
+    r"|regexp_replace|regexp_extract|regexp_split|split|sha2|md5|xxhash64|crc32)\("
+)
+_REPEAT_SUBTREE_MAX = 40
+_REPEAT_SUBTREE_MIN_LEN = 60  # ignore tiny spans (cheap to re-evaluate)
+_EXPR_IDS = re.compile(r"#\d+|\b[a-z]+_\d+\b")  # attribute + lambda-var ids
+
+
+def _balanced_span(plan: str, start: int) -> str:
+    """plan[start:] up to (and excluding) the paren that closes the one
+    already open at ``start``."""
+    i = start
+    depth = 1
+    while i < len(plan) and depth:
+        c = plan[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return plan[start : i - 1]
 
 
 def _lambda_bodies(plan: str) -> list[str]:
@@ -38,36 +87,63 @@ def _lambda_bodies(plan: str) -> list[str]:
     print as lambdafunction in Catalyst plans). The HOF's own arguments
     (e.g. the array being transformed) sit OUTSIDE these spans and are
     legitimately allowed to contain a split: they evaluate once per row."""
-    out = []
-    for m in re.finditer(r"lambdafunction\(", plan):
-        i = m.end()
-        depth = 1
-        start = i
-        while i < len(plan) and depth:
-            c = plan[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            i += 1
-        out.append(plan[start : i - 1])
-    return out
+    return [_balanced_span(plan, m.end()) for m in re.finditer(r"lambdafunction\(", plan)]
 
 
-def _split_in_lambda_offenders(df) -> list[tuple[str, str]]:
-    """(plan-stage, offending-lambda-body) pairs for both the analyzed and
+def _plan_lint_offenders(df) -> list[tuple[str, str, str]]:
+    """(lint-class, plan-stage, evidence) triples for both the analyzed and
     the OPTIMIZED plan — the optimized one is what executes, and guards
-    against CollapseProject ever re-inlining a bound split column."""
+    against CollapseProject ever re-inlining a bound column. Three classes:
+
+    split-in-lambda      any (regexp_)split inside a HOF lambda body (the
+                         r18 18-33x shingle class — strict: even a
+                         var-dependent split re-splits per element).
+    invariant-in-lambda  regexp_replace/regexp_extract/sha2/md5/xxhash64/
+                         crc32 inside a lambda body whose own argument span
+                         references NO lambda variable: loop-invariant work
+                         re-evaluated per element, interpreted (VERDICT r19
+                         #3a). Var-dependent uses (minhash's md5(seed ||
+                         elem)) are legitimate per-element work and pass.
+    repeated-subtree     one expensive subtree string duplicated more than
+                         _REPEAT_SUBTREE_MAX times in a single plan — the
+                         ta_langid when-chain argmax class, where an unbound
+                         score Column was copied ~2^(n-1) times (VERDICT
+                         r19 #3b). Expression ids (#123) make subtree
+                         strings identical only for same-input copies."""
     qe = df._jdf.queryExecution()
-    hits = []
+    hits: list[tuple[str, str, str]] = []
     for label, plan in [
         ("analyzed", qe.analyzed().toString()),
         ("optimized", qe.optimizedPlan().toString()),
     ]:
         for body in _lambda_bodies(plan):
             if _SPLIT_IN_LAMBDA.search(body):
-                hits.append((label, body[:200]))
+                hits.append(("split-in-lambda", label, body[:200]))
+            for m in _EXPENSIVE_IN_LAMBDA.finditer(body):
+                span = _balanced_span(body, m.end())
+                if "lambda" not in span:  # no lambda var anywhere in args
+                    hits.append(
+                        ("invariant-in-lambda", label, (m.group(1) + "(" + span)[:200])
+                    )
+        counts: dict[str, int] = {}
+        for m in _REPEAT_SUBTREE_FNS.finditer(plan):
+            span = m.group(1) + "(" + _balanced_span(plan, m.end()) + ")"
+            if len(span) >= _REPEAT_SUBTREE_MIN_LEN:
+                key = _EXPR_IDS.sub("", span)
+                counts[key] = counts.get(key, 0) + 1
+        for span, n in counts.items():
+            if n > _REPEAT_SUBTREE_MAX:
+                hits.append(("repeated-subtree", label, f"x{n}: {span[:200]}"))
     return hits
+
+
+def _split_in_lambda_offenders(df) -> list[tuple[str, str]]:
+    """Back-compat view of the strict split class only (fixture proofs)."""
+    return [
+        (label, ev)
+        for cls, label, ev in _plan_lint_offenders(df)
+        if cls == "split-in-lambda"
+    ]
 
 
 def _registry_items():
@@ -80,14 +156,14 @@ def _registry_items():
     "name,spec", _registry_items(), ids=lambda p: p if isinstance(p, str) else ""
 )
 def test_no_split_inside_hof_lambda(spark, name, spec):
-    """Every registry query's plan keeps regexp splits OUT of HOF lambda
-    bodies. An inlined split re-evaluates per array element, interpreted —
-    measured 18-33x on shingle map stages (r18/r19). A failure here means a
+    """Every registry query's plan passes all three lint classes (one plan
+    build per query; see _plan_lint_offenders). A failure here means a
     Column was referenced inside a transform/filter lambda before being
-    bound to a real column (see dedup.word_shingles' contract note)."""
+    bound to a real column (see dedup.word_shingles' contract note), or a
+    when-chain duplicated an unbound expensive expression."""
     df = spec.fn(spark, str(SF_DIR))
-    offenders = _split_in_lambda_offenders(df)
-    assert not offenders, f"split inside HOF lambda in {name}: {offenders}"
+    offenders = _plan_lint_offenders(df)
+    assert not offenders, f"plan lint offenders in {name}: {offenders}"
 
 
 def test_lint_catches_deliberately_unbound_fixture(spark):
@@ -113,6 +189,90 @@ def test_lint_catches_deliberately_unbound_fixture(spark):
         ).alias("x")
     )
     assert not _split_in_lambda_offenders(good)
+
+
+def test_lint_catches_invariant_expensive_expr_in_lambda(spark):
+    """Class (a), VERDICT r19 #3: a loop-invariant regexp_replace inlined
+    into a transform lambda (re-evaluated per element, interpreted) is
+    flagged in both plans; the same call bound to a column first — and a
+    genuinely per-element md5 of the lambda variable (the minhash shape) —
+    both pass."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cleaned = F.regexp_replace(F.col("text"), r"[0-9]+", "#")  # unbound Column
+    bad = docs.select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: F.substring(cleaned, i, 10),
+        ).alias("x")
+    )
+    classes = {cls for cls, _, _ in _plan_lint_offenders(bad)}
+    assert "invariant-in-lambda" in classes
+
+    # The bound form references the column TWICE: CollapseProject inlines a
+    # non-trivial projected expression back into its single consumer — even
+    # into a lambda body — so a once-referenced binding is undone in the
+    # optimized plan (exactly what this lint exists to catch). Real hot
+    # paths bind columns they use repeatedly, which is what keeps the
+    # projection boundary intact.
+    bound = docs.select("doc_id", cleaned.alias("cleaned")).select(
+        F.length(F.col("cleaned")).alias("n"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: F.substring(F.col("cleaned"), i, 10),
+        ).alias("x"),
+    )
+    assert not _plan_lint_offenders(bound)
+
+    minhash_like = docs.select(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),  # split OUTSIDE the lambda: fine
+            lambda w: F.md5(F.concat(F.lit("seed:"), w)),  # md5 OF the element
+        ).alias("sig")
+    )
+    assert not _plan_lint_offenders(minhash_like)
+
+
+def test_lint_catches_when_chain_expression_blowup(spark):
+    """Class (b), VERDICT r19 #3: the pre-r19 ta_langid argmax shape — a
+    running when-chain where each step embeds the carried best_score TWICE
+    (condition + otherwise), so an UNBOUND score expression doubles per
+    step: 2^(n-1) copies of the first score's filter-HOF at n labels. The
+    7-label fixture yields 64 copies (lint threshold 40); the bound form of
+    the identical argmax — the r19 ta_langid fix — passes."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", ws.alias("ws"))
+    labels = ["en", "de", "fr", "es", "it", "pt", "nl"]
+
+    def score(src, markers):
+        # the ta_langid score shape: marker-token count via a filter HOF
+        return F.size(F.filter(src, lambda w: w.isin(*markers, "zz" * 20)))
+
+    def argmax_chain(scores: dict):
+        best_lang, best_score = F.lit(labels[0]), scores[labels[0]]
+        for lab in labels[1:]:
+            better = scores[lab] > best_score
+            best_lang = F.when(better, F.lit(lab)).otherwise(best_lang)
+            best_score = F.when(better, scores[lab]).otherwise(best_score)
+        return best_lang
+
+    unbound = {lab: score(ws, [lab]) for lab in labels}  # ws UNBOUND: 2^(n-1)
+    bad = docs.select("doc_id", argmax_chain(unbound).alias("lang"))
+    offenders = _plan_lint_offenders(bad)
+    assert any(cls == "repeated-subtree" for cls, _, _ in offenders), offenders
+
+    # r19 fix shape: scores bound to columns, chain carries cheap attributes
+    scored = base.select(
+        "doc_id",
+        *[score(F.col("ws"), [lab]).alias(f"s_{lab}") for lab in labels],
+    )
+    bound = {lab: F.col(f"s_{lab}") for lab in labels}
+    good = scored.select("doc_id", argmax_chain(bound).alias("lang"))
+    assert not _plan_lint_offenders(good)
 
 
 # ---------------------------------------------------------------------------
@@ -303,20 +463,16 @@ def test_bpe_apply_reads_cached_candidates(spark):
 
 
 # ---------------------------------------------------------------------------
-# KNOWN GAP pin (ADVICE r18 #1, dedup side — scheduled r20)
+# Directory-layout size measurement (ADVICE r18 #1 dedup side, fixed r20;
+# xfail pin flipped to plain asserts per the r19 VERDICT done-bar)
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.xfail(
-    reason="ADVICE r18 #1 dedup side: corpus_agg_partitions getsize reads the "
-    "dir inode for directory-layout corpora; fix scheduled r20 (stamp window "
-    "— dedup.py = 49 dependents). Flip this to a plain assert when it lands.",
-    strict=True,
-)
 def test_dedup_agg_partitions_engage_on_directory_corpora(tmp_path):
     """Directory-layout corpora must engage dedup's size-scaled posting
-    partitioning exactly as single-file ones do (pipeline's measured
-    helper already does — this pins the dedup-side parity gap)."""
+    partitioning exactly as single-file ones do (the r18 KNOWN GAP:
+    getsize on the directory read the ~4096-byte inode, silently
+    disabling size scaling on store.py-layout corpora)."""
     from doc2vec_spark.operators.dedup import corpus_agg_partitions
     from doc2vec_spark.session import default_parallelism
 
@@ -327,3 +483,49 @@ def test_dedup_agg_partitions_engage_on_directory_corpora(tmp_path):
     for i in range(2):
         (pq / f"part-{i:05d}.snappy.parquet").write_bytes(b"x" * (10 << 20))
     assert corpus_agg_partitions(str(d)) > n
+
+
+def test_corpus_parquet_bytes_nested_partitionby_layout(tmp_path):
+    """NESTED directory layouts — store.py's partitionBy('bucket',
+    'product_name') shape, bucket=K/product_name=X/part-*.parquet — must
+    fold the leaf part files, not the ~4096-byte subdirectory inodes
+    (ADVICE r19 #1: the one-level listdir fold mis-measured every nested
+    corpus as tiny, re-disabling AQE over the CC edge build and routing
+    unbounded BPE vocabularies driver-side). Dot/underscore entries are
+    pruned at every level."""
+    from doc2vec_spark.operators.dedup import corpus_parquet_bytes
+    from doc2vec_spark.operators.pipeline import (
+        _corpus_parquet_bytes,
+        _small_corpus,
+    )
+
+    d = tmp_path / "nested"
+    pq = d / "documents.parquet"
+    for b in range(2):
+        for p in ("alpha", "beta"):
+            leaf = pq / f"bucket={b}" / f"product_name={p}"
+            leaf.mkdir(parents=True)
+            (leaf / "part-00000.snappy.parquet").write_bytes(b"x" * (5 << 20))
+            (leaf / ".part-00000.snappy.parquet.crc").write_bytes(b"c" * 64)
+    (pq / "_SUCCESS").write_bytes(b"")
+    (pq / "_delta_log").mkdir()
+    (pq / "_delta_log" / "0.json").write_bytes(b"j" * 4096)
+
+    expect = 4 * (5 << 20)
+    assert corpus_parquet_bytes(str(d)) == expect
+    # pipeline's delegates are the SAME function (single-sourced in r20)
+    assert _corpus_parquet_bytes(str(d)) == expect
+    assert _small_corpus(str(d)) is False  # 20 MB >> 150 KB/partition * 32
+
+
+def test_corpus_parquet_bytes_unmeasurable_is_none(tmp_path):
+    """Unreadable/absent paths are UNMEASURABLE (None), never small — the
+    fail-safe contract callers rely on to keep the 100 TB path."""
+    from doc2vec_spark.operators.dedup import (
+        corpus_agg_partitions,
+        corpus_parquet_bytes,
+    )
+    from doc2vec_spark.session import default_parallelism
+
+    assert corpus_parquet_bytes(str(tmp_path / "missing")) is None
+    assert corpus_agg_partitions(str(tmp_path / "missing")) == default_parallelism()
