@@ -20,6 +20,9 @@ CACHING_QUERIES = [
     "dedup_semdedup",
     "ta_distinctive_tokens",
     "ta_unigram_lm_score",
+    # r20: the shared train/apply candidate table moved from the
+    # _PARKED_APPLY_CACHE module global into the scoped discipline
+    "ta_bpe_apply",
 ]
 
 

@@ -518,6 +518,48 @@ def test_corpus_parquet_bytes_nested_partitionby_layout(tmp_path):
     assert _small_corpus(str(d)) is False  # 20 MB >> 150 KB/partition * 32
 
 
+def test_batched_probe_reuses_the_cached_aggregation(spark, monkeypatch):
+    """ADVICE r19 #2 pin: on the unbounded-vocabulary path the REAL
+    ``_collectable_vocab`` probe must MATERIALIZE the candidate cache, not
+    discard a corpus-sized aggregation — train_merges_batched caches cand
+    BEFORE probing, so the probe costs only itself (~2 AQE jobs here) and
+    the training rounds reuse the cache. Pre-fix, the probe ran against an
+    uncached plan and round 1 re-ran the identical aggregation. Measured
+    on this env: mocked-probe loop 9 jobs, real-probe loop 11; the bar
+    allows AQE variance while failing the pre-fix +re-aggregation shape.
+    Values must be identical either way."""
+    import doc2vec_spark.operators.bpe as bpe
+
+    sc = spark.sparkContext
+    bpe.train_merges_batched(spark, str(SF_DIR))  # warm the scan/catalog
+
+    monkeypatch.setattr(bpe, "_collectable_vocab", lambda sf_dir, cand: False)
+    sc.setJobGroup("bpe_mock_probe", "p", False)
+    try:
+        mocked = bpe.train_merges_batched(spark, str(SF_DIR))
+    finally:
+        sc.setJobGroup(None, None, False)
+    monkeypatch.undo()
+
+    # force the REAL probe down the unbounded branch: corpus not measured
+    # small, collect bound 0 -> limit(1).count() > 0 -> distributed loop
+    monkeypatch.setattr(bpe, "_bounded_vocab", lambda sf_dir: False)
+    monkeypatch.setattr(bpe, "VOCAB_COLLECT_BOUND", 0)
+    sc.setJobGroup("bpe_real_probe", "p", False)
+    try:
+        real = bpe.train_merges_batched(spark, str(SF_DIR))
+    finally:
+        sc.setJobGroup(None, None, False)
+
+    assert real == mocked and len(real) > 0
+    n_mock = len(sc.statusTracker().getJobIdsForGroup("bpe_mock_probe"))
+    n_real = len(sc.statusTracker().getJobIdsForGroup("bpe_real_probe"))
+    assert n_real <= n_mock + 3, (
+        f"real-probe path {n_real} jobs vs mocked {n_mock}: the probe is "
+        "re-running the corpus aggregation instead of materializing the cache"
+    )
+
+
 def test_corpus_parquet_bytes_unmeasurable_is_none(tmp_path):
     """Unreadable/absent paths are UNMEASURABLE (None), never small — the
     fail-safe contract callers rely on to keep the 100 TB path."""
