@@ -453,11 +453,15 @@ def train_merges_batched(
     # work and re-running the identical aggregation in round 1 (a net
     # extra corpus-sized job on exactly the 100 TB path).
     cand = cand.cache()
-    small_input = _collectable_vocab(sf_dir, cand)
-    rows: list[tuple[str, int]] = []
-    if small_input:
-        rows = [(r["word"], r["freq"]) for r in cand.collect()]
+    # the probe and the small-path collect run Spark jobs, so they live
+    # INSIDE the try: a transient failure there must still unpersist the
+    # cache (review r20 — the cache() itself is the only statement allowed
+    # between registration and the try)
     try:
+        small_input = _collectable_vocab(sf_dir, cand)
+        rows: list[tuple[str, int]] = []
+        if small_input:
+            rows = [(r["word"], r["freq"]) for r in cand.collect()]
         merges: list[tuple[str, str]] = []
         for _round in range(num_merges):  # <= one round per merge: termination
             if len(merges) >= num_merges:

@@ -136,11 +136,18 @@ def corpus_parquet_bytes(sf_dir: str, table: str = "documents") -> int | None:
     (size scaling via the session default floor, AQE skew handling)."""
     import os
 
+    def _raise(err: OSError):
+        # os.walk SWALLOWS scandir errors by default (onerror=None), which
+        # would return 0 — "measured tiny" — for a directory the process
+        # cannot traverse. Re-raising routes every traversal error to the
+        # except below: unreadable stays UNMEASURABLE, never small.
+        raise err
+
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(path):
             total = 0
-            for root, dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path, onerror=_raise):
                 dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
                 for fname in files:
                     if fname.startswith((".", "_")):

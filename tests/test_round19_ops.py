@@ -493,29 +493,38 @@ def test_corpus_parquet_bytes_nested_partitionby_layout(tmp_path):
     corpus as tiny, re-disabling AQE over the CC edge build and routing
     unbounded BPE vocabularies driver-side). Dot/underscore entries are
     pruned at every level."""
-    from doc2vec_spark.operators.dedup import corpus_parquet_bytes
+    from doc2vec_spark.operators.dedup import (
+        POSTING_BYTES_PER_PARTITION,
+        corpus_parquet_bytes,
+    )
     from doc2vec_spark.operators.pipeline import (
         _corpus_parquet_bytes,
         _small_corpus,
     )
+    from doc2vec_spark.session import default_parallelism
 
+    # size each leaf relative to the session default so the not-small
+    # assertion holds on ANY host (review r20: a fixed 20 MB fixture flips
+    # to "small" once default_parallelism >= 140) — 4 leaves at n
+    # partitions' worth each project to 4n+1 > n for every n
+    per_leaf = default_parallelism() * POSTING_BYTES_PER_PARTITION
     d = tmp_path / "nested"
     pq = d / "documents.parquet"
     for b in range(2):
         for p in ("alpha", "beta"):
             leaf = pq / f"bucket={b}" / f"product_name={p}"
             leaf.mkdir(parents=True)
-            (leaf / "part-00000.snappy.parquet").write_bytes(b"x" * (5 << 20))
+            (leaf / "part-00000.snappy.parquet").write_bytes(b"x" * per_leaf)
             (leaf / ".part-00000.snappy.parquet.crc").write_bytes(b"c" * 64)
     (pq / "_SUCCESS").write_bytes(b"")
     (pq / "_delta_log").mkdir()
     (pq / "_delta_log" / "0.json").write_bytes(b"j" * 4096)
 
-    expect = 4 * (5 << 20)
+    expect = 4 * per_leaf
     assert corpus_parquet_bytes(str(d)) == expect
     # pipeline's delegates are the SAME function (single-sourced in r20)
     assert _corpus_parquet_bytes(str(d)) == expect
-    assert _small_corpus(str(d)) is False  # 20 MB >> 150 KB/partition * 32
+    assert _small_corpus(str(d)) is False  # 4n+1 projected parts > n
 
 
 def test_batched_probe_reuses_the_cached_aggregation(spark, monkeypatch):
@@ -571,3 +580,37 @@ def test_corpus_parquet_bytes_unmeasurable_is_none(tmp_path):
 
     assert corpus_parquet_bytes(str(tmp_path / "missing")) is None
     assert corpus_agg_partitions(str(tmp_path / "missing")) == default_parallelism()
+
+
+def test_corpus_parquet_bytes_traversal_error_is_none(tmp_path, monkeypatch):
+    """A directory that EXISTS but cannot be traversed is UNMEASURABLE
+    (None), not zero bytes (review r20): os.walk swallows scandir errors by
+    default — yielding nothing and summing to 0, i.e. 'measured tiny',
+    which would collect an unbounded BPE vocabulary driver-side and widen
+    the AQE-off CC scope on exactly the corpora we cannot see into. The
+    helper passes onerror to route traversal failures to its except. The
+    error is injected via os.walk (the process runs with privileges that
+    ignore permission bits, so a chmod-based fixture cannot fail)."""
+    import os
+
+    from doc2vec_spark.operators import dedup
+
+    pq = tmp_path / "documents.parquet"
+    (pq / "bucket=0").mkdir(parents=True)
+    (pq / "bucket=0" / "part-00000.snappy.parquet").write_bytes(b"x" * 1024)
+
+    real_walk = os.walk
+
+    def failing_walk(top, *args, **kwargs):
+        onerror = kwargs.get("onerror")
+        err = OSError(13, "Permission denied", str(top))
+        if onerror is not None:
+            onerror(err)  # the helper must re-raise into its except
+        # onerror swallowed it (the pre-fix shape): emulate os.walk's
+        # default silence — no entries at all
+        return iter(())
+
+    monkeypatch.setattr(os, "walk", failing_walk)
+    assert dedup.corpus_parquet_bytes(str(tmp_path)) is None
+    monkeypatch.setattr(os, "walk", real_walk)
+    assert dedup.corpus_parquet_bytes(str(tmp_path)) == 1024
