@@ -36,5 +36,21 @@ def cosine_distance(a: Column, b: Column) -> Column:
 
 
 def lit_vector(values: Sequence[float]) -> Column:
-    """A query vector as a literal array<double> column."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    """A query vector as a literal array<double> column.
+
+    r21: built as ONE parsed SQL expression instead of per-element
+    ``F.lit`` calls — a 64-dim vector cost ~65 py4j round trips per use
+    (the ann_*/knn family embeds dozens of literal vectors per plan, so
+    plan CONSTRUCTION dominated several sub-second queries). The ``D``
+    suffix parses as a DOUBLE literal; ``repr`` of a Python float is its
+    shortest round-trip form, and Java's parser returns the bit-identical
+    double (verified bitwise vs the F.lit path), so plans and results are
+    unchanged — only driver-side build time drops.
+    """
+    vals = [float(v) for v in values]
+    if not vals:
+        return F.expr("array()").cast("array<double>")
+    if any(v != v or v in (float("inf"), float("-inf")) for v in vals):
+        # inf/nan have no SQL literal spelling — take the slow exact path
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")

@@ -102,21 +102,34 @@ def _nb_grid_and_test(
         "bucket",
         F.explode(F.split(F.col("t"), r"\s+")).alias("tok"),
     )
-    # train feeds three consumers (class counts, class totals, vocab) —
-    # one materialization instead of three token explodes
-    train = scoped_cache(toks.filter(F.col("bucket") < TRAIN_BUCKETS))
+    train = toks.filter(F.col("bucket") < TRAIN_BUCKETS)
     test = toks.filter(F.col("bucket") >= TRAIN_BUCKETS)
 
-    # class-conditional counts + per-class totals + vocab size (train only)
-    cls_counts = train.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("cnt"))
-    vocab = train.select("tok").distinct()
-    # V and the per-class totals enter as bounded scalars / a bounded
-    # |classes|-row literal (the lm.py / mixture_sample precedent)
-    v_size = vocab.count()
-    totals = {
-        r["lang"]: int(r["total"])
-        for r in train.groupBy("lang").agg(F.count(F.lit(1)).alias("total")).collect()
-    }
+    # r21 (guide §1.2, fewer corpus passes): every model statistic is a
+    # function of the class-conditional count table — per-class totals are
+    # SUM(cnt) per lang, the vocabulary is its distinct tok set, V its
+    # distinct-tok count — so aggregate the token stream ONCE into
+    # cls_counts, cache that (it is vocabulary-sized), and derive the rest
+    # from the cache. The pre-r21 shape cached the token stream itself and
+    # re-passed it three times (vocab count, per-class totals, the count
+    # aggregation). One rollup action over the cached counts collects the
+    # bounded stats (lang rows + the grand-total row; the grouping flag
+    # keeps a NULL lang class distinct from the total row).
+    cls_counts = scoped_cache(
+        train.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = cls_counts.select("tok").distinct()
+    stat_rows = (
+        cls_counts.rollup("lang")
+        .agg(
+            F.sum("cnt").alias("total"),
+            F.countDistinct("tok").alias("v"),
+            F.grouping("lang").alias("g"),
+        )
+        .collect()
+    )
+    v_size = next((int(r["v"]) for r in stat_rows if r["g"] == 1), 0)
+    totals = {r["lang"]: int(r["total"]) for r in stat_rows if r["g"] == 0}
 
     # vocab x class grid with Laplace-smoothed integer ppm probabilities.
     # The class fanout is a MAP-ONLY literal struct-array explode — the

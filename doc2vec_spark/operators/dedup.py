@@ -542,12 +542,19 @@ _BAND_JOIN_SQL = " UNION ".join(
         k=NUM_MINHASH, b=len(_BANDS), r=BAND_SIZE
     ),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+) -> DataFrame:
     # bands via explode -> ONE equi-join on (lang, band_id, band_key) instead
     # of one join per band: a single shuffle whose key includes band_id, which
     # is exactly how LSH candidate generation shards at 100 TB (band_key is a
-    # uniform hash -> no skew)
-    sig = _minhash_sig(spark, sf_dir)
+    # uniform hash -> no skew).
+    # ``sig`` (r21): callers that ALSO consume the signature table
+    # (dedup_minhash_quality joins it for the match columns) pass their
+    # cached copy so the whole tokenize->shingle->minhash pipeline runs once
+    # per invocation instead of twice.
+    if sig is None:
+        sig = _minhash_sig(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(

@@ -56,6 +56,36 @@ NUM_Q = 10  # evaluation query sample: vec_id 0..9
 RECALL_K = 10
 
 
+def _ranked_single_window(scored: DataFrame, flag: str) -> DataFrame:
+    """(qid, <flag>, exact_rnk, ann_rnk) from the scored pass with ONE
+    window exchange (r21, guide §2.4).
+
+    The pre-r21 shape ran two ROW_NUMBER windows with different partition
+    keys — PARTITION BY qid and PARTITION BY (qid, flag) — which is two
+    full exchanges + sorts of the NUM_Q*n scored rows. Every consumer
+    gates on ``flag`` being true, and for flag-true rows the rank within
+    (qid, flag) equals the running count of flag-true rows within qid in
+    the same (dist, vec_id) order. So both ranks come out of one window
+    spec: row_number for the exact rank, a conditional running sum for the
+    ANN rank. Flag-false rows get a different ann_rnk value than before
+    (running in-flag count instead of their out-of-flag rank), but no
+    aggregate ever reads it — each one conditions on the flag first. The
+    downstream groupBy(qid) then reuses the window's hash partitioning, so
+    the whole eval after scoring is ONE exchange instead of three.
+    """
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return scored.select(
+        "qid",
+        flag,
+        F.row_number().over(w).alias("exact_rnk"),
+        F.sum(F.when(F.col(flag), 1).otherwise(0))
+        .over(wsum)
+        .cast("int")
+        .alias("ann_rnk"),
+    )
+
+
 @_register(
     "ann_recall_at_k",
     f"""
@@ -129,16 +159,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("vec_id") != F.col("s.qid")).select(
         "vec_id", "s.qid", "s.in_bucket", "s.dist"
     )
-    w_exact = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    w_ann = Window.partitionBy("qid", "in_bucket").orderBy(
-        F.asc("dist"), F.asc("vec_id")
-    )
-    ranked = scored.select(
-        "qid",
-        "in_bucket",
-        F.row_number().over(w_exact).alias("exact_rnk"),
-        F.row_number().over(w_ann).alias("ann_rnk"),
-    )
+    ranked = _ranked_single_window(scored, "in_bucket")
     ann_hit = F.col("in_bucket") & (F.col("ann_rnk") <= RECALL_K)
     true_hit = ann_hit & (F.col("exact_rnk") <= RECALL_K)
     return (
@@ -233,16 +254,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("vec_id") != F.col("s.qid")).select(
         "vec_id", "s.qid", "s.in_cell", "s.dist"
     )
-    w_exact = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    w_ann = Window.partitionBy("qid", "in_cell").orderBy(
-        F.asc("dist"), F.asc("vec_id")
-    )
-    ranked = scored.select(
-        "qid",
-        "in_cell",
-        F.row_number().over(w_exact).alias("exact_rnk"),
-        F.row_number().over(w_ann).alias("ann_rnk"),
-    )
+    ranked = _ranked_single_window(scored, "in_cell")
     ann_hit = F.col("in_cell") & (F.col("ann_rnk") <= RECALL_K)
     true_hit = ann_hit & (F.col("exact_rnk") <= RECALL_K)
     return (
@@ -315,6 +327,7 @@ def _minhash_quality_oracle() -> str:
     "your dedup threshold assumes.",
 )
 def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.caching import scoped_cache
     from doc2vec_spark.operators.dedup import (
         NUM_MINHASH,
         _minhash_sig,
@@ -324,12 +337,17 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from doc2vec_spark.tables import load as _load
 
+    # r21 (guide §1.2): the signature pipeline (tokenize -> shingle -> md5 ->
+    # 12 minhash folds) is consumed by BOTH the LSH candidate generation and
+    # the match-count join below — cache it once and hand it to
+    # dedup_minhash_lsh instead of recomputing the whole pass (measured:
+    # 12 exec jobs, the sig subtree evaluated twice, at sf0.1).
+    sig = scoped_cache(_minhash_sig(spark, sf_dir))
     cand = (
-        dedup_minhash_lsh(spark, sf_dir)
+        dedup_minhash_lsh(spark, sf_dir, sig=sig)
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sig = _minhash_sig(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"am{i}") for i in range(NUM_MINHASH)],

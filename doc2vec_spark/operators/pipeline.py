@@ -1300,26 +1300,29 @@ def pipe_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("got_tokens"),
         )
     )
-    sampled = scoped_cache(sampled)
-    g_raw = sampled.agg(F.sum("got_tokens")).collect()[0][0]
-    if not g_raw:  # empty draw (every lang's first md5-ordered doc exceeds
-        # its budget on a degenerate corpus): the oracle returns zero rows;
-        # mirror that instead of TypeError-ing on int(None) / div 0
-        # (review finding r12)
-        return spark.createDataFrame(
-            [],
-            "lang string, n_docs long, got_tokens long, "
-            "target_bp long, achieved_bp long, drift_bp long",
+    # r21: the grand total g used to be a scoped-cache + collect + driver
+    # branch (one extra cache fill and one extra job per run). It is a sum
+    # over the ALREADY-AGGREGATED per-language rows — #languages of them,
+    # bounded at any corpus scale — so an unbounded-frame window computes it
+    # in-plan for free. The empty-draw degenerate case (review finding r12)
+    # now falls out structurally: zero sampled rows produce zero output
+    # rows, exactly the oracle's empty result, with no g=None branch. A
+    # non-empty draw always has g > 0 (every sampled doc has n_tok >= 1),
+    # so the integer division is never div-by-zero.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    achieved = F.expr("(10000 * got_tokens) div g")
+    return (
+        sampled.withColumn("g", F.sum("got_tokens").over(wall))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("got_tokens").cast("long").alias("got_tokens"),
+            "target_bp",
+            achieved.cast("long").alias("achieved_bp"),
+            (achieved - F.col("target_bp")).cast("long").alias("drift_bp"),
         )
-    g = int(g_raw)
-    achieved = F.expr(f"(10000 * got_tokens) div {g}")
-    return sampled.select(
-        "lang",
-        "n_docs",
-        F.col("got_tokens").cast("long").alias("got_tokens"),
-        "target_bp",
-        achieved.cast("long").alias("achieved_bp"),
-        (achieved - F.col("target_bp")).cast("long").alias("drift_bp"),
     )
 
 

@@ -152,16 +152,13 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("s.qid"))
         .select("vec_id", "s.qid", "s.in_bucket", "s.dist")
     )
-    w_exact = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    w_ann = Window.partitionBy("qid", "in_bucket").orderBy(
-        F.asc("dist"), F.asc("vec_id")
-    )
-    ranked = scored.select(
-        "qid",
-        "in_bucket",
-        F.row_number().over(w_exact).alias("exact_rnk"),
-        F.row_number().over(w_ann).alias("ann_rnk"),
-    )
+    # r21: one window exchange instead of two — see
+    # evalmetrics._ranked_single_window (every consumer below gates on
+    # in_bucket, for which the conditional running count equals the
+    # (qid, in_bucket)-partitioned row_number)
+    from doc2vec_spark.operators.evalmetrics import _ranked_single_window
+
+    ranked = _ranked_single_window(scored, "in_bucket")
     relevant = (
         F.col("in_bucket")
         & (F.col("ann_rnk") <= RECALL_K)

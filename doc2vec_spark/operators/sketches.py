@@ -295,39 +295,52 @@ def _kmv_hash_sql(col: str) -> str:
     "re-minimizing.".format(k=KMV_K),
 )
 def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.caching import scoped_cache
+
     docs = load(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast("long")
 
-    def side(src: tuple) -> DataFrame:
-        return (
-            docs.filter(F.col("source").isin(*src))
-            .select("text")
-            .distinct()
-            .select("text", h.alias("h"))
-        )
-
-    a, b = side(KMV_SRC_A), side(KMV_SRC_B)
-    # every collect here is <= k rows or a scalar count (the global-scalar
-    # precedent) — the full hash sets are never shipped to the driver: the
-    # union sketch is a TakeOrdered over the distributed union, and sketch
-    # membership is two broadcast-size semi joins against its k rows
-    ka = [r["h"] for r in a.select("h").orderBy("h").limit(KMV_K).collect()]
-    kb = [r["h"] for r in b.select("h").orderBy("h").limit(KMV_K).collect()]
-    ku = (
-        a.select("h")
-        .unionByName(b.select("h"))
-        .distinct()
+    # r21 (guide §1.2 "don't compute things twice" / §2.4): the old shape
+    # built each side's DISTINCT-text set independently and then referenced
+    # them from SIX separate actions (two k-min collects, three counts, one
+    # semi-join count) — the corpus-sized distinct shuffle re-ran five times
+    # (measured: 24 build jobs, 1.40 s canonical at sf0.1). Every quantity
+    # below is a function of ONE table: the distinct texts of the union of
+    # sources, with per-side membership flags (a text is in side A iff ANY
+    # of its rows carries an A-source — max over the group, identical to
+    # "DISTINCT text WHERE source IN A"). Build it once, cache it, and the
+    # remaining actions are cache-backed k-row TakeOrdereds plus one
+    # count aggregate: ~4 jobs, one corpus shuffle at any scale.
+    in_a = F.max(F.when(F.col("source").isin(*KMV_SRC_A), 1).otherwise(0)) == 1
+    in_b = F.max(F.when(F.col("source").isin(*KMV_SRC_B), 1).otherwise(0)) == 1
+    t = scoped_cache(
+        docs.filter(F.col("source").isin(*set(KMV_SRC_A + KMV_SRC_B)))
+        .groupBy("text")
+        .agg(in_a.alias("a"), in_b.alias("b"))
+        .select(h.alias("h"), "a", "b")
+    )
+    counts = t.agg(
+        F.count_if(F.col("a")).alias("na"),
+        F.count_if(F.col("b")).alias("nb"),
+        # the oracle's inter_exact is a JOIN ON text = text — NULL-excluding
+        # like the old semi join, hence the isNotNull guard (h is null iff
+        # text is null)
+        F.count_if(F.col("a") & F.col("b") & F.col("h").isNotNull()).alias("ni"),
+    ).collect()[0]
+    n_a_exact, n_b_exact, inter_exact = counts["na"], counts["nb"], counts["ni"]
+    ka = [r["h"] for r in t.filter("a").select("h").orderBy("h").limit(KMV_K).collect()]
+    kb = [r["h"] for r in t.filter("b").select("h").orderBy("h").limit(KMV_K).collect()]
+    # the union sketch dedups on H (the oracle's UNION of h columns), while
+    # ka/kb count per-TEXT rows exactly as the oracle's per-text CTEs do —
+    # the two only differ on a 2^-40 md5-prefix collision, mirrored here
+    ku_rows = (
+        t.groupBy("h")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
         .orderBy("h")
         .limit(KMV_K)
+        .collect()
     )
-    inter_in_sketch = (
-        ku.join(a.select("h").distinct(), "h", "left_semi")
-        .join(b.select("h").distinct(), "h", "left_semi")
-        .count()
-    )
-    n_a_exact = a.count()
-    n_b_exact = b.count()
-    inter_exact = a.join(b, "text", "left_semi").count()
+    inter_in_sketch = sum(1 for r in ku_rows if r["a"] and r["b"])
     row = {
         "n_a_exact": n_a_exact,
         "n_b_exact": n_b_exact,

@@ -196,7 +196,11 @@ def ta_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l"),
         F.col("i"),
     )
-    sub = (
+    # r21: cached — the two vocab collects below (top-V multi-char and the
+    # 1-gram alphabet) otherwise each re-run the piece-count aggregation
+    # over the exploded substring table; the frame is piece-vocabulary-sized
+    # (bounded) so the cache is flat-storage-safe
+    sub = scoped_cache(
         pos.select(
             F.col("word").substr(F.col("i"), F.col("l")).alias("piece"),
             "freq",

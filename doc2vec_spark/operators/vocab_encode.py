@@ -154,34 +154,67 @@ def encode_against_vocab(
     words = df.select(F.col(word_col).alias("word")).filter(
         F.length("word").between(1, max_word_chars)
     )
-    grid = words.select(
-        "word", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos")
+    # r21 (guide §2.4 / §1.2): the longest-match probe used to be SEVEN
+    # chained broadcast hash joins — one per piece length, each with its own
+    # broadcast-build job (measured: the dominant share of the 6-query
+    # subword family's build jobs at sf0.1). A substring of length L can
+    # only ever equal a piece of length L, so every length probes the SAME
+    # vocabulary safely in ONE join: explode each word map-side to its
+    # full-length candidate substrings (pos, l, sub) for l = 2..max — at
+    # most max_word_chars * (max_piece_chars - 1) rows per DISTINCT word —
+    # and inner-join once against the whole (deduped, length-capped) piece
+    # table. step(word, pos) = max matched l else 1, exactly the oracle's
+    # COALESCE(MAX(len(piece)), 1); words with no match anywhere (or too
+    # short to probe) re-enter via the left join against the word table,
+    # which both sides reach already hash-partitioned by word.
+    vl = (
+        vocab.filter(F.length("piece").between(2, max_piece_chars))
+        .select("piece")
+        .distinct()
     )
-    # one broadcast hash join per piece length, longest first; each
-    # length-slice is distinct by construction of derive_vocab, .distinct()
-    # guards user-supplied tables (duplicate pieces would fan the grid out)
-    match_cols = []
-    for l in range(max_piece_chars, 1, -1):
-        vl = (
-            vocab.filter(F.length("piece") == l)
-            .select(F.col("piece").alias(f"_p{l}"))
-            .distinct()
-        )
-        grid = grid.join(
-            F.broadcast(vl),
-            F.expr(f"substring(word, pos, {l})") == F.col(f"_p{l}"),
-            "left",
-        )
-        match_cols.append((l, f"_p{l}"))
-    step = F.coalesce(
-        *[F.when(F.col(c).isNotNull(), F.lit(l)) for l, c in match_cols],
-        F.lit(1),
+    probes = words.select(
+        "word",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda p: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(2), F.lit(max_piece_chars)),
+                            lambda l: F.when(
+                                p + l - F.lit(1) <= F.length("word"),
+                                F.struct(
+                                    p.alias("pos"),
+                                    l.alias("l"),
+                                    F.col("word").substr(p, l).alias("sub"),
+                                ),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("m"),
+    ).select("word", "m.pos", "m.l", "m.sub")
+    matches = probes.join(
+        F.broadcast(vl), probes["sub"] == vl["piece"]
+    ).select("word", "pos", "l")
+    msteps = matches.groupBy("word").agg(
+        F.collect_list(F.struct("pos", "l")).alias("ms")
     )
-    steps = grid.select("word", "pos", step.alias("step")).groupBy("word").agg(
+    steps = words.join(msteps, "word", "left").select(
+        "word",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "step"))),
-            lambda s: s["step"],
-        ).alias("steps")
+            F.sequence(F.lit(1), F.length("word")),
+            lambda p: F.coalesce(
+                F.aggregate(
+                    F.filter(F.col("ms"), lambda m: m["pos"] == p),
+                    F.lit(1),
+                    lambda acc, m: F.greatest(acc, m["l"]),
+                ),
+                F.lit(1),
+            ),
+        ).alias("steps"),
     )
 
     word = F.col("word")

@@ -51,6 +51,45 @@ def ensure_shipped(spark: SparkSession) -> None:
     sc._doc2vec_spark_shipped = True
 
 
+# Schema memo (r21, guide §6): spark.read.parquet infers the schema on
+# EVERY call — on this Spark version the footer merge runs as a small Spark
+# job, so each load() paid one extra job of pure latency (measured: ~0.1-0.3 s
+# per query at sf0.1; 110 of 200 registry queries carried exactly this one
+# build-time job). The memo holds METADATA only (a StructType per path —
+# never rows, never results): the first load of a path infers once, later
+# loads pass the explicit schema and skip inference entirely. At 100 TB an
+# explicit schema is the standard discipline anyway — inference over a
+# multi-million-file corpus is a full footer sweep. The key carries the
+# path's (mtime_ns, size) stat signature, so a table rewritten at the same
+# path (tests do this) re-infers instead of serving a stale schema; an
+# unstattable path falls through to plain inference.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_sig(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _read_parquet(spark: SparkSession, path: str):
+    sig = _path_sig(path)
+    if sig is None:
+        return spark.read.parquet(path)
+    key = (path, sig)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        # drop stale signatures for the same path before memoizing the new one
+        for k in [k for k in _SCHEMA_CACHE if k[0] == path]:
+            del _SCHEMA_CACHE[k]
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -64,7 +103,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -74,4 +113,4 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (and identical to what the nanos path above produces)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")

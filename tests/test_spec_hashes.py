@@ -32,11 +32,31 @@ def test_spec_hashes_file_current():
 def test_universal_stamp_gates_all_verification(monkeypatch):
     """ADVICE r5 (medium): tables.py is excluded from per-query digests, so
     a loader change must instead void ALL driver verification via the global
-    stamp — otherwise the rotation could report stale results as verified."""
+    stamp — otherwise the rotation could report stale results as verified.
+
+    r21: the verified state is SYNTHESIZED via monkeypatch rather than read
+    from the live repo — a genuine tables.py edit (e.g. the r21 schema-memo
+    optimization) correctly voids every live stamp until the next driver
+    round, so "some names are currently verified" is not an invariant this
+    test may assume; the gate logic is what must hold."""
     from doc2vec_spark import spec_hashes
 
-    live = spec_hashes.verified_names()
-    assert live, "precondition: some names verified under the current stamps"
+    monkeypatch.setattr(
+        spec_hashes, "current_spec_hashes", lambda merged=None: {"q1": "abc"}
+    )
+    monkeypatch.setattr(
+        spec_hashes, "load_stamps", lambda: {"q1": {"hash": "abc", "since": 1}}
+    )
+    monkeypatch.setattr(spec_hashes, "_green_rounds", lambda: {"q1": [5]})
+    monkeypatch.setattr(
+        spec_hashes,
+        "load_universal_stamp",
+        lambda: {"hash": spec_hashes.universal_hash(), "since": 1},
+    )
+    assert spec_hashes.verified_names() == frozenset({"q1"}), (
+        "precondition: the synthetic stamp must verify under a current "
+        "universal stamp"
+    )
     monkeypatch.setattr(
         spec_hashes, "load_universal_stamp",
         lambda: {"hash": "0" * 16, "since": 1},
