@@ -312,7 +312,9 @@ def mm_feature_search(spark, sf_dir: str, k: int = 5) -> DataFrame:
     if probe_row is None:  # no probe item: oracle's probe CTE is empty -> 0 rows
         return spark.createDataFrame([], "media_id long, mime string, cosine_sim double")
     probe_text = probe_row[0]
-    qv = F.array(*[F.lit(float(x)) for x in _stub_feature(probe_text.encode("utf-8"))])
+    from doc2vec_spark.functions.vectors import lit_vector
+
+    qv = lit_vector(_stub_feature(probe_text.encode("utf-8")))
     feats = extract_features(media_from_documents(spark, sf_dir)).select(
         "media_id", "mime", as_double_array(F.col("feature")).alias("v")
     )

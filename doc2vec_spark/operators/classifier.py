@@ -424,16 +424,28 @@ def ta_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.repartition(default_parallelism())
         .select("doc_id", F.explode(word_shingles_from(F.col("ws"), 3)).alias("s"))
     )
-    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
-    uniq = F.sum((F.col("n_docs") == 1).cast("long"))
-    return (
-        sh.join(df_counts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            uniq.alias("n_unique"),
-            F.floor(F.lit(10000) * uniq / F.count(F.lit(1)))
-            .cast("long")
-            .alias("novelty_bp"),
-        )
+    # r21 (guide §2.3): the old shape joined the FULL shingle table back to
+    # its own document-frequency counts on s (a third shingle-sized
+    # exchange) before the per-doc aggregate. The per-doc unique count needs
+    # no join-back: shingle rows are per-doc DISTINCT, so a shingle with
+    # global count 1 has exactly one owner — min(doc_id) of its group — and
+    # the unique counts aggregate from the (tiny) count-1 groups alone. Two
+    # shingle-sized exchanges + one bounded one, same integers.
+    df_counts = sh.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("owner")
+    )
+    totals = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    uniques = (
+        df_counts.filter(F.col("n_docs") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    n_unique = F.coalesce(F.col("n_unique"), F.lit(0)).cast("long")
+    return totals.join(uniques, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        n_unique.alias("n_unique"),
+        F.floor(F.lit(10000) * n_unique / F.col("n_shingles"))
+        .cast("long")
+        .alias("novelty_bp"),
     )

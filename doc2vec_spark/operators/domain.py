@@ -394,10 +394,16 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_tokens = qrow["t"]
     q_text = " ".join(q_tokens)
 
-    base = docs.filter(F.trim(F.col("text")) != "").select(
-        "doc_id",
-        F.trim(F.col("text")).alias("content"),
-        F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+    from doc2vec_spark.caching import scoped_cache
+
+    # r21: cached — the keyword leg and the embedding leg each scan base;
+    # uncached, the trim/split/array_distinct projection ran twice
+    base = scoped_cache(
+        docs.filter(F.trim(F.col("text")) != "").select(
+            "doc_id",
+            F.trim(F.col("text")).alias("content"),
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+        )
     )
 
     kw_score = F.size(
@@ -514,10 +520,17 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # element INDEX into it, silently comparing tokens against positions
         return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
 
-    base = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    from doc2vec_spark.caching import scoped_cache
+
+    # r21: cached — the bounded stats row and the final top-k both read
+    # base; uncached, the tokenize + per-term tf array filters ran twice
+    # over the corpus. Narrow (doc_id, dl, tf*) numeric rows only.
+    base = scoped_cache(
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            *[tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+        )
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),

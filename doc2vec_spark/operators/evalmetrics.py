@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from doc2vec_spark.functions.vectors import (
     as_double_array,
     cosine_distance,
+    dot,
     lit_vector,
 )
 from doc2vec_spark.operators.similarity import _SRP_BUCKET_SQL, srp_bucket_expr
@@ -54,6 +55,41 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 
 NUM_Q = 10  # evaluation query sample: vec_id 0..9
 RECALL_K = 10
+
+
+def _q_structs(qrows, flag_col: str, flag_field: str) -> F.Column:
+    """The literal NUM_Q query-struct array for the map-side scoring explode
+    (qid, <flag_field>, dist per query), with the cosine FACTORED (r21,
+    guide §1.2 per-task work):
+
+    ``cosine_distance(v, lit_q)`` re-evaluates ``l2_norm(v)`` and folds the
+    literal query's own norm PER ROW PER QUERY — 3*NUM_Q interpreted HOF
+    folds per row where 1 + NUM_Q suffice. The row norm binds once as the
+    ``nv`` column (referenced NUM_Q times, so CollapseProject keeps the
+    binding — the r20 Catalyst lesson), and each query's norm is a Python
+    constant: the SAME 0.0-seeded left fold over the same doubles and an
+    IEEE-exact sqrt, so ``1.0 - dot/(nv * lit(qn))`` is arithmetically
+    IDENTICAL to the inline form, term order included. Callers' ``b`` frame
+    must carry (v, nv, <flag_col>)."""
+    import math
+
+    from doc2vec_spark.operators.similarity import _py_dot
+
+    structs = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        qn = math.sqrt(_py_dot(qv, qv))
+        dist = F.lit(1.0) - dot(F.col("v"), lit_vector(qv)) / (
+            F.col("nv") * F.lit(qn)
+        )
+        structs.append(
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("qid"),
+                (F.col(flag_col) == F.lit(int(r[flag_col]))).alias(flag_field),
+                dist.alias("dist"),
+            )
+        )
+    return F.array(*structs)
 
 
 def _ranked_single_window(scored: DataFrame, flag: str) -> DataFrame:
@@ -125,10 +161,17 @@ def _ranked_single_window(scored: DataFrame, flag: str) -> DataFrame:
     "before trusting its index.",
 )
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.functions.vectors import l2_norm
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    b = e.select("vec_id", "v", srp_bucket_expr(F.col("v")).alias("bucket"))
+    b = e.select(
+        "vec_id",
+        "v",
+        l2_norm(F.col("v")).alias("nv"),
+        srp_bucket_expr(F.col("v")).alias("bucket"),
+    )
     # bounded literal LUT: the NUM_Q sample queries' vectors and buckets
     qrows = sorted(
         b.filter(F.col("vec_id") < NUM_Q).collect(), key=lambda r: r["vec_id"]
@@ -140,22 +183,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = b.select(
         "vec_id",
         "bucket",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(r["vec_id"])).alias("qid"),
-                        (F.col("bucket") == F.lit(int(r["bucket"]))).alias(
-                            "in_bucket"
-                        ),
-                        cosine_distance(F.col("v"), lit_vector(r["v"])).alias(
-                            "dist"
-                        ),
-                    )
-                    for r in qrows
-                ]
-            ).alias("qs")
-        ).alias("s"),
+        F.explode(_q_structs(qrows, "bucket", "in_bucket").alias("qs")).alias("s"),
     ).filter(F.col("vec_id") != F.col("s.qid")).select(
         "vec_id", "s.qid", "s.in_bucket", "s.dist"
     )
@@ -223,10 +251,17 @@ def _ivf_recall_oracle() -> str:
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.operators.similarity import _nearest_centroid_expr
 
+    from doc2vec_spark.functions.vectors import l2_norm
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    b = e.select("vec_id", "v", _nearest_centroid_expr(F.col("v")).alias("cell"))
+    b = e.select(
+        "vec_id",
+        "v",
+        l2_norm(F.col("v")).alias("nv"),
+        _nearest_centroid_expr(F.col("v")).alias("cell"),
+    )
     qrows = sorted(
         b.filter(F.col("vec_id") < NUM_Q).collect(), key=lambda r: r["vec_id"]
     )
@@ -237,20 +272,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = b.select(
         "vec_id",
         "cell",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(r["vec_id"])).alias("qid"),
-                        (F.col("cell") == F.lit(int(r["cell"]))).alias("in_cell"),
-                        cosine_distance(F.col("v"), lit_vector(r["v"])).alias(
-                            "dist"
-                        ),
-                    )
-                    for r in qrows
-                ]
-            ).alias("qs")
-        ).alias("s"),
+        F.explode(_q_structs(qrows, "cell", "in_cell").alias("qs")).alias("s"),
     ).filter(F.col("vec_id") != F.col("s.qid")).select(
         "vec_id", "s.qid", "s.in_cell", "s.dist"
     )

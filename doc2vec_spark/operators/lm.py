@@ -172,7 +172,7 @@ def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
     )
-    tgt = (
+    tgt = scoped_cache(  # r21: read by the total AND the scoring join too
         toks.filter(F.col("source") == DSIR_TARGET_SOURCE)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("tc"))

@@ -120,7 +120,15 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    b = e.select("vec_id", "v", srp_bucket_expr(F.col("v")).alias("bucket"))
+    from doc2vec_spark.functions.vectors import l2_norm
+    from doc2vec_spark.operators.evalmetrics import _q_structs
+
+    b = e.select(
+        "vec_id",
+        "v",
+        l2_norm(F.col("v")).alias("nv"),
+        srp_bucket_expr(F.col("v")).alias("bucket"),
+    )
     qrows = sorted(
         b.filter(F.col("vec_id") < NUM_Q).collect(), key=lambda r: r["vec_id"]
     )
@@ -132,22 +140,9 @@ def ann_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.select(
             "vec_id",
             "bucket",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(r["vec_id"])).alias("qid"),
-                            (F.col("bucket") == F.lit(int(r["bucket"]))).alias(
-                                "in_bucket"
-                            ),
-                            cosine_distance(F.col("v"), lit_vector(r["v"])).alias(
-                                "dist"
-                            ),
-                        )
-                        for r in qrows
-                    ]
-                ).alias("qs")
-            ).alias("s"),
+            F.explode(_q_structs(qrows, "bucket", "in_bucket").alias("qs")).alias(
+                "s"
+            ),
         )
         .filter(F.col("vec_id") != F.col("s.qid"))
         .select("vec_id", "s.qid", "s.in_bucket", "s.dist")

@@ -99,18 +99,25 @@ def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    # per-dimension bounds: one agg, 128 scalars to the driver
-    bounds = e.agg(
-        *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(DIM)],
-        *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(DIM)],
-    ).collect()[0]
+    # per-dimension bounds: one agg, 128 scalars to the driver. r21: the
+    # whole agg list parses as ONE struct expression (128 py4j column
+    # constructions -> 1 F.expr call; same aggregates, same values), and
+    # the literal bound arrays render through lit_vector's single-parse
+    # path — plan-construction cost only, results identical.
+    fields = ", ".join(
+        [f"min(element_at(v, {i + 1})) AS mn{i}" for i in range(DIM)]
+        + [f"max(element_at(v, {i + 1})) AS mx{i}" for i in range(DIM)]
+    )
+    bounds = e.agg(F.expr(f"struct({fields})").alias("b")).collect()[0]["b"]
     if bounds["mn0"] is None:  # empty embeddings: oracle emits 0 rows
         return spark.createDataFrame([], "vec_id long, rnk int, sqdist long")
     mns = [float(bounds[f"mn{i}"]) for i in range(DIM)]
     mxs = [float(bounds[f"mx{i}"]) for i in range(DIM)]
 
-    mns_lit = F.array(*[F.lit(x) for x in mns])
-    mxs_lit = F.array(*[F.lit(x) for x in mxs])
+    from doc2vec_spark.functions.vectors import lit_vector
+
+    mns_lit = lit_vector(mns)
+    mxs_lit = lit_vector(mxs)
     # element_at throughout: Spark SQL bracket indexing is 0-based while
     # element_at (and DuckDB's brackets) are 1-based
     code = F.expr(
@@ -135,7 +142,7 @@ def ann_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         else int(math.floor((qv[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5))
         for i in range(DIM)
     ]
-    qc_lit = F.array(*[F.lit(int(x)).cast("long") for x in qc])
+    qc_lit = F.expr("array(" + ",".join(f"{int(x)}L" for x in qc) + ")")
     dist = F.expr(
         "aggregate(zip_with(c, _qc, (a, b) -> (a - b) * (a - b)), 0L, "
         "(acc, x) -> acc + x)"

@@ -599,22 +599,40 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collapse into one aggregation; top-10 via TakeOrderedAndProject.",
 )
 def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from doc2vec_spark.caching import scoped_cache
+
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    # one orderkey-keyed aggregate replaces BOTH correlated subqueries
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    # r21 (guide §2.3 "aggregate before you shuffle"): the two COUNT
+    # DISTINCTs used to plan an Expand(x2) over the full fact table, and the
+    # candidate branch re-scanned it. Both are functions of the DISTINCT
+    # (orderkey, suppkey) pairs: aggregate the fact ONCE to pairs with a
+    # has-R flag (max over the pair's lines), cache that, and derive
+    #   n_supp   = COUNT(*)      per order   (= COUNT DISTINCT suppkey)
+    #   n_r_supp = SUM(has_r)    per order   (= COUNT DISTINCT suppkey w/ R)
+    #   cand     = pairs with has_r          (dedup is free: the final
+    #              numwait is COUNT DISTINCT orderkey, so pair-level rows
+    #              are exactly enough)
+    # One scan + one pair-keyed exchange replaces two scans + the distinct
+    # Expand; pair dedup also shrinks everything downstream.
+    pairs = scoped_cache(
+        li.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_r")
+        )
+    )
+    order_stats = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
     )
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    cand = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    cand = pairs.filter(F.col("has_r") == 1).select("l_orderkey", "l_suppkey")
     return (
         cand.join(orders, cand.l_orderkey == orders.o_orderkey)
         .join(order_stats, "l_orderkey")
@@ -686,15 +704,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = unit.join(
         F.broadcast(euro_supp), unit.l_suppkey == euro_supp.s_suppkey
     )
-    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_price").alias("best_price")
-    )
+    # r21 (guide §1.2): `eligible` used to be referenced twice — once to
+    # compute the per-part minimum and once as the join-back probe side —
+    # so the whole unit aggregation ran twice. The grouped-min join-back on
+    # price equality is exactly a min-over-partition window filter (MIN is
+    # order-free; both compare the SAME doubles), which evaluates eligible
+    # once with a single partkey exchange.
+    from pyspark.sql.window import Window as _W
+
+    best = F.min("unit_price").over(_W.partitionBy("l_partkey"))
     return (
-        eligible.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_price") == F.col("best_price")),
-        )
+        eligible.withColumn("best_price", best)
+        .filter(F.col("unit_price") == F.col("best_price"))
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
         .select(
             pround("s_acctbal", 2).alias("s_acctbal"),
