@@ -35,6 +35,24 @@ def cosine_distance(a: Column, b: Column) -> Column:
     return F.lit(1.0) - dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_distance_lit(a: Column, qvec: Sequence[float]) -> Column:
+    """``cosine_distance(a, lit_vector(qvec))`` with the query's norm baked
+    as a Python constant (r21, guide §1.2 per-task work): the literal
+    query's norm fold is loop-invariant yet was re-evaluated per row as an
+    interpreted HOF. The constant replays the identical arithmetic — the
+    same 0.0-seeded left fold over the same doubles and a correctly-rounded
+    IEEE sqrt — and the term order (``l2_norm(a) * qn``) is unchanged, so
+    every emitted double is bit-identical to the inline form."""
+    import math
+
+    q = [float(v) for v in qvec]
+    acc = 0.0
+    for x in q:
+        acc += x * x
+    qn = math.sqrt(acc)
+    return F.lit(1.0) - dot(a, lit_vector(q)) / (l2_norm(a) * F.lit(qn))
+
+
 def lit_vector(values: Sequence[float]) -> Column:
     """A query vector as a literal array<double> column.
 

@@ -314,11 +314,19 @@ def mm_feature_search(spark, sf_dir: str, k: int = 5) -> DataFrame:
     probe_text = probe_row[0]
     from doc2vec_spark.functions.vectors import lit_vector
 
-    qv = lit_vector(_stub_feature(probe_text.encode("utf-8")))
+    qfeat = [float(x) for x in _stub_feature(probe_text.encode("utf-8"))]
+    qv = lit_vector(qfeat)
     feats = extract_features(media_from_documents(spark, sf_dir)).select(
         "media_id", "mime", as_double_array(F.col("feature")).alias("v")
     )
-    sim = dot(F.col("v"), qv) / (l2_norm(F.col("v")) * l2_norm(qv))
+    # r21: probe norm as a Python constant — identical left fold + IEEE
+    # sqrt to the l2_norm fold (the _q_structs factoring, evalmetrics.py)
+    import math
+
+    from doc2vec_spark.operators.similarity import _py_dot
+
+    qn = math.sqrt(_py_dot(qfeat, qfeat))
+    sim = dot(F.col("v"), qv) / (l2_norm(F.col("v")) * F.lit(qn))
     return (
         feats.filter(F.col("media_id") != 0)
         .select("media_id", "mime", pround(sim, 6).alias("cosine_sim"))

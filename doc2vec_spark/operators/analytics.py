@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
+from doc2vec_spark.functions.vectors import as_double_array, cosine_distance_lit
 from doc2vec_spark.functions.rounding import det_avg, pround, sql_det_avg
 from doc2vec_spark.spec import QuerySpec
 from doc2vec_spark.tables import load
@@ -233,7 +233,7 @@ def t1_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         "label",
-        cosine_distance(e, lit_vector(qvec)).alias("dist"),
+        cosine_distance_lit(e, qvec).alias("dist"),
     )
     # orderBy+limit compiles to TakeOrderedAndProject (distributed top-k,
     # no global sort); the rank window then runs over k rows, not the corpus
@@ -271,7 +271,7 @@ def t1_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = as_double_array(F.col("embedding"))
     scored = (
         emb.filter(F.col("label").isin(2, 3))
-        .select("vec_id", "label", cosine_distance(e, lit_vector(qvec)).alias("dist"))
+        .select("vec_id", "label", cosine_distance_lit(e, qvec).alias("dist"))
     )
     topk = scored.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))

@@ -451,11 +451,14 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket = _wide_bucket_expr(F.col("v"))
     else:
         bucket = srp_bucket_expr(F.col("v"))
-    b = e.select("vec_id", "v", bucket.alias("bucket"))
+    # r21 (guide §1.2 per-task work): norms bind per VECTOR, not per pair —
+    # the old sim expression re-evaluated l2_norm for both sides of every
+    # bucket collision (~2k interpreted folds per vector at occupancy k).
+    # a.nv * n.nv multiplies the identical per-vector fold values, so the
+    # emitted doubles are bit-identical.
+    b = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nv"), bucket.alias("bucket"))
     a, n = b.alias("a"), b.alias("n")
-    sim = dot(F.col("a.v"), F.col("n.v")) / (
-        l2_norm(F.col("a.v")) * l2_norm(F.col("n.v"))
-    )
+    sim = dot(F.col("a.v"), F.col("n.v")) / (F.col("a.nv") * F.col("n.nv"))
     pairs = (
         a.join(
             n,

@@ -375,7 +375,7 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.embedding import embed_text
     from doc2vec_spark.embedding_native import with_embeddings_native
     from doc2vec_spark.functions.rounding import pround
-    from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
+    from doc2vec_spark.functions.vectors import as_double_array, cosine_distance_lit
 
     docs = load(spark, sf_dir, "documents")
     # query tokens derived through the ENGINE's split (Java regex \s is
@@ -418,7 +418,7 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in embed_text(q_text)]
     scored = with_embeddings_native(base, text_col="content").select(
         "doc_id",
-        cosine_distance(as_double_array(F.col("embedding")), lit_vector(qvec)).alias("dist"),
+        cosine_distance_lit(as_double_array(F.col("embedding")), qvec).alias("dist"),
     )
     vec_top = _ranked_pool(scored, [F.asc("dist"), "doc_id"], "rank_vec")
 

@@ -499,7 +499,7 @@ def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from doc2vec_spark.functions.rounding import pround
-    from doc2vec_spark.functions.vectors import cosine_distance, lit_vector
+    from doc2vec_spark.functions.vectors import cosine_distance_lit
 
     cents = train_kmeans(spark, sf_dir)
     e = embeddings_with_norms(spark, sf_dir)
@@ -518,7 +518,7 @@ def ann_ivf_search_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qcell = list(qrow["v"]), int(qrow["cell"])
     cand = b.filter(F.col("cell") == qcell).select(
-        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+        "vec_id", cosine_distance_lit(F.col("v"), qv).alias("dist")
     )
     topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))

@@ -173,8 +173,17 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qv = qrow["v"]
     litq = lit_vector(qv)
+    # r21: the query norm is a Python constant — the same 0.0-seeded left
+    # fold + IEEE-exact sqrt the l2_norm fold computes, so the division is
+    # arithmetically identical while the per-row plan loses one interpreted
+    # HOF fold (the _q_structs factoring, evalmetrics.py)
+    import math
+
+    from doc2vec_spark.operators.similarity import _py_dot
+
+    qn = math.sqrt(_py_dot([float(x) for x in qv], [float(x) for x in qv]))
     rel = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", "v", (dot(F.col("v"), litq) / (l2_norm(F.col("v")) * l2_norm(litq))).alias("rel")
+        "vec_id", "v", (dot(F.col("v"), litq) / (l2_norm(F.col("v")) * F.lit(qn))).alias("rel")
     )
     # TakeOrderedAndProject: per-partition top-POOL, merged on the driver —
     # the bounded head the greedy runs on (and the only corpus-sized work)

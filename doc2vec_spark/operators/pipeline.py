@@ -527,13 +527,13 @@ def _small_corpus(sf_dir: str) -> bool:
     unreadable path) is NOT small — the old route returned the session
     default for both 'tiny' and 'unknown', so both CC entry points
     disabled AQE over the full edge build of arbitrarily large s3a://
-    corpora, contradicting the documented 100 TB invariant."""
-    from doc2vec_spark.session import default_parallelism
+    corpora, contradicting the documented 100 TB invariant.
 
-    size = _corpus_parquet_bytes(sf_dir)
-    if size is None:
-        return False
-    return size // _POSTING_BYTES_PER_PARTITION + 1 <= default_parallelism()
+    (r21: logic single-sourced in measurement.small_corpus — the leaf
+    extraction VERDICT r20 #6 assigned to dedup.py's next reopen.)"""
+    from doc2vec_spark.measurement import small_corpus
+
+    return small_corpus(sf_dir)
 
 
 def connected_components(

@@ -138,7 +138,7 @@ def f11_issue_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead: t1_knn_filtered)",
 )
 def t2_overfetch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
+    from doc2vec_spark.functions.vectors import as_double_array, cosine_distance_lit
 
     emb = load(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
@@ -148,7 +148,7 @@ def t2_overfetch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         "vec_id",
         "label",
-        cosine_distance(as_double_array(F.col("embedding")), lit_vector(qvec)).alias("dist"),
+        cosine_distance_lit(as_double_array(F.col("embedding")), qvec).alias("dist"),
     )
     fetched = scored.orderBy(F.asc("dist"), F.asc("vec_id")).limit(15)
     return (

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc2vec_spark.functions.rounding import pround
-from doc2vec_spark.functions.vectors import cosine_distance, lit_vector
+from doc2vec_spark.functions.vectors import cosine_distance_lit, lit_vector
 from doc2vec_spark.operators.coreset import (
     _E_CTE,
     _d6_int,
@@ -132,7 +132,7 @@ def exact_topk(spark: SparkSession, sf_dir: str, k: int = SERVE_K) -> DataFrame:
 
     scored = emb.select(
         "vec_id",
-        cosine_distance(as_double_array(F.col("embedding")), lit_vector(list(qvec))).alias(
+        cosine_distance_lit(as_double_array(F.col("embedding")), list(qvec)).alias(
             "dist"
         ),
     )
@@ -167,7 +167,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = SERVE_K) -> DataFrame:
         return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qcell = list(qrow["v"]), int(qrow["cell"])
     cand = b.filter(F.col("cell") == qcell).select(
-        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+        "vec_id", cosine_distance_lit(F.col("v"), qv).alias("dist")
     )
     topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
@@ -286,7 +286,7 @@ def ann_ivf_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = list(qrow["v"])
     probed = sorted(sorted(cvf), key=lambda c: (_py_d6(qv, cvf[c]), c))[:NPROBE]
     cand = b.filter(F.col("cell").isin(probed)).select(
-        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+        "vec_id", cosine_distance_lit(F.col("v"), qv).alias("dist")
     )
     topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(SERVE_K)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))

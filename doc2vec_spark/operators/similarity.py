@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 from doc2vec_spark.functions.vectors import (
     as_double_array,
     cosine_distance,
+    cosine_distance_lit,
     dot,
     l2_norm,
     lit_vector,
@@ -126,7 +127,7 @@ def ann_srp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qbucket = qrow["v"], qrow["bucket"]
     cand = b.filter(F.col("bucket") == qbucket).select(
-        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+        "vec_id", cosine_distance_lit(F.col("v"), qv).alias("dist")
     )
     topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
@@ -232,7 +233,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "vec_id long, rnk int, distance double")
     qv, qcell = qrow["v"], qrow["cell"]
     cand = b.filter(F.col("cell") == qcell).select(
-        "vec_id", cosine_distance(F.col("v"), lit_vector(qv)).alias("dist")
+        "vec_id", cosine_distance_lit(F.col("v"), qv).alias("dist")
     )
     topk = cand.orderBy(F.asc("dist"), F.asc("vec_id")).limit(5)
     w = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
@@ -497,8 +498,8 @@ def ann_truncate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = e.select(
         "vec_id",
         "v",
-        cosine_distance(
-            F.slice(F.col("v"), 1, PREFIX_DIM), lit_vector(qv[:PREFIX_DIM])
+        cosine_distance_lit(
+            F.slice(F.col("v"), 1, PREFIX_DIM), qv[:PREFIX_DIM]
         ).alias("cdist"),
     )
     pool = coarse.orderBy(F.asc("cdist"), F.asc("vec_id")).limit(RERANK_POOL)
@@ -506,7 +507,7 @@ def ann_truncate_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank = pool.withColumn("crnk", crnk.cast("long")).select(
         "vec_id",
         "crnk",
-        cosine_distance(F.col("v"), lit_vector(qv)).alias("dist"),
+        cosine_distance_lit(F.col("v"), qv).alias("dist"),
     )
     rnk = F.row_number().over(Window.orderBy(F.asc("dist"), F.asc("vec_id")))
     return (

@@ -58,6 +58,13 @@ def _register(name: str, oracle: str | None, doc: str = ""):
 PR_SCALE = 1_000_000  # fixed-point rank scale
 PR_ITERS = 4  # unrolled in both engines
 PR_TOP_K = 20
+# static-loop shuffle sizing: edges per reduce partition (the CC loops'
+# STAR_EDGES_PER_PARTITION idiom, restated so this module's spec closure
+# stays independent of pipeline.py)
+_EDGES_PER_PARTITION = 4096
+# below this many (symmetrized, weighted) edges the per-iteration broadcast
+# hint costs more in build jobs than re-shuffling the cached edge state
+_BROADCAST_ROUTE_EDGES = 1 << 17
 
 
 def _textrank_oracle() -> str:
@@ -145,37 +152,101 @@ def ta_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
     )
-    sym = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both orientations in ONE pass (r21 — pipeline._symmetrize's r7
+    # discipline, which this module predates): the unionByName form
+    # duplicated the whole pairs subtree, scanning + splitting + zipping
+    # the corpus twice
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     # static per-edge state reused by every iteration: one small (vocab^2
     # bounded) DataFrame, invocation-scoped cache for the K joins
     estate = scoped_cache(edges.join(outw, "src"))
-    ranks = (
-        estate.select("src")
-        .distinct()
-        .select(F.col("src").alias("tok"), F.lit(PR_SCALE).cast("long").alias("rank"))
-    )
-    for _ in range(PR_ITERS):
-        # rank state is vocabulary-sized (two longs per token) — broadcast
-        # it so the cached edge state never re-shuffles across iterations;
-        # at a vocabulary too large for broadcast this hint is the one knob
-        # to drop (Spark then shuffle-joins on src, still K bounded joins)
+    # r21 (the CC-loop treatment, guide §1.2/§7): the K iterations are
+    # vocabulary-sized label state — with AQE on, every exchange of every
+    # broadcast-build subtree became its own scheduler job (measured: 18
+    # exec jobs, ~1.7 s of which is per-job floor at sf0.1, with nothing
+    # for AQE to re-plan). The edge build keeps the caller's AQE (the one
+    # corpus-sized stage; its cache fill materializes here), then the
+    # iterations run under a static plan with shuffle partitions sized to
+    # the MEASURED edge count, and the bounded top-k materializes inside
+    # the invocation scope so the static conf actually covers execution.
+    # The conf is restored unconditionally (the ADVICE r9 scoping rule).
+    spark = estate.sparkSession
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled", None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        from doc2vec_spark.measurement import small_corpus
+
+        if small_corpus(sf_dir):
+            # r18/CC idiom: a measured-small corpus statically plans the
+            # edge build too — its exchanges are tiny, and each AQE
+            # materialization job is pure scheduler floor (measured here:
+            # 6 jobs / 0.93 s for a 930-edge graph). Unmeasurable or large
+            # corpora keep AQE's skew handling over the one corpus-sized
+            # stage.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        n_edges = estate.count()  # fills the cache
+        parts = max(1, min(int(prev_parts), int(n_edges) // _EDGES_PER_PARTITION + 1))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         ranks = (
-            estate.join(F.broadcast(ranks), estate["src"] == ranks["tok"])
+            estate.select("src")
+            .distinct()
             .select(
-                F.col("dst"),
-                F.expr("(rank * w) div out_w").alias("contrib"),
+                F.col("src").alias("tok"), F.lit(PR_SCALE).cast("long").alias("rank")
             )
-            .groupBy("dst")
-            .agg(
-                (
-                    F.lit(150000).cast("long")
-                    + F.expr("(85 * sum(contrib)) div 100")
-                ).alias("rank")
-            )
-            .select(F.col("dst").alias("tok"), "rank")
         )
-    return ranks.orderBy(F.desc("rank"), "tok").limit(PR_TOP_K)
+        # size route (r21): each F.broadcast(ranks) build is its own
+        # scheduler job — 4 of them per invocation. On a MEASURED-small
+        # edge set, re-shuffling the cached edge state per iteration is
+        # cheaper than 4 broadcast-build jobs, and with AQE off the whole
+        # K-iteration chain plans as ONE static job. A large graph keeps
+        # the broadcast hint: rank state is vocabulary-sized while the
+        # edge state is corpus-shaped, and shuffling edges K times is the
+        # thing the hint exists to avoid.
+        use_broadcast = int(n_edges) > _BROADCAST_ROUTE_EDGES
+        if not use_broadcast:
+            # the planner's statistics would still pick an auto-broadcast
+            # for the vocabulary-sized rank state (one build JOB per
+            # iteration — the cost this route exists to avoid); force the
+            # chain to plan as shuffle joins inside the single static job
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for _ in range(PR_ITERS):
+            rstate = F.broadcast(ranks) if use_broadcast else ranks
+            ranks = (
+                estate.join(rstate, estate["src"] == rstate["tok"])
+                .select(
+                    F.col("dst"),
+                    F.expr("(rank * w) div out_w").alias("contrib"),
+                )
+                .groupBy("dst")
+                .agg(
+                    (
+                        F.lit(150000).cast("long")
+                        + F.expr("(85 * sum(contrib)) div 100")
+                    ).alias("rank")
+                )
+                .select(F.col("dst").alias("tok"), "rank")
+            )
+        out = scoped_cache(ranks.orderBy(F.desc("rank"), "tok").limit(PR_TOP_K))
+        out.count()  # materialize the bounded result under the static plan
+    finally:
+        if adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_abt is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abt)
+    return out

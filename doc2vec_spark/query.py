@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from doc2vec_spark.embedding import DEFAULT_DIM, embed_text
 from doc2vec_spark.functions import has_extension
-from doc2vec_spark.functions.vectors import as_double_array, cosine_distance, lit_vector
+from doc2vec_spark.functions.vectors import as_double_array, cosine_distance_lit
 
 DEFAULT_K = 4  # mcp/src/index.ts:209
 
@@ -46,7 +46,7 @@ def query_documentation(
     if extensions:
         df = df.filter(has_extension(F.col("url"), list(extensions)))
     df = df.filter(F.trim(F.col("content")) != "")
-    dist = cosine_distance(as_double_array(F.col("embedding")), lit_vector(qvec))
+    dist = cosine_distance_lit(as_double_array(F.col("embedding")), qvec)
     # Fully deterministic top-k: chunk_id is a content hash, so a corpus of
     # duplicated content ties at identical (distance, chunk_id) and the cut
     # would pick arbitrary urls (blanktext sweep, r16) — url + chunk_index
