@@ -494,39 +494,36 @@ def dedup_minhash_lsh(
     # per invocation instead of twice.
     if sig is None:
         sig = _minhash_sig(spark, sf_dir)
+    # candidate -> confirm (the r7 dedup discipline, r21): the band probe
+    # ships ONLY (doc_id, lang, band) — the 12-minhash array used to ride
+    # the 4-band explode through the join exchange (4x the signature bytes
+    # shuffled) and est_jaccard was computed once per band COLLISION,
+    # deduped only afterwards. Candidates dedup to unique id pairs first
+    # and the signatures join back from the cached per-doc table for
+    # exactly one est per pair; est is a pure function of the pair, so
+    # distinct-on-pairs == the oracle UNION's distinct-on-triples.
+    ds = scoped_cache(
+        sig.select(
+            "doc_id", "lang", F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms")
+        )
+    )  # one signature pass feeds the band probe AND both confirm sides
+    col_idx = {c: i for i, c in enumerate(_SIG_COLS)}
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_id"),
-                F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key"),
+                F.concat_ws(
+                    "|", *[F.col("ms")[col_idx[c]] for c in band]
+                ).alias("band_key"),
             )
             for bi, band in enumerate(_BANDS)
         ]
     )
-    banded = (
-        sig.select(
-            "doc_id",
-            "lang",
-            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
-            F.explode(bands).alias("band"),
-        )
-        .select("doc_id", "lang", "ms", "band.band_id", "band.band_key")
-    )
-    banded = scoped_cache(banded)  # both join sides read the signatures once
-
+    banded = ds.select(
+        "doc_id", "lang", F.explode(bands).alias("band")
+    ).select("doc_id", "lang", "band.band_id", "band.band_key")
     a, b = banded.alias("a"), banded.alias("b")
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        * 1.0
-        / NUM_MINHASH
-    )
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -537,12 +534,26 @@ def dedup_minhash_lsh(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
         )
         .distinct()  # docs sharing multiple bands collapse to one pair
     )
-    return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard")
+    sa = ds.select(F.col("doc_id").alias("doc_a"), F.col("ms").alias("ma"))
+    sb = ds.select(F.col("doc_id").alias("doc_b"), F.col("ms").alias("mb"))
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * 1.0
+        / NUM_MINHASH
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard"))
     )
 
 
@@ -1436,6 +1447,12 @@ def _srp_band_pairs(
             )
             .select("vec_id", "label", "band.band_id", "band.band_val")
         )
+    # the self-join below references the banded subtree twice; uncached, the
+    # Arrow plane-matmul over the whole corpus (plus any derived-corpus union
+    # feeding it) runs once PER SIDE. The banded table is narrow (4 small
+    # columns, bands rows per vector — no vectors carried), so cache it and
+    # pay the matmul once.
+    banded = scoped_cache(banded)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1498,13 +1515,23 @@ _LSH_CORPUS_SQL = """
 """
 
 
-def _lsh_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_corpus(
+    spark: SparkSession, sf_dir: str, max_vec_id: int | None | str = "unknown"
+) -> DataFrame:
+    """``max_vec_id``: callers that already ran an aggregate over the raw
+    table pass the observed max(vec_id) (or None for an empty corpus) so the
+    plant offset costs no extra job; the default sentinel runs the 1-row
+    aggregate here."""
     from doc2vec_spark.functions.vectors import as_double_array
 
     base = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
     )
-    mx = base.agg(F.max("vec_id")).first()[0]  # bounded: 1-row job
+    mx = (
+        base.agg(F.max("vec_id")).first()[0]  # bounded: 1-row job
+        if max_vec_id == "unknown"
+        else max_vec_id
+    )
     if mx is None:  # empty corpus: nothing to plant; band join emits 0 rows
         return base
     offset = mx + 1
@@ -1594,18 +1621,28 @@ def _emb_lsh_oracle(
     ),
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parquet-footer metadata count on the RAW table (the routing idiom of
+    # ONE aggregate job on the RAW table yields both routing inputs: the
+    # COUNT(*) that picks the band tier (the routing idiom of
     # dedup_simhash_pairs; the derived planted-clone corpus is never
-    # materialized for the route). Oracle binding: the registered SQL bakes
-    # EMB_LSH_ROUTE_MAX_VECS in at import time, like the simhash cutoff.
-    n = load(spark, sf_dir, "embeddings").count()
+    # materialized for the route) and the max(vec_id) plant offset that
+    # _lsh_corpus otherwise pays a second job for. Oracle binding: the
+    # registered SQL bakes EMB_LSH_ROUTE_MAX_VECS in at import time, like
+    # the simhash cutoff.
+    n, mx = (
+        load(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)), F.max("vec_id"))
+        .first()
+    )
     wide: bool | str = False
     if n > EMB_LSH_WIDE2_MIN_VECS:
         wide = "wide2"
     elif n > EMB_LSH_ROUTE_MAX_VECS:
         wide = "wide"
     return embedding_near_dup_pairs(
-        spark, _lsh_corpus(spark, sf_dir), SRP_ROUTE_THRESHOLD, wide_bands=wide
+        spark,
+        _lsh_corpus(spark, sf_dir, max_vec_id=mx),
+        SRP_ROUTE_THRESHOLD,
+        wide_bands=wide,
     )
 
 
@@ -1648,44 +1685,45 @@ _INC_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     "corpus^2.".format(b=_INC_NEW_BUCKET),
 )
 def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # candidate -> confirm (the r7 dedup discipline): the band probe ships
+    # ONLY (doc_id, lang, bucket, band) — the 12-minhash array used to ride
+    # the 4-band explode through the join exchange (4x the signature bytes
+    # shuffled) and est_jaccard was computed once per band COLLISION, deduped
+    # only afterwards. Candidates now dedup to unique id pairs first and the
+    # signatures join back from the cached per-doc table for exactly one est
+    # per pair. est is a pure function of the pair, so distinct-on-pairs ==
+    # the oracle UNION's distinct-on-triples.
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
-    sig = _minhash_sig(spark, sf_dir).withColumn("bucket", bucket)
+    sig = scoped_cache(
+        _minhash_sig(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
+            bucket.alias("bucket"),
+        )
+    )  # one signature pass feeds the band probe AND both confirm sides
+    col_idx = {c: i for i, c in enumerate(_SIG_COLS)}
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_id"),
-                F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key"),
+                F.concat_ws(
+                    "|", *[F.col("ms")[col_idx[c]] for c in band]
+                ).alias("band_key"),
             )
             for bi, band in enumerate(_BANDS)
         ]
     )
-    banded = (
-        sig.select(
-            "doc_id",
-            "lang",
-            "bucket",
-            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
-            F.explode(bands).alias("band"),
-        )
-        .select("doc_id", "lang", "bucket", "ms", "band.band_id", "band.band_key")
-    )
-    banded = scoped_cache(banded)  # one signature pass feeds both sides
+    banded = sig.select(
+        "doc_id", "lang", "bucket", F.explode(bands).alias("band")
+    ).select("doc_id", "lang", "bucket", "band.band_id", "band.band_key")
     newb = banded.filter(F.col("bucket") >= _INC_NEW_BUCKET).alias("a")
     corpus = banded.filter(F.col("bucket") < _INC_NEW_BUCKET).alias("b")
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        * 1.0
-        / NUM_MINHASH
-    )
-    return (
+    cand = (
         newb.join(
             corpus,
             (F.col("a.lang") == F.col("b.lang"))
@@ -1695,9 +1733,24 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("new_doc_id"),
             F.col("b.doc_id").alias("corpus_doc_id"),
-            est.alias("est_jaccard"),
         )
         .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("new_doc_id"), F.col("ms").alias("ma"))
+    sb = sig.select(F.col("doc_id").alias("corpus_doc_id"), F.col("ms").alias("mb"))
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * 1.0
+        / NUM_MINHASH
+    )
+    return (
+        cand.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select("new_doc_id", "corpus_doc_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .select("new_doc_id", "corpus_doc_id", pround("est_jaccard", 6).alias("est_jaccard"))
     )
