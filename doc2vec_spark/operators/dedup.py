@@ -494,36 +494,39 @@ def dedup_minhash_lsh(
     # per invocation instead of twice.
     if sig is None:
         sig = _minhash_sig(spark, sf_dir)
-    # candidate -> confirm (the r7 dedup discipline, r21): the band probe
-    # ships ONLY (doc_id, lang, band) — the 12-minhash array used to ride
-    # the 4-band explode through the join exchange (4x the signature bytes
-    # shuffled) and est_jaccard was computed once per band COLLISION,
-    # deduped only afterwards. Candidates dedup to unique id pairs first
-    # and the signatures join back from the cached per-doc table for
-    # exactly one est per pair; est is a pure function of the pair, so
-    # distinct-on-pairs == the oracle UNION's distinct-on-triples.
-    ds = scoped_cache(
-        sig.select(
-            "doc_id", "lang", F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms")
-        )
-    )  # one signature pass feeds the band probe AND both confirm sides
-    col_idx = {c: i for i, c in enumerate(_SIG_COLS)}
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_id"),
-                F.concat_ws(
-                    "|", *[F.col("ms")[col_idx[c]] for c in band]
-                ).alias("band_key"),
+                F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key"),
             )
             for bi, band in enumerate(_BANDS)
         ]
     )
-    banded = ds.select(
-        "doc_id", "lang", F.explode(bands).alias("band")
-    ).select("doc_id", "lang", "band.band_id", "band.band_key")
+    banded = (
+        sig.select(
+            "doc_id",
+            "lang",
+            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
+            F.explode(bands).alias("band"),
+        )
+        .select("doc_id", "lang", "ms", "band.band_id", "band.band_key")
+    )
+    banded = scoped_cache(banded)  # both join sides read the signatures once
+
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * 1.0
+        / NUM_MINHASH
+    )
+    pairs = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -534,26 +537,12 @@ def dedup_minhash_lsh(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
         )
         .distinct()  # docs sharing multiple bands collapse to one pair
     )
-    sa = ds.select(F.col("doc_id").alias("doc_a"), F.col("ms").alias("ma"))
-    sb = ds.select(F.col("doc_id").alias("doc_b"), F.col("ms").alias("mb"))
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        * 1.0
-        / NUM_MINHASH
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard"))
+    return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard")
     )
 
 
@@ -1685,45 +1674,44 @@ _INC_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT 
     "corpus^2.".format(b=_INC_NEW_BUCKET),
 )
 def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # candidate -> confirm (the r7 dedup discipline): the band probe ships
-    # ONLY (doc_id, lang, bucket, band) — the 12-minhash array used to ride
-    # the 4-band explode through the join exchange (4x the signature bytes
-    # shuffled) and est_jaccard was computed once per band COLLISION, deduped
-    # only afterwards. Candidates now dedup to unique id pairs first and the
-    # signatures join back from the cached per-doc table for exactly one est
-    # per pair. est is a pure function of the pair, so distinct-on-pairs ==
-    # the oracle UNION's distinct-on-triples.
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")
         % 100
     )
-    sig = scoped_cache(
-        _minhash_sig(spark, sf_dir).select(
-            "doc_id",
-            "lang",
-            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
-            bucket.alias("bucket"),
-        )
-    )  # one signature pass feeds the band probe AND both confirm sides
-    col_idx = {c: i for i, c in enumerate(_SIG_COLS)}
+    sig = _minhash_sig(spark, sf_dir).withColumn("bucket", bucket)
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_id"),
-                F.concat_ws(
-                    "|", *[F.col("ms")[col_idx[c]] for c in band]
-                ).alias("band_key"),
+                F.concat_ws("|", *[F.col(c) for c in band]).alias("band_key"),
             )
             for bi, band in enumerate(_BANDS)
         ]
     )
-    banded = sig.select(
-        "doc_id", "lang", "bucket", F.explode(bands).alias("band")
-    ).select("doc_id", "lang", "bucket", "band.band_id", "band.band_key")
+    banded = (
+        sig.select(
+            "doc_id",
+            "lang",
+            "bucket",
+            F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms"),
+            F.explode(bands).alias("band"),
+        )
+        .select("doc_id", "lang", "bucket", "ms", "band.band_id", "band.band_key")
+    )
+    banded = scoped_cache(banded)  # one signature pass feeds both sides
     newb = banded.filter(F.col("bucket") >= _INC_NEW_BUCKET).alias("a")
     corpus = banded.filter(F.col("bucket") < _INC_NEW_BUCKET).alias("b")
-    cand = (
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        * 1.0
+        / NUM_MINHASH
+    )
+    return (
         newb.join(
             corpus,
             (F.col("a.lang") == F.col("b.lang"))
@@ -1733,24 +1721,9 @@ def dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("new_doc_id"),
             F.col("b.doc_id").alias("corpus_doc_id"),
+            est.alias("est_jaccard"),
         )
         .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("new_doc_id"), F.col("ms").alias("ma"))
-    sb = sig.select(F.col("doc_id").alias("corpus_doc_id"), F.col("ms").alias("mb"))
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        * 1.0
-        / NUM_MINHASH
-    )
-    return (
-        cand.join(sa, "new_doc_id")
-        .join(sb, "corpus_doc_id")
-        .select("new_doc_id", "corpus_doc_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .select("new_doc_id", "corpus_doc_id", pround("est_jaccard", 6).alias("est_jaccard"))
     )

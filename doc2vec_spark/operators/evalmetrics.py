@@ -351,84 +351,40 @@ def _minhash_quality_oracle() -> str:
 def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.caching import scoped_cache
     from doc2vec_spark.operators.dedup import (
-        _BANDS,
-        _SIG_COLS,
-        JACCARD_THRESHOLD,
         NUM_MINHASH,
         _minhash_sig,
         _tokens,
+        dedup_minhash_lsh,
         word_shingles_from,
     )
     from doc2vec_spark.tables import load as _load
 
-    # r21 (guide §1.2, reshaped batch 4): the signature pipeline (tokenize ->
-    # shingle -> md5 -> 12 minhash folds) is cached ONCE as a per-doc
-    # ms-array table; the band probe ships only (doc_id, lang, band) — no
-    # signature bytes through the band exchange — and the signature
-    # join-back happens exactly once, computing `matches`, from which BOTH
-    # the threshold gate (matches/k >= t, arithmetically identical to the
-    # LSH est_jaccard filter: same int sum, same double division) and the
-    # output column derive. The earlier shape paid the join-back twice
-    # (est inside dedup_minhash_lsh + matches here); A/B'd 5-rep medians at
-    # sf0.1: 2.33 s (double join-back via lsh) vs 1.88 s fused.
-    ds = scoped_cache(
-        _minhash_sig(spark, sf_dir).select(
-            "doc_id", "lang", F.array(*[F.col(c) for c in _SIG_COLS]).alias("ms")
-        )
-    )
-    col_idx = {c: i for i, c in enumerate(_SIG_COLS)}
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.concat_ws(
-                    "|", *[F.col("ms")[col_idx[c]] for c in band]
-                ).alias("band_key"),
-            )
-            for bi, band in enumerate(_BANDS)
-        ]
-    )
-    banded = ds.select(
-        "doc_id", "lang", F.explode(band_arr).alias("band")
-    ).select("doc_id", "lang", "band.band_id", "band.band_key")
-    ba, bb = banded.alias("a"), banded.alias("b")
-    raw_pairs = (
-        ba.join(
-            bb,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    # r21 (guide §1.2): the signature pipeline (tokenize -> shingle -> md5 ->
+    # 12 minhash folds) is consumed by BOTH the LSH candidate generation and
+    # the match-count join below — cache it once and hand it to
+    # dedup_minhash_lsh instead of recomputing the whole pass (measured:
+    # 12 exec jobs, the sig subtree evaluated twice, at sf0.1).
+    sig = scoped_cache(_minhash_sig(spark, sf_dir))
+    cand = (
+        dedup_minhash_lsh(spark, sf_dir, sig=sig)
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = ds.select(F.col("doc_id").alias("doc_a"), F.col("ms").alias("ma"))
-    sb = ds.select(F.col("doc_id").alias("doc_b"), F.col("ms").alias("mb"))
-    matches_i = F.aggregate(
-        F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"am{i}") for i in range(NUM_MINHASH)],
     )
-    # cand is consumed TWICE (`m` below and the shingle-intersection join
-    # `inter`) — cache the bounded thresholded pair set, matches included.
-    cand = scoped_cache(
-        raw_pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", matches_i.alias("matches_i"))
-        .filter(F.col("matches_i") * 1.0 / NUM_MINHASH >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.col("matches_i").cast("long").alias("matches"))
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(NUM_MINHASH)],
     )
-    m = cand
-    # NOT cached (r21 batch 4, measured): the distinct shingle table is
-    # consumed three times (`sizes` + both sides of `inter`), but caching it
-    # materializes an UNBOUNDED corpus x shingle-multiplicity table, where
-    # the uncached consumers each fuse pruning + partial aggregation into
-    # their own pipeline (sizes never sees the full list). 5-rep A/B at
-    # sf0.1: cached 3.29 s vs uncached 2.33 s median — the fill costs more
-    # than the recomputes, and at 100 TB the same cache would spill.
+    matches = sum(
+        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
+        for i in range(NUM_MINHASH)
+    ).cast("long")
+    m = cand.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a", "doc_b", matches.alias("matches")
+    )
     sh = (
         _load(spark, sf_dir, "documents")
         .select("doc_id", _tokens().alias("ws"))
