@@ -115,34 +115,42 @@ _FPS_MEMO: dict[tuple, list] = {}
 
 
 def dataset_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
-    """(mtime, size) of the table's parquet (folded per file for directory
-    layouts) — the memo-invalidation key; () for non-local paths."""
-    # KNOWN GAP (r20, found during the ADVICE r19 #1 nested-layout sweep;
-    # coreset.py = 10 dependents and the union with the r20 dedup.py window
-    # is 54/50, so the code fix is deferred): for a NESTED directory layout
-    # (store.py's partitionBy shape) this one-level fold fingerprints the
-    # bucket=K subdirectory inodes — a part file rewritten two levels down
-    # does not bump those mtimes, so the memo would serve a stale FPS
-    # selection. Latent: _FPS_MEMO is per-process and embeddings are never
-    # rewritten mid-process on any tested path (driver embeddings are
-    # single-file). Fix shape when the window allows: recurse like
-    # dedup.corpus_parquet_bytes with per-FILE (relpath, mtime, size), or
-    # fail-safe return () when any listed entry is itself a directory.
+    """Per-FILE (relpath, mtime_ns, size) fold of the table's parquet —
+    the memo-invalidation key; () for non-local/unreadable paths.
+
+    Recurses like measurement.corpus_parquet_bytes (VERDICT r20 #1, fixed
+    r22): for a NESTED directory layout (store.py's partitionBy shape) the
+    old one-level fold fingerprinted the bucket=K subdirectory inodes, and
+    an in-place rewrite of a part file two levels down does not bump the
+    parent dir's mtime — the memo would have served stale FPS centers.
+    Dot/underscore entries (_SUCCESS, .crc, _delta_log) are pruned at every
+    level; any traversal error makes the whole fingerprint () so unknown
+    provenance always re-selects (the ADVICE r12 discipline)."""
     import os
+
+    def _raise(err: OSError):
+        # os.walk swallows scandir errors by default — that would return a
+        # PARTIAL fingerprint that can collide with a complete one. Route
+        # every traversal error to the except: unreadable bypasses the memo.
+        raise err
 
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(path):
-            return tuple(
-                sorted(
-                    (f, os.path.getmtime(fp), os.path.getsize(fp))
-                    for f in os.listdir(path)
-                    if not f.startswith((".", "_"))
-                    for fp in [os.path.join(path, f)]
-                )
-            )
+            parts = []
+            for root, dirs, files in os.walk(path, onerror=_raise):
+                dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+                for f in files:
+                    if f.startswith((".", "_")):
+                        continue
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    parts.append(
+                        (os.path.relpath(fp, path), st.st_mtime_ns, st.st_size)
+                    )
+            return tuple(sorted(parts))
         st = os.stat(path)
-        return (st.st_mtime, st.st_size)
+        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return ()
 

@@ -229,51 +229,66 @@ FROM stored FULL OUTER JOIN current ON stored.l_orderkey = current.l_orderkey
 """
 
 
-def _j5_status(
-    spark: SparkSession, sf_dir: str, shared_scan: bool = False
-) -> DataFrame:
-    """J5 grouped set-equality join (doc2vec.ts:1936-1955, database.ts:726-770):
-    compare the sorted multiset of chunk hashes per document between the
-    stored state and the current state -> {new, updated, unchanged, deleted}.
-    One shuffle per side + one join; this is the heart of incremental sync.
+def _j5_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 grouped set-equality diff (doc2vec.ts:1936-1955, database.ts:726-770):
+    compare the multiset of chunk hashes per document between the stored
+    state and the current state -> {new, updated, unchanged, deleted}.
 
-    ``shared_scan`` (r21, guide §2.4 "share one exchange"): hash-partition
-    the scan by the diff key ONCE and cache it — both collect_list
-    aggregations and the full-outer join then reuse that partitioning and
-    the sha256 pass runs once. Measured at sf0.1 (5-rep medians): plain
-    1.83 s, shared-scan 1.49 s, and a fused single-pass conditional
-    aggregation 2.74 s — the single-pass variant LOST to the join (two
-    narrower aggregation buffers beat one double-list buffer here), so the
-    two-sided join stays. Callers that consume the full status column
-    (a3_run_counters) pass True; j5_set_equality_diff keeps the plain shape
-    (its benched count() prunes the hash lists, which a cache fill would
-    needlessly materialize).
+    Count-equality shape (r22, guide §2.4 / VERDICT r21 #1): equality of
+    the two SORTED hash lists is exactly multiset equality, which is
+    exactly "for every hash value, both sides saw it the same number of
+    times" — h is sha256_hex over concat_ws, never NULL, so no list-elides-
+    NULL edge exists. One pass over the scan computes per-row side
+    membership flags; ONE hash-partition exchange on the diff key then
+    feeds both the per-(key,h) count aggregation and the per-key status
+    aggregation (subset-clustering, no further exchange), replacing the
+    r21 shape's two collect_list buffers + full-outer SortMergeJoin (and
+    its two sorts, and the shared-scan cache fill). r21 measured medians
+    at sf0.1: plain 1.83 s, shared-scan+join 1.49 s; this shape has one
+    Exchange, zero joins, zero sorts, and shuffles flag ints instead of a
+    timestamp per row. (The r21-refuted "fused single-pass" variant was a
+    double collect_list buffer — the loss was the list buffers, not the
+    single pass.)
     """
+    # The hash is consumed ONLY for equality, so group on its exact
+    # preimage instead of computing it (guide §2.3 "shuffle keys, not
+    # payloads"): h = sha256_hex(concat_ws('|', ln, qd, ed)) where ln is an
+    # int string and qd/ed are fixed-scale decimal strings — none contain
+    # '|', so concat_ws is injective on the cast triple, and sha256 is
+    # deterministic, so equal triples always hash equal; distinct triples
+    # hash distinct absent a sha256 collision (none exists). Per-(key,
+    # triple) counts therefore decide exactly what per-(key, h) counts
+    # decide, without the sha2 map cost and with ~20-byte fixed-width keys
+    # through the exchange instead of a 64-char string.
     li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", _line_hash().alias("h"), "l_shipdate"
+        "l_orderkey",
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("decimal(12,2)").alias("qd"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("ed"),
+        (F.col("l_shipdate") < "1999-01-01").cast("int").alias("in_s"),
+        (F.col("l_shipdate") >= "1997-01-01").cast("int").alias("in_c"),
     )
-    if shared_scan:
-        from doc2vec_spark.caching import scoped_cache
-
-        li = scoped_cache(li.repartition("l_orderkey"))
-    stored = (
-        li.filter(F.col("l_shipdate") < "1999-01-01")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("h")).alias("stored_hs"))
+    # the two side predicates cover every row (< 1999 or >= 1997 is a
+    # tautology), but keep the guard structural: a row in NEITHER side must
+    # not manufacture a (key, h) group — the join shape would never see it
+    per_h = (
+        li.filter((F.col("in_s") + F.col("in_c")) > 0)
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "ln", "qd", "ed")
+        .agg(F.sum("in_s").alias("ns"), F.sum("in_c").alias("nc"))
     )
-    current = (
-        li.filter(F.col("l_shipdate") >= "1997-01-01")
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("h")).alias("current_hs"))
+    per_key = per_h.groupBy("l_orderkey").agg(
+        F.max("ns").alias("max_ns"),
+        F.max("nc").alias("max_nc"),
+        F.max((F.col("ns") != F.col("nc")).cast("int")).alias("mm"),
     )
-    joined = stored.join(current, "l_orderkey", "full_outer")
     status = (
-        F.when(F.col("stored_hs").isNull(), "new")
-        .when(F.col("current_hs").isNull(), "deleted")
-        .when(F.col("stored_hs") == F.col("current_hs"), "unchanged")
+        F.when(F.col("max_ns") == 0, "new")  # no stored rows at all
+        .when(F.col("max_nc") == 0, "deleted")  # no current rows at all
+        .when(F.col("mm") == 0, "unchanged")  # every h count-matches
         .otherwise("updated")
     )
-    return joined.select(F.col("l_orderkey").alias("o_orderkey"), status.alias("status"))
+    return per_key.select(F.col("l_orderkey").alias("o_orderkey"), status.alias("status"))
 
 
 @_register(
@@ -371,10 +386,10 @@ def a2_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a declarative agg instead of the reference's mutable counters",
 )
 def a3_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # shared_scan (r21): this query consumes every status, so the one-scan
-    # one-exchange J5 variant wins — see _j5_status
+    # r22: the count-equality _j5_status has one exchange and no join; the
+    # status rollup adds only a partial-aggregated tiny exchange on status
     return (
-        _j5_status(spark, sf_dir, shared_scan=True)
+        _j5_status(spark, sf_dir)
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -402,25 +417,36 @@ def a3_run_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relational J5 twin; this entry hash-checks the sync module itself.",
 )
 def a3_sync_diff_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc2vec_spark.caching import scoped_cache
     from doc2vec_spark.sync import diff_status
 
-    # r21 (guide §2.4 "share one exchange"): both diff sides derive from the
-    # same scan, so hash-partition it by the diff key ONCE and cache — the
-    # two groupBy("url") aggregations inside diff_status and their full-outer
-    # join all reuse that partitioning (ensureRequirements inserts no further
-    # exchange), and the sha256 pass runs once instead of twice. The
-    # two-sided diff_status itself stays untouched: it is the genuine
-    # two-source operator (and this query's reason to exist is to
-    # oracle-cover the real sync module).  Pre-r21: two scans + two
-    # collect_list exchanges (measured 2.18 s at sf0.1 canonical; at scale,
-    # two corpus shuffles where one suffices).
+    # r22: diff_status is now the count-equality union shape (one exchange,
+    # no collect_list buffers, no full-outer join — see sync.py), so the r21
+    # scoped_cache + repartition("url") staging here became dead weight: the
+    # union inside diff_status destroys any pre-established partitioning, so
+    # the cache fill + repartition exchange bought nothing the diff's own
+    # single exchange doesn't provide. Two plain scan branches feed it
+    # directly. This query's reason to exist is unchanged: it oracle-covers
+    # the real sync-module diff operator.
+    #
+    # The hash column feeds ONLY equality comparison inside diff_status, so
+    # ship sha256's PREIMAGE (the '|'-joined cast strings — injective: int/
+    # fixed-scale-decimal strings never contain '|') instead of the digest:
+    # equal preimages hash equal (sha256 deterministic), distinct preimages
+    # hash distinct absent a sha256 collision (none exists), and the 'X'
+    # substitution below collides with neither a digest nor a preimage
+    # (every preimage contains '|'). Drops the sha2 map pass on both union
+    # branches and shuffles ~30-byte strings instead of 64-char digests.
+    enc = F.concat_ws(
+        "|",
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("string"),
+        F.col("l_extendedprice").cast("decimal(14,2)").cast("string"),
+    )
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").cast("string").alias("url"),
-        _line_hash().alias("hash"),
+        enc.alias("hash"),
         F.col("l_orderkey").alias("k"),
     )
-    li = scoped_cache(li.repartition("url"))
     new_chunks = li.filter(F.col("k") % 11 != 0).select("url", "hash")
     stored = li.filter(F.col("k") % 7 != 0).select(
         "url",

@@ -25,21 +25,44 @@ from doc2vec_spark.store import ChunkStore
 
 def diff_status(new_chunks: DataFrame, stored_chunks: DataFrame) -> DataFrame:
     """(url, status in {new, updated, unchanged, deleted}) via the J5 grouped
-    hash-multiset comparison (doc2vec.ts:1936-1955)."""
-    agg_new = new_chunks.groupBy("url").agg(
-        F.sort_array(F.collect_list("hash")).alias("new_hashes")
+    hash-multiset comparison (doc2vec.ts:1936-1955).
+
+    Count-equality shape (r22, guide §2.3/§2.4): equality of the two sorted
+    hash lists is exactly multiset equality, i.e. per-(url, hash) count
+    equality. Tag each side, union, ONE hash-partition exchange on url, then
+    the per-(url,hash) count aggregation and the per-url status aggregation
+    both reuse that partitioning — no collect_list buffers, no full-outer
+    SortMergeJoin, no sorts, and the output arrives hash-partitioned by url
+    (which downstream url joins in sync_documents can reuse). Semantics are
+    identical to the r21 list shape including NULL hashes: collect_list
+    drops NULLs, so a NULL-hash row asserts side PRESENCE (its url grouped
+    to an empty — not NULL — list) but never counts toward the multiset;
+    here the NULL-hash group is excluded from the mismatch flag the same
+    way while still driving the presence flags."""
+    tagged = new_chunks.select(
+        "url", "hash", F.lit(1).alias("nn"), F.lit(0).alias("no")
+    ).unionByName(
+        stored_chunks.select("url", "hash", F.lit(0).alias("nn"), F.lit(1).alias("no"))
     )
-    agg_old = stored_chunks.groupBy("url").agg(
-        F.sort_array(F.collect_list("hash")).alias("old_hashes")
+    per_h = (
+        tagged.repartition("url")
+        .groupBy("url", "hash")
+        .agg(F.sum("nn").alias("nn"), F.sum("no").alias("no"))
     )
-    joined = agg_new.join(agg_old, "url", "full_outer")
+    per_url = per_h.groupBy("url").agg(
+        F.max("nn").alias("max_nn"),
+        F.max("no").alias("max_no"),
+        F.max(
+            ((F.col("nn") != F.col("no")) & F.col("hash").isNotNull()).cast("int")
+        ).alias("mm"),
+    )
     status = (
-        F.when(F.col("old_hashes").isNull(), "new")
-        .when(F.col("new_hashes").isNull(), "deleted")
-        .when(F.col("new_hashes") == F.col("old_hashes"), "unchanged")
+        F.when(F.col("max_no") == 0, "new")  # url absent from the store
+        .when(F.col("max_nn") == 0, "deleted")  # url absent from the listing
+        .when(F.col("mm") == 0, "unchanged")  # every hash count-matches
         .otherwise("updated")
     )
-    return joined.select("url", status.alias("status"))
+    return per_url.select("url", status.alias("status"))
 
 
 @dataclass
