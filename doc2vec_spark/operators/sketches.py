@@ -340,7 +340,12 @@ def sk_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KMV_K)
         .collect()
     )
-    inter_in_sketch = sum(1 for r in ku_rows if r["a"] and r["b"])
+    # ADVICE r21 #1: the oracle's `h IN (SELECT ...)` subqueries are
+    # NULL-excluding exactly like the `ni` guard above — a NULL-text doc
+    # present in both sources must not count here either
+    inter_in_sketch = sum(
+        1 for r in ku_rows if r["a"] and r["b"] and r["h"] is not None
+    )
     row = {
         "n_a_exact": n_a_exact,
         "n_b_exact": n_b_exact,

@@ -195,9 +195,23 @@ def ta_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # stage.
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         n_edges = estate.count()  # fills the cache
-        parts = max(1, min(int(prev_parts), int(n_edges) // _EDGES_PER_PARTITION + 1))
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        # ADVICE r21 #3: the static-plan scope (AQE off + measured shuffle
+        # sizing) is justified only for the MEASURED-small edge sets below
+        # the broadcast route's cutoff — on the large-graph route the
+        # vocab-keyed groupBy(dst) shuffles at scale keep AQE's skew
+        # handling and post-shuffle coalescing.
+        use_broadcast = int(n_edges) > _BROADCAST_ROUTE_EDGES
+        if not use_broadcast:
+            parts = max(
+                1, min(int(prev_parts), int(n_edges) // _EDGES_PER_PARTITION + 1)
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        elif small_corpus(sf_dir):
+            # the r18 edge-build static scope was keyed on corpus size; a
+            # small corpus with an (atypical) over-cutoff edge set still
+            # restores AQE for the broadcast-route iterations
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
         ranks = (
             estate.select("src")
             .distinct()
@@ -213,7 +227,6 @@ def ta_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the broadcast hint: rank state is vocabulary-sized while the
         # edge state is corpus-shaped, and shuffling edges K times is the
         # thing the hint exists to avoid.
-        use_broadcast = int(n_edges) > _BROADCAST_ROUTE_EDGES
         if not use_broadcast:
             # the planner's statistics would still pick an auto-broadcast
             # for the vocabulary-sized rank state (one build JOB per

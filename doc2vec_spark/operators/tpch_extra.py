@@ -640,7 +640,15 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        # r22: COUNT(*) == COUNT(DISTINCT l_orderkey) here — pairs is
+        # distinct on (orderkey, suppkey) by construction, the n_r_supp == 1
+        # filter admits exactly ONE has_r pair per orderkey, and the
+        # orders/supplier/nation joins are on their primary keys (unique in
+        # the TPC-H schema), so every orderkey reaches this aggregate at
+        # most once and the distinct pre-aggregation pass (one extra
+        # exchange + double HashAggregate) bought nothing. The classic
+        # key-constraint DISTINCT elimination, done by hand.
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )

@@ -209,15 +209,19 @@ def ta_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("cnt"))
     )
 
-    # bounded vocab to the driver: top TOP_V multi-char + every 1-gram
-    multi = (
+    # bounded vocab to the driver: top TOP_V multi-char + every 1-gram —
+    # ONE collect (r22): the two branches union over the cached sub frame,
+    # so the driver pays one job instead of two; branch rows are disjoint
+    # (len >= 2 vs len = 1) and downstream use is order-free (a pk lookup
+    # frame + a sum), so union order is immaterial.
+    vocab_rows = (
         sub.filter(F.length("piece") >= 2)
         .orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(TOP_V)
+        .unionByName(sub.filter(F.length("piece") == 1))
         .collect()
     )
-    singles = sub.filter(F.length("piece") == 1).collect()
-    vocab = [(r["piece"], int(r["cnt"])) for r in [*multi, *singles]]
+    vocab = [(r["piece"], int(r["cnt"])) for r in vocab_rows]
     if not vocab:
         return spark.createDataFrame(
             [],

@@ -67,11 +67,23 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _path_sig(path: str) -> tuple | None:
+    # ADVICE r21 #2: a rewrite that only replaces files inside partition
+    # subdirectories (dynamic-partition-overwrite shape) can leave the
+    # top-level dir's mtime/size unchanged, so for directory layouts the
+    # newest direct-child mtime is folded into the signature. One level is
+    # enough to catch Spark's overwrite shapes (they replace or add the
+    # child dir/file, bumping its mtime); deeper in-place surgery is out of
+    # any supported writer's shape, and an unlistable dir reads as
+    # unstattable (no memo, plain inference — never stale).
     try:
         st = os.stat(path)
+        sig = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            kids = [os.path.join(path, f) for f in os.listdir(path)]
+            sig += (len(kids), max((os.stat(k).st_mtime_ns for k in kids), default=0))
+        return sig
     except OSError:
         return None
-    return (st.st_mtime_ns, st.st_size)
 
 
 def _read_parquet(spark: SparkSession, path: str):
