@@ -498,16 +498,22 @@ _BAND_JOIN_SQL = " UNION ".join(
     ),
 )
 def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    sig: DataFrame | None = None,
+    with_matches: bool = False,
 ) -> DataFrame:
     # bands via explode -> ONE equi-join on (lang, band_id, band_key) instead
     # of one join per band: a single shuffle whose key includes band_id, which
     # is exactly how LSH candidate generation shards at 100 TB (band_key is a
     # uniform hash -> no skew).
-    # ``sig`` (r21): callers that ALSO consume the signature table
-    # (dedup_minhash_quality joins it for the match columns) pass their
+    # ``sig`` (r21): callers that ALSO consume the signature table pass their
     # cached copy so the whole tokenize->shingle->minhash pipeline runs once
     # per invocation instead of twice.
+    # ``with_matches`` (r22): the band join computes the signature match
+    # count anyway (est_jaccard IS matches/k); exposing it as a column lets
+    # dedup_minhash_quality drop its two sig re-joins outright. The
+    # registered query's own output (flag off) is unchanged.
     if sig is None:
         sig = _minhash_sig(spark, sf_dir)
     bands = F.array(
@@ -531,17 +537,23 @@ def dedup_minhash_lsh(
     banded = scoped_cache(banded)  # both join sides read the signatures once
 
     a, b = banded.alias("a"), banded.alias("b")
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        * 1.0
-        / NUM_MINHASH
+    mcount = F.aggregate(
+        F.zip_with(
+            F.col("a.ms"), F.col("b.ms"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
+    est = mcount * 1.0 / NUM_MINHASH
+    cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        est.alias("est_jaccard"),
+    ]
+    if with_matches:
+        # same pair via multiple bands carries the same ms arrays, hence the
+        # same matches value — the pair-collapsing distinct is unaffected
+        cols.append(mcount.cast("long").alias("matches"))
     pairs = (
         a.join(
             b,
@@ -550,16 +562,13 @@ def dedup_minhash_lsh(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
-        )
+        .select(*cols)
         .distinct()  # docs sharing multiple bands collapse to one pair
     )
-    return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard")
+    keep = ["doc_a", "doc_b", pround("est_jaccard", 6).alias("est_jaccard")] + (
+        ["matches"] if with_matches else []
     )
+    return pairs.filter(F.col("est_jaccard") >= JACCARD_THRESHOLD).select(*keep)
 
 
 # ---------------------------------------------------------------------------

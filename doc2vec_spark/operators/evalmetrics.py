@@ -380,42 +380,33 @@ def _minhash_quality_oracle() -> str:
     "your dedup threshold assumes.",
 )
 def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from doc2vec_spark.caching import scoped_cache
     from doc2vec_spark.operators.dedup import (
         NUM_MINHASH,
-        _minhash_sig,
         _tokens,
         dedup_minhash_lsh,
         word_shingles_from,
     )
     from doc2vec_spark.tables import load as _load
 
-    # r21 (guide §1.2): the signature pipeline (tokenize -> shingle -> md5 ->
-    # 12 minhash folds) is consumed by BOTH the LSH candidate generation and
-    # the match-count join below — cache it once and hand it to
-    # dedup_minhash_lsh instead of recomputing the whole pass (measured:
-    # 12 exec jobs, the sig subtree evaluated twice, at sf0.1).
-    sig = scoped_cache(_minhash_sig(spark, sf_dir))
-    cand = (
-        dedup_minhash_lsh(spark, sf_dir, sig=sig)
-        .select("doc_a", "doc_b")
-        .distinct()
+    # r22 (guide §1.2): the band join already computes the signature match
+    # count per pair — est_jaccard IS matches/k — so read it straight off
+    # the candidate generation (with_matches=True) instead of the r21 shape's
+    # two sig re-joins (which in turn required caching the signature table
+    # to share it with the LSH pass: that cache fill and both broadcast
+    # builds disappear with the joins). The oracle's m CTE recomputes the
+    # count by re-joining sig; over the same signature rows the zip_with
+    # count and the column-compare count are the same integers.
+    # m is the bounded candidate-pair table (|pairs| rows); caching it means
+    # the whole signature+band-join subtree runs ONCE even though both the
+    # intersection join and the final assembly consume the pairs.
+    from doc2vec_spark.caching import scoped_cache
+
+    m = scoped_cache(
+        dedup_minhash_lsh(spark, sf_dir, with_matches=True).select(
+            "doc_a", "doc_b", "matches"
+        )
     )
-    a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"m{i}").alias(f"am{i}") for i in range(NUM_MINHASH)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"m{i}").alias(f"bm{i}") for i in range(NUM_MINHASH)],
-    )
-    matches = sum(
-        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0)
-        for i in range(NUM_MINHASH)
-    ).cast("long")
-    m = cand.join(a, "doc_a").join(b, "doc_b").select(
-        "doc_a", "doc_b", matches.alias("matches")
-    )
+    cand = m.select("doc_a", "doc_b")
     sh = (
         _load(spark, sf_dir, "documents")
         .select("doc_id", _tokens().alias("ws"))
