@@ -456,6 +456,14 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket collision (~2k interpreted folds per vector at occupancy k).
     # a.nv * n.nv multiplies the identical per-vector fold values, so the
     # emitted doubles are bit-identical.
+    # r22 examined, NOT cached (the dedup_embedding_lsh scoped-cache was
+    # tried here and REFUTED by interleaved A/B): at sf0.1 (narrow native
+    # fold) the cache reads flat with +2 jobs (1.193 vs 1.199 s), and at the
+    # .scale10 wide route (20k vecs, Arrow-matmul signature) it is still a
+    # wash (medians 0.950 uncached vs 0.974 cached, outputs identical) —
+    # the batched matmul over the columnar scan is cheaper to run twice
+    # than one InMemoryRelation materialization is to fill and read.
+    # bench_runs/ab_knn_cache_scale10.json has the record.
     b = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nv"), bucket.alias("bucket"))
     a, n = b.alias("a"), b.alias("n")
     sim = dot(F.col("a.v"), F.col("n.v")) / (F.col("a.nv") * F.col("n.nv"))
