@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc2vec_spark.spec import QuerySpec
@@ -104,59 +104,50 @@ _Y_SQL = "CAST(floor(ln(cnt) * 1000.0 + 0.5) AS BIGINT)"
 def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.session import default_parallelism
 
-    from doc2vec_spark.caching import scoped_cache
-
     docs = load(spark, sf_dir, "documents").repartition(default_parallelism())
-    # scoped_cache: the bounded top-RANKS frame feeds TWO jobs (the y-LUT
-    # collect and the final aggregation) — uncached, each re-runs the
-    # corpus-wide tokenize+wordcount (round-13 review finding)
-    vocab = scoped_cache(
+    # r22 batch 4 (guide §1.2/§5): the corpus-sized work is exactly the
+    # tokenize+wordcount+TakeOrdered below; everything after it touches at
+    # most RANKS=256 rows. The old shape paid THREE cluster jobs for that
+    # bounded tail (scoped-cache fill, a distinct-cnt LUT collect, the
+    # final 1-row aggregate). Collect the bounded top-RANKS frame ONCE and
+    # finish the OLS driver-side (the waterfill / literal-LUT precedent):
+    # y is the SAME CPython math.log the y_lut already used, x the same
+    # static _X_MILLI array, and the integer divisions replicate Spark's
+    # `div` (truncation toward zero) exactly — on real input every operand
+    # is non-negative (see module docstring), where trunc == floor anyway.
+    vocab_rows = (
         docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "tok")
         .limit(RANKS)
+        .collect()
     )
-    # realized-freq ln LUT (bounded <= RANKS distinct values)
-    cnts = sorted({int(r["cnt"]) for r in vocab.select("cnt").distinct().collect()})
-    if not cnts:
-        empty = "n long, sx long, sy long, sxy long, sxx long, " \
-                "zipf_s_milli long, intercept_milli long"
+    empty = "n long, sx long, sy long, sxy long, sxx long, " \
+            "zipf_s_milli long, intercept_milli long"
+    if not vocab_rows:
         # match the oracle's aggregate-over-empty row: n=0, sums NULL
         return spark.createDataFrame(
             [(0, None, None, None, None, None, None)], empty
         )
-    y_lut = spark.createDataFrame(
-        [(c, int(math.floor(math.log(c) * 1000.0 + 0.5))) for c in cnts],
-        "cnt long, y long",
-    )
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))  # <= RANKS rows
-    pts = (
-        vocab.withColumn("rank", F.row_number().over(w))
-        .join(F.broadcast(y_lut), "cnt")
-        .select(
-            F.element_at(
-                F.array(*[F.lit(x) for x in _X_MILLI]), F.col("rank")
-            ).alias("x"),
-            "y",
-        )
-    )
-    s = pts.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-    )
-    slope = "(sx * sy - n * sxy) * 1000 div greatest(n * sxx - sx * sx, 1)"
-    return s.select(
-        "n",
-        "sx",
-        "sy",
-        "sxy",
-        "sxx",
-        F.expr(f"CAST({slope} AS BIGINT)").alias("zipf_s_milli"),
-        F.expr(
-            f"CAST((sy * 1000 + ({slope}) * sx) div greatest(n * 1000, 1) AS BIGINT)"
-        ).alias("intercept_milli"),
+
+    def _tdiv(a: int, b: int) -> int:
+        # Spark SQL `div` on BIGINT: truncation toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    ordered = sorted(vocab_rows, key=lambda r: (-int(r["cnt"]), r["tok"]))
+    n = len(ordered)
+    sx = sy = sxy = sxx = 0
+    for rank, r in enumerate(ordered, start=1):
+        x = _X_MILLI[rank - 1]
+        y = int(math.floor(math.log(int(r["cnt"])) * 1000.0 + 0.5))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    slope = _tdiv((sx * sy - n * sxy) * 1000, max(n * sxx - sx * sx, 1))
+    intercept = _tdiv(sy * 1000 + slope * sx, max(n * 1000, 1))
+    return spark.createDataFrame(
+        [(n, sx, sy, sxy, sxx, slope, intercept)], empty
     )

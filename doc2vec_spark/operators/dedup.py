@@ -1853,8 +1853,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("v")
     )
-    n = e.count()  # bounded 1-row scalar
-    stride = max(SEMDEDUP_STRIDE, math.ceil(n / SEMDEDUP_MAX_K))
     # the centroid table is bounded (k <= MAX_K rows of dim doubles,
     # ~2 MiB) — collect it once and close over it in an Arrow-batched
     # assignment UDF: cell = argmin_j dist(v, c_j) as one numpy matmul per
@@ -1869,12 +1867,34 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # r22 batch 4 (guide §1.2, fewer passes): n and the default-stride
+    # centroid rows come out of ONE scan — the corpus count rides the
+    # centroid collect as an Observation (CollectMetrics sits above the
+    # scan and below the stride filter, which the optimizer cannot push
+    # through it, so it sees every row). Only when the corpus is large
+    # enough that the MAX_K cap widens the stride (n > STRIDE * MAX_K —
+    # never at driver SFs) does a second, correctly-strided collect run,
+    # which is exactly the two-job count the old count()+collect() shape
+    # always paid. Guarded by test_semdedup_observation_counts_prefilter.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     cent_rows = sorted(
-        e.filter((F.col("vec_id") % stride) == 0)
+        e.observe(obs, F.count(F.lit(1)).alias("n"))
+        .filter((F.col("vec_id") % SEMDEDUP_STRIDE) == 0)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         .collect(),
         key=lambda r: r["cid"],  # ascending cid => argmin's first-min
     )  # tie-break == the oracle's ORDER BY dist, cid
+    n = obs.get["n"]
+    stride = max(SEMDEDUP_STRIDE, math.ceil(n / SEMDEDUP_MAX_K))
+    if stride != SEMDEDUP_STRIDE:
+        cent_rows = sorted(
+            e.filter((F.col("vec_id") % stride) == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+            .collect(),
+            key=lambda r: r["cid"],
+        )
     if not cent_rows:
         # No vec_id divisible by the stride (tiny/sparse/1-based id space):
         # the oracle's cents CTE is empty and it returns zero rows; without

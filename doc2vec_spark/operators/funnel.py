@@ -120,29 +120,44 @@ def pipe_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(surv, "doc_id")
         .join(px, "doc_id")
     )
-    staged = base.select(
-        "n_words",
-        "gp",
-        "kp",
-        "pp",
-        F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s"),
+    # r22 batch 4 (guide §2.3, aggregate before you multiply): the old
+    # shape exploded every base row 4x (one copy per funnel stage) and
+    # grouped by the stage id — 4x the rows through the partial aggregate
+    # for an output the 8 conditional sums below compute in ONE pass. The
+    # cumulative stage predicates evaluate per row exactly as the explode's
+    # CASE did; the 4-row reshape now explodes a literal 4-struct array
+    # over the SINGLE aggregate row. Empty-corpus contract preserved: the
+    # oracle's GROUP BY over an empty lab emits 0 rows, and sum() over an
+    # empty frame is NULL, so the d0-isNotNull filter drops the one
+    # all-NULL aggregate row (guarded by test_filter_funnel_empty_corpus).
+    oks = (
+        F.lit(True),
+        F.col("gp"),
+        F.col("gp") & F.col("kp"),
+        F.col("gp") & F.col("kp") & F.col("pp"),
     )
-    ok = (
-        F.when(F.col("s") == 0, F.lit(True))
-        .when(F.col("s") == 1, F.col("gp"))
-        .when(F.col("s") == 2, F.col("gp") & F.col("kp"))
-        .otherwise(F.col("gp") & F.col("kp") & F.col("pp"))
+    agg_row = base.agg(
+        *[F.sum(ok.cast("long")).cast("long").alias(f"d{s}") for s, ok in enumerate(oks)],
+        *[
+            F.sum(F.when(ok, F.col("n_words")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"t{s}")
+            for s, ok in enumerate(oks)
+        ],
     )
-    name = (
-        F.when(F.col("s") == 0, _STAGE_NAMES[0])
-        .when(F.col("s") == 1, _STAGE_NAMES[1])
-        .when(F.col("s") == 2, _STAGE_NAMES[2])
-        .otherwise(_STAGE_NAMES[3])
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("stage"),
+                F.lit(_STAGE_NAMES[s]).alias("stage_name"),
+                F.col(f"d{s}").alias("n_docs"),
+                F.col(f"t{s}").alias("n_tokens"),
+            )
+            for s in range(4)
+        ]
     )
-    lab = staged.select(F.col("s"), ok.alias("ok"), name.alias("stage_name"), "n_words")
-    return lab.groupBy(F.col("s").cast("long").alias("stage"), "stage_name").agg(
-        F.sum(F.col("ok").cast("long")).cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("ok"), F.col("n_words")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("n_tokens"),
+    return (
+        agg_row.where(F.col("d0").isNotNull())
+        .select(F.explode(stages).alias("r"))
+        .select("r.stage", "r.stage_name", "r.n_docs", "r.n_tokens")
     )

@@ -82,8 +82,28 @@ def ta_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus unigram table: one keyed shuffle, reused by vocab AND the total
     cnts = scoped_cache(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
-    total = cnts.agg(F.sum("cnt").alias("t")).first()["t"]  # bounded 1-row scalar
-    vocab = cnts.orderBy(F.desc("cnt"), F.asc("tok")).limit(VOCAB_K)
+    # r22 batch 4 (guide §1.2, fewer actions): the corpus total was a
+    # separate bounded `.first()` action and the top-K vocab a broadcast
+    # subtree re-reading the cnts cache inside the main action. ONE tagged
+    # union-collect (<= VOCAB_K + 1 rows) fetches both; the vocab re-ships
+    # as a bounded local frame (LocalTableScan broadcast — no cluster job
+    # to build it). Same rows, same total.
+    stat_rows = (
+        cnts.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(VOCAB_K)
+        .select("tok", "cnt", F.lit(0).alias("g"))
+        .unionByName(
+            cnts.agg(F.sum("cnt").alias("cnt")).select(
+                F.lit(None).cast("string").alias("tok"), "cnt", F.lit(1).alias("g")
+            )
+        )
+        .collect()
+    )
+    total = next(r["cnt"] for r in stat_rows if r["g"] == 1)
+    vocab = spark.createDataFrame(
+        [(r["tok"], int(r["cnt"])) for r in stat_rows if r["g"] == 0],
+        "tok string, cnt long",
+    )
     scored = (
         toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")
@@ -179,8 +199,21 @@ def ta_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("rc"))
     raw = scoped_cache(raw)  # read by the total AND the scoring join
-    t_target = tgt.agg(F.sum("tc")).first()[0]  # bounded 1-row scalars
-    t_raw = raw.agg(F.sum("rc")).first()[0]
+    # r22 batch 4 (guide §1.2, fewer actions): the two bounded 1-row total
+    # scalars used to be TWO `.first()` actions, each existing mostly to
+    # fill one scoped cache (tgt / raw). A 2-row tagged union collects both
+    # in ONE job — same sums, both caches fill in the same action.
+    tot_rows = (
+        tgt.agg(F.sum("tc").alias("v"))
+        .select(F.lit("t").alias("k"), "v")
+        .unionByName(
+            raw.agg(F.sum("rc").alias("v")).select(F.lit("r").alias("k"), "v")
+        )
+        .collect()
+    )
+    tot = {r["k"]: r["v"] for r in tot_rows}
+    t_target = tot["t"]
+    t_raw = tot["r"]
     if t_raw is None:  # empty corpus: oracle's per_doc CTE emits 0 rows
         return spark.createDataFrame(
             [],
@@ -318,7 +351,6 @@ def ta_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1fwd")
     )
     back = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1back"))
-    b_types = int(c12.count())  # bounded scalar: one count over vocab^2 rows
     # r22 (guide §1.2 per-task work): p_ppm is a function of the bigram
     # TYPE alone, so fold the three stats into one per-type probability
     # table FIRST (joins over the bounded type table) and probe the
@@ -327,16 +359,33 @@ def ta_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wash at sf0.1 (0.87 vs 0.84 s medians, results identical); the win is
     # the 3x broadcast-memory/probe reduction on the occurrence stream at
     # scale.
+    # r22 batch 4 (guide §1.2, fewer actions): B (the bigram-type count)
+    # used to be a driver `.first()`-style `c12.count()` scalar — a whole
+    # extra action whose only job was to fill the scoped caches before the
+    # main query ran. It now rides as a 1-row aggregate frame attached by a
+    # constant-key broadcast equi-join — equi-key, NOT crossJoin, which
+    # would plan the banned BroadcastNestedLoopJoin; the key must also be
+    # NON-FOLDABLE (pmod(xxhash64(col), 1) == 0 always) because a foldable
+    # lit(0) = lit(0) condition constant-folds to `true` and degenerates to
+    # the same BNLJ (measured: lit0/lit0 and col*0 both plan BNLJ,
+    # pmod(xxhash64(col),1) plans BroadcastHashJoin). So the whole query is
+    # ONE action and the caches fill inside it. Same integers: `bt` is
+    # COUNT(*) of the same c12 frame the scalar counted.
+    bt = c12.agg(F.count(F.lit(1)).alias("bt")).withColumn(
+        "_k", F.pmod(F.xxhash64(F.col("bt")), F.lit(1))
+    )
     ptab = (
         c12.join(ctx, "w1")
         .join(back, "w2")
+        .withColumn("_k", F.pmod(F.xxhash64(F.col("c")), F.lit(1)))
+        .join(F.broadcast(bt), "_k")
         .select(
             "w1",
             "w2",
             (
                 F.expr(f"((4 * c - 3) * {KN_PPM}) div (4 * c1)")
                 + F.expr(
-                    f"(3 * n1fwd * ((n1back * {KN_PPM}) div {b_types}))"
+                    f"(3 * n1fwd * ((n1back * {KN_PPM}) div bt))"
                     " div (4 * c1)"
                 )
             ).alias("p_ppm"),

@@ -63,7 +63,7 @@ Spark engine adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc2vec_spark.spec import QuerySpec
@@ -100,6 +100,55 @@ def corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r22 batch 5: single-parse SQL forms of this module's higher-order
+# expressions (guide §1.2 driver-side cost; the r21 _MINS_STRUCT_SQL /
+# lit_vector precedent). Each template is ONE spark.expr parse instead of a
+# Python-lambda tree assembled via dozens of py4j calls, and parses to the
+# semantically identical expression (same CASE/filter/transform/aggregate
+# shape, same field names, same operation order — bit-identical results;
+# pinned by test_round11_ops' pure-Python greedy replay and the oracle
+# parity suite). This construction cost was measured at ~0.5 s per
+# consumer with SIX subword-family consumers paying it per bench rep.
+# ---------------------------------------------------------------------------
+
+# every in-bounds substring of word at start i, lengths 2..{mp}
+_VOCAB_SUBS_SQL = (
+    "filter(transform(sequence(2, {mp}), l -> "
+    "CASE WHEN i + l - 1 <= length(word) THEN substring(word, i, l) END), "
+    "p -> p IS NOT NULL)"
+)
+
+# per-word candidate (pos, l, sub) probe structs, all positions x lengths
+_PROBES_SQL = (
+    "flatten(transform(sequence(1, length(word)), p -> "
+    "filter(transform(sequence(2, {mp}), l -> "
+    "CASE WHEN p + l - 1 <= length(word) THEN "
+    "named_struct('pos', p, 'l', l, 'sub', substring(word, p, l)) END), "
+    "s -> s IS NOT NULL)))"
+)
+
+# steps[pos] = longest matched piece length at pos, else 1
+_STEPS_SQL = (
+    "transform(sequence(1, length(word)), p -> "
+    "coalesce(aggregate(filter(ms, m -> m.pos = p), 1, "
+    "(acc, m) -> greatest(acc, m.l)), 1))"
+)
+
+# the greedy longest-match walk: ONE linear fold over char positions
+_WALK_SQL = (
+    "aggregate(sequence(1, length(word)), "
+    "named_struct('pos', 1, 'pieces', '', 'n', 0), "
+    "(acc, i) -> CASE WHEN acc.pos > length(word) THEN acc ELSE "
+    "named_struct('pos', acc.pos + element_at(steps, acc.pos), "
+    "'pieces', concat(acc.pieces, '|', substring(word, acc.pos, "
+    "element_at(steps, acc.pos))), "
+    "'n', acc.n + 1) END, "
+    "acc -> named_struct('pieces', substring(acc.pieces, 2, "
+    "length(acc.pieces)), 'n', CAST(acc.n AS BIGINT)))"
+)
+
+
 def derive_vocab(words: DataFrame, k: int = DEFAULT_VOCAB_K) -> DataFrame:
     """Corpus-derived piece table: every substring of length
     2..MAX_PIECE_CHARS of eligible (<= MAX_WORD_CHARS) words, scored by
@@ -115,17 +164,12 @@ def derive_vocab(words: DataFrame, k: int = DEFAULT_VOCAB_K) -> DataFrame:
         )
         .select(
             "freq",
+            # r22 batch 5 (guide §1.2 driver cost, the _MINS_STRUCT_SQL
+            # precedent): parsed once instead of a Python-lambda HOF tree
+            # built through dozens of py4j round trips per consumer; the
+            # parsed expression is the identical filter/transform/CASE tree
             F.explode(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(2), F.lit(MAX_PIECE_CHARS)),
-                        lambda l: F.when(
-                            F.col("i") + l - 1 <= F.length("word"),
-                            F.expr("word").substr(F.col("i"), l),
-                        ),
-                    ),
-                    lambda p: p.isNotNull(),
-                )
+                F.expr(_VOCAB_SUBS_SQL.format(mp=MAX_PIECE_CHARS))
             ).alias("piece"),
         )
         .groupBy("piece")
@@ -174,27 +218,7 @@ def encode_against_vocab(
     )
     probes = words.select(
         "word",
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("word")),
-                    lambda p: F.filter(
-                        F.transform(
-                            F.sequence(F.lit(2), F.lit(max_piece_chars)),
-                            lambda l: F.when(
-                                p + l - F.lit(1) <= F.length("word"),
-                                F.struct(
-                                    p.alias("pos"),
-                                    l.alias("l"),
-                                    F.col("word").substr(p, l).alias("sub"),
-                                ),
-                            ),
-                        ),
-                        lambda s: s.isNotNull(),
-                    ),
-                )
-            )
-        ).alias("m"),
+        F.explode(F.expr(_PROBES_SQL.format(mp=max_piece_chars))).alias("m"),
     ).select("word", "m.pos", "m.l", "m.sub")
     matches = probes.join(
         F.broadcast(vl), probes["sub"] == vl["piece"]
@@ -204,33 +228,8 @@ def encode_against_vocab(
     )
     steps = words.join(msteps, "word", "left").select(
         "word",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda p: F.coalesce(
-                F.aggregate(
-                    F.filter(F.col("ms"), lambda m: m["pos"] == p),
-                    F.lit(1),
-                    lambda acc, m: F.greatest(acc, m["l"]),
-                ),
-                F.lit(1),
-            ),
-        ).alias("steps"),
+        F.expr(_STEPS_SQL).alias("steps"),
     )
-
-    word = F.col("word")
-    wlen = F.length(word)
-
-    def step_fn(acc: Column, _i: Column) -> Column:
-        pos = acc["pos"]
-        st = F.element_at(F.col("steps"), pos)
-        advanced = F.struct(
-            (pos + st).alias("pos"),
-            F.concat(acc["pieces"], F.lit("|"), word.substr(pos, st)).alias(
-                "pieces"
-            ),
-            (acc["n"] + F.lit(1)).alias("n"),
-        )
-        return F.when(pos > wlen, acc).otherwise(advanced)
 
     # ADVICE r11: the fold must be referenced ONCE — a select that reads
     # walked['pieces'] / walked['n'] directly re-inlines the whole greedy
@@ -240,18 +239,10 @@ def encode_against_vocab(
     # re-evaluations), the fold lands as ONE aliased struct column, and a
     # second select projects its fields — GetStructField on an attribute
     # is cheap, so CollapseProject keeps the two projections separate and
-    # the walk evaluates exactly once per word.
-    walked = F.aggregate(
-        F.sequence(F.lit(1), wlen),
-        F.struct(
-            F.lit(1).alias("pos"), F.lit("").alias("pieces"), F.lit(0).alias("n")
-        ),
-        step_fn,
-        lambda acc: F.struct(
-            acc["pieces"].substr(F.lit(2), F.length(acc["pieces"])).alias("pieces"),
-            acc["n"].cast("long").alias("n"),
-        ),
-    )
+    # the walk evaluates exactly once per word. (r22 batch 5: the fold and
+    # the steps transform now arrive via module-level single-parse SQL —
+    # identical trees, one parser call each instead of the lambda builders.)
+    walked = F.expr(_WALK_SQL)
     enc = steps.select("word", walked.alias("_w")).select(
         "word",
         F.col("_w")["pieces"].alias("_pieces"),

@@ -105,3 +105,106 @@ def test_diff_status_count_shape_matches_list_semantics(spark):
         # [a] vs [a] after elision even though new carried an extra NULL row
         "u_null_extra_new": "unchanged",
     }
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: bounded-scalar / probe-action fusions (guide §1.2 — fewer actions)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_docs_sf_dir(tmp_path_factory):
+    """documents table with the driver schema and zero rows — the
+    degenerate input every fused-probe path must still answer like the
+    oracle (0 rows / NULL totals), now that the probes ride other actions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+
+    d = tmp_path_factory.mktemp("sf_empty_b4")
+    schema = pq.read_schema(f"{SF_DIR}/documents.parquet")
+    pq.write_table(
+        pa.table({f.name: pa.array([], f.type) for f in schema}, schema=schema),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_semdedup_observation_counts_prefilter(spark):
+    """dedup_semdedup's fused centroid collect relies on the optimizer NOT
+    pushing the stride filter below the CollectMetrics node: the observed n
+    must be the FULL corpus count, not the centroid count. Pin that Spark
+    behavior directly on the observe->filter->collect shape the operator
+    uses."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(F.col("id").alias("vec_id"))
+    obs = Observation()
+    rows = (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .filter((F.col("vec_id") % 32) == 0)
+        .collect()
+    )
+    assert len(rows) == 4  # 0, 32, 64, 96
+    assert obs.get["n"] == 100  # every pre-filter row was observed
+
+
+def test_filter_funnel_empty_corpus(spark, empty_docs_sf_dir):
+    """The one-pass conditional aggregation emits ONE all-NULL row on an
+    empty corpus before the d0-guard; the oracle's GROUP BY emits zero.
+    The guard must drop it."""
+    from doc2vec_spark.operators.funnel import pipe_filter_funnel
+
+    out = pipe_filter_funnel(spark, empty_docs_sf_dir)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "stage", "stage_name", "n_docs", "n_tokens",
+    ]
+
+
+def test_funnel_stage_counts_are_cumulative(spark):
+    """Non-empty equivalence pin for the explode->conditional-sum rewrite:
+    stage k counts docs passing gates 1..k, token mass follows the same
+    predicate, and exactly 4 rows come out."""
+    from doc2vec_spark.operators.funnel import pipe_filter_funnel
+    from tests.conftest import SF_DIR
+
+    rows = {r["stage"]: r for r in pipe_filter_funnel(spark, SF_DIR).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert [rows[s]["stage_name"] for s in range(4)] == [
+        "ingested", "gopher", "dedup", "perplexity",
+    ]
+    # cumulative: each gate can only shrink the surviving doc/token mass
+    for s in range(1, 4):
+        assert rows[s]["n_docs"] <= rows[s - 1]["n_docs"]
+        assert rows[s]["n_tokens"] <= rows[s - 1]["n_tokens"]
+
+
+def test_fused_scalar_probes_empty_corpus(spark, empty_docs_sf_dir):
+    """ta_unigram_lm_score / ta_dsir_importance / ta_kn_bigram_score fused
+    their bounded driver scalars into single collects / 1-row frames; on an
+    empty corpus each must still return the oracle's zero rows (and the
+    dsir path its typed empty frame) instead of tripping on NULL totals."""
+    from doc2vec_spark.operators.lm import (
+        ta_dsir_importance,
+        ta_kn_bigram_score,
+        ta_unigram_lm_score,
+    )
+
+    assert ta_unigram_lm_score(spark, empty_docs_sf_dir).count() == 0
+    dsir = ta_dsir_importance(spark, empty_docs_sf_dir)
+    assert dsir.count() == 0
+    assert "importance_ppm" in dsir.columns
+    assert ta_kn_bigram_score(spark, empty_docs_sf_dir).count() == 0
+
+
+def test_zipf_fit_empty_corpus_row(spark, empty_docs_sf_dir):
+    """The driver-side OLS tail keeps the oracle's aggregate-over-empty
+    contract: one row, n=0, NULL sums."""
+    from doc2vec_spark.operators.corpusstats import ta_zipf_fit
+
+    rows = ta_zipf_fit(spark, empty_docs_sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 0 and rows[0]["sx"] is None
