@@ -148,6 +148,8 @@ def ta_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxx += x * x
     slope = _tdiv((sx * sy - n * sxy) * 1000, max(n * sxx - sx * sx, 1))
     intercept = _tdiv(sy * 1000 + slope * sx, max(n * 1000, 1))
-    return spark.createDataFrame(
-        [(n, sx, sy, sxy, sxx, slope, intercept)], empty
+    from doc2vec_spark.functions.localframe import int_local_frame
+
+    return int_local_frame(
+        spark, [(n, sx, sy, sxy, sxx, slope, intercept)], empty
     )

@@ -89,24 +89,38 @@ def pipe_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").alias("n_tokens"),
         F.expr("bit_xor(h)").alias("fp_xor"),
     )
-    # the corpus fingerprint folds the <= MANIFEST_SHARDS shard rows — a
-    # bounded scalar (Q15/KMV precedent), re-entering the plan as a literal.
-    # bit_xor over ZERO shard rows is NULL (empty corpus): short-circuit to
-    # the empty manifest the SQL oracle also returns, mirroring
+    # r22 batch 6 (guide §1.2, fewer passes): the fingerprint fold was a
+    # separate bounded action and the returned plan then recomputed the
+    # whole shard aggregation — TWO corpus passes. The <= MANIFEST_SHARDS
+    # rows are now collected ONCE and the XOR fold runs driver-side
+    # (Python ^ on ints IS two's-complement bitwise XOR, bit-identical to
+    # bit_xor on the same signed-64 values; NULL fp_xor rows — all-NULL-h
+    # shards — are skipped exactly as bit_xor skips NULLs). bit_xor over
+    # ZERO non-NULL rows is NULL (empty corpus): short-circuit to the
+    # empty manifest the SQL oracle also returns, mirroring
     # pipe_data_budget's empty-corpus branch (ADVICE r8).
-    fold = shards.agg(F.expr("bit_xor(fp_xor)").alias("x")).first()["x"]
-    if fold is None:
+    shard_rows = sorted(shards.collect(), key=lambda r: r["shard"])
+    non_null = [int(r["fp_xor"]) for r in shard_rows if r["fp_xor"] is not None]
+    if not non_null:
         return spark.createDataFrame(
             [], "shard long, n_docs long, n_tokens long, fp_xor long, corpus_fp long"
         )
-    corpus_fp = int(fold)
-    return (
-        shards.select(
-            "shard",
-            "n_docs",
-            "n_tokens",
-            "fp_xor",
-            F.lit(corpus_fp).cast("long").alias("corpus_fp"),
-        )
-        .orderBy("shard")
+    corpus_fp = 0
+    for v in non_null:
+        corpus_fp ^= v
+    from doc2vec_spark.functions.localframe import int_local_frame
+
+    return int_local_frame(
+        spark,
+        [
+            (
+                int(r["shard"]),
+                int(r["n_docs"]),
+                int(r["n_tokens"]),
+                None if r["fp_xor"] is None else int(r["fp_xor"]),
+                corpus_fp,
+            )
+            for r in shard_rows
+        ],
+        "shard long, n_docs long, n_tokens long, fp_xor long, corpus_fp long",
     )

@@ -247,13 +247,24 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doc2vec_spark.caching import scoped_cache
 
     uni = scoped_cache(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
-    total = uni.agg(F.sum("c").alias("t")).first()["t"]  # bounded scalar
+    # r22 batch 6 (guide §1.2, fewer actions): the corpus-token total was a
+    # separate bounded `.first()` action whose main job was filling the uni
+    # cache before the real query. It now rides as a 1-row aggregate frame
+    # attached by a non-foldable constant-key broadcast equi-join (the
+    # ta_kn_bigram_score batch-4 pattern — pmod(xxhash64(col), 1) == 0;
+    # a foldable lit(0) key constant-folds into the banned
+    # BroadcastNestedLoopJoin). One action; the cache fills inside it.
+    tot = uni.agg(F.sum("c").alias("t")).withColumn(
+        "_k", F.pmod(F.xxhash64(F.col("t")), F.lit(1))
+    )
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
     return (
         pair_cnt.filter(F.col("c_ab") >= PMI_MIN_PAIR)
         .join(u1, "w1")
         .join(u2, "w2")
+        .withColumn("_k", F.pmod(F.xxhash64(F.col("c_ab")), F.lit(1)))
+        .join(F.broadcast(tot), "_k")
         .select(
             "w1",
             "w2",
@@ -264,7 +275,7 @@ def ta_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             # c_a * 1.0 * c_b) so neither product can overflow int64 under
             # ANSI at real corpus sizes; identical op order in the oracle.
             pround(
-                F.col("c_ab") * F.lit(1.0) * F.lit(total)
+                F.col("c_ab") * F.lit(1.0) * F.col("t")
                 / (F.col("c_a") * F.lit(1.0) * F.col("c_b")),
                 6,
             ).alias("pmi_ratio"),

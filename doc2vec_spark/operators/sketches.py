@@ -201,31 +201,47 @@ def sk_ams_f2_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign = F.when(F.col("d") == 0, _ams_sign_expr(0))
     for d in range(1, AMS_ROWS):
         sign = sign.when(F.col("d") == d, _ams_sign_expr(d))
+    from doc2vec_spark.caching import scoped_cache
+
+    # r22 batch 6 (guide §1.2, fewer passes): the old shape tokenized and
+    # word-counted the corpus THREE times — once for the exact-F2 probe,
+    # once for the 5-row sketch collect, and once more when the returned
+    # plan recomputed the sketch rows. Now the token-count table is
+    # scoped-cached and ONE tagged union-collect (5 sketch rows + the F2
+    # row, tag d = -1) fetches everything the bounded tail needs; the
+    # output frame is rebuilt driver-side from those exact collected
+    # integers (the ta_zipf_fit batch-4 treatment — every value below is
+    # the same int the old plan emitted).
+    cnts = scoped_cache(cnts)
     rows = (
         cnts.select("tok", "cnt", depth)
         .select("d", (sign * F.col("cnt")).alias("signed"))
         .groupBy("d")
         .agg(F.sum("signed").alias("sketch_x"))
     )
-    # exact F2 and the 5-row median are bounded scalars: one-row collects
-    # (the Q15/Q22 global-scalar precedent), re-entering the plan as
-    # literals so the returned plan stays distributed
-    f2_exact = cnts.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("x")).first()["x"]
-    xs = sorted(r["sketch_x"] ** 2 for r in rows.collect())
+    coll = (
+        rows.select(F.col("d").cast("long").alias("d"), F.col("sketch_x").alias("v"))
+        .unionByName(
+            cnts.agg(F.sum(F.col("cnt") * F.col("cnt")).alias("v")).select(
+                F.lit(-1).cast("long").alias("d"), "v"
+            )
+        )
+        .collect()
+    )
+    f2_exact = next(r["v"] for r in coll if r["d"] == -1)
+    srows = sorted((int(r["d"]), int(r["v"])) for r in coll if r["d"] >= 0)
+    xs = sorted(v * v for _, v in srows)
     if f2_exact is None or not xs:  # empty corpus: oracle's rows_ CTE is empty -> 0 rows
         return spark.createDataFrame(
             [], "d int, sketch_x long, est_d long, f2_exact long, f2_est long"
         )
     f2_est = int(xs[len(xs) // 2])
-    return (
-        rows.select(
-            "d",
-            "sketch_x",
-            (F.col("sketch_x") * F.col("sketch_x")).alias("est_d"),
-            F.lit(int(f2_exact)).alias("f2_exact"),
-            F.lit(f2_est).alias("f2_est"),
-        )
-        .orderBy("d")
+    from doc2vec_spark.functions.localframe import int_local_frame
+
+    return int_local_frame(
+        spark,
+        [(d, v, v * v, int(f2_exact), f2_est) for d, v in srows],
+        "d int, sketch_x long, est_d long, f2_exact long, f2_est long",
     )
 
 
@@ -457,27 +473,36 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
     )
     regs = rho.groupBy("reg").agg(F.max("r").alias("r_max"))
-    # bounded scalars (the Q15/Q22 global-scalar precedent): z40 folds the
-    # 16-row register table; exact distinct is ground truth for the gate
-    zrow = regs.agg(
-        F.expr(f"sum(shiftleft(1L, {_HLL_HASH_BITS} - cast(r_max as int)))").alias(
-            "s"
-        ),
-        F.count(F.lit(1)).alias("present"),
-    ).first()
-    z40 = int(zrow["s"] or 0) + (HLL_M - int(zrow["present"])) * (
-        1 << _HLL_HASH_BITS
+    # r22 batch 6 (guide §1.2, fewer passes): the old shape scanned orders
+    # THREE times — the z40 probe computed the register table, the exact
+    # distinct counted it again, and the returned plan recomputed the
+    # registers once more. The <= HLL_M-row register table is now collected
+    # ONCE; z40 / zero_registers fold the same integers driver-side
+    # (1 << (40 - r_max) is the exact shiftleft the probe summed) and the
+    # output frame is rebuilt from the collected rows. The exact distinct
+    # stays a cluster job — it is a different aggregation and the gate's
+    # ground truth.
+    reg_rows = sorted(
+        ((int(r["reg"]), int(r["r_max"])) for r in regs.collect())
     )
-    zero_registers = HLL_M - int(zrow["present"])
+    s_fold = sum(1 << (_HLL_HASH_BITS - r) for _, r in reg_rows)
+    present = len(reg_rows)
+    z40 = s_fold + (HLL_M - present) * (1 << _HLL_HASH_BITS)
+    zero_registers = HLL_M - present
     hll_est = (673 * HLL_M * HLL_M * (1 << _HLL_HASH_BITS)) // (1000 * z40)
     n_exact = orders.select("o_custkey").distinct().count()
-    return (
-        regs.select(
-            "reg",
-            "r_max",
-            F.lit(hll_est).cast("long").alias("hll_est"),
-            F.lit(zero_registers).cast("long").alias("zero_registers"),
-            F.lit(n_exact).cast("long").alias("n_exact"),
+    from doc2vec_spark.functions.localframe import int_local_frame
+
+    if not reg_rows:  # empty orders: the oracle's register CTE is empty
+        return spark.createDataFrame(
+            [],
+            "reg long, r_max long, hll_est long, zero_registers long, n_exact long",
         )
-        .orderBy("reg")
+    return int_local_frame(
+        spark,
+        [
+            (reg, r_max, hll_est, zero_registers, n_exact)
+            for reg, r_max in reg_rows
+        ],
+        "reg long, r_max long, hll_est long, zero_registers long, n_exact long",
     )

@@ -191,13 +191,23 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     supplier = load(spark, sf_dir, "supplier")
-    rev = (
+    from doc2vec_spark.caching import scoped_cache
+
+    # r22 batch 6 (guide §1.2/§2.4): the `.first()` max probe paid the full
+    # per-supplier revenue aggregation, then the returned plan re-ran the
+    # same fact scan + suppkey shuffle — TWO lineitem passes. The bounded
+    # per-supplier table is now scoped-cached and the global max re-enters
+    # as a 1-row broadcast frame equi-joined on the cent-snapped revenue
+    # itself (exact-double equality, the same comparison the filter made;
+    # a NULL max from an empty window joins nothing, matching the old
+    # `== lit(None)` filter). One fact pass, one action.
+    rev = scoped_cache(
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("m")).first()["m"]
+    mx = rev.agg(F.max("total_revenue").alias("m"))
     return (
-        rev.filter(F.col("total_revenue") == F.lit(max_rev))
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
         .join(F.broadcast(supplier), F.col("suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")

@@ -208,3 +208,31 @@ def test_zipf_fit_empty_corpus_row(spark, empty_docs_sf_dir):
     rows = ta_zipf_fit(spark, empty_docs_sf_dir).collect()
     assert len(rows) == 1
     assert rows[0]["n"] == 0 and rows[0]["sx"] is None
+
+
+def test_int_local_frame_types_values_and_guards(spark):
+    """The VALUES-LocalRelation helper must reproduce createDataFrame's
+    schema and values exactly for int/NULL cells, and refuse anything whose
+    SQL-literal round-trip is not trivially exact."""
+    from doc2vec_spark.functions.localframe import int_local_frame
+
+    rows = [(1, None, -(2**62)), (0, 2**62, 7)]
+    schema = "a int, b long, c long"
+    got = int_local_frame(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    # names + datatypes must match createDataFrame exactly; nullability is
+    # allowed to differ (VALUES infers tighter nullability; the driver's
+    # gate compares pandas-level names/dtypes/values, never nullability)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in ref.schema.fields
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    assert "LocalTableScan" in got._jdf.queryExecution().executedPlan().toString()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        int_local_frame(spark, [], schema)
+    with _pytest.raises(TypeError):
+        int_local_frame(spark, [(1.5, 2, 3)], schema)
+    with _pytest.raises(TypeError):
+        int_local_frame(spark, [(True, 2, 3)], schema)
