@@ -375,8 +375,14 @@ def train_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
 def ta_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_merges(spark, sf_dir)
     rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "rank long, pair_a string, pair_b string"
+    # r22 batch 7: VALUES LocalRelation (byte-exact base64 string cells)
+    # instead of a Python-RDD frame; see functions/localframe.py.
+    if not rows:
+        return spark.createDataFrame([], "rank long, pair_a string, pair_b string")
+    from doc2vec_spark.functions.localframe import local_frame
+
+    return local_frame(
+        spark, rows, "rank long, pair_a string, pair_b string"
     ).orderBy("rank")
 
 
@@ -605,8 +611,14 @@ finalb AS (SELECT merges FROM stb WHERE round = {NUM_MERGES})
 def ta_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_merges_batched(spark, sf_dir)
     rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "rank long, pair_a string, pair_b string"
+    # r22 batch 7: VALUES LocalRelation (byte-exact base64 string cells)
+    # instead of a Python-RDD frame; see functions/localframe.py.
+    if not rows:
+        return spark.createDataFrame([], "rank long, pair_a string, pair_b string")
+    from doc2vec_spark.functions.localframe import local_frame
+
+    return local_frame(
+        spark, rows, "rank long, pair_a string, pair_b string"
     ).orderBy("rank")
 
 

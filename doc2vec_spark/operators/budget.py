@@ -175,4 +175,8 @@ def pipe_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not rows:  # empty corpus -> empty allocation (matches the SQL oracle)
         return spark.createDataFrame([], schema)
     alloc = waterfill([(r["source"], r["t_s"], r["w_s"]) for r in rows])
-    return spark.createDataFrame(alloc, schema).orderBy("source")
+    # r22 batch 7: VALUES LocalRelation instead of a Python-RDD frame —
+    # no Python-worker job per action; see functions/localframe.py.
+    from doc2vec_spark.functions.localframe import local_frame
+
+    return local_frame(spark, alloc, schema).orderBy("source")

@@ -232,7 +232,15 @@ def _nb_log_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p, int(math.floor(-math.log(max(p, 1) / 1000000.0) * 1000000.0 + 0.5)))
         for p in pvals
     ]
-    lut_df = spark.createDataFrame(lut, "p_ppm long, nll long")
+    # r22 batch 7: the broadcast LUT as a VALUES LocalRelation — the old
+    # Python-RDD frame re-ran a Python-worker job inside EVERY action that
+    # built this broadcast; see functions/localframe.py.
+    if lut:
+        from doc2vec_spark.functions.localframe import local_frame
+
+        lut_df = local_frame(spark, lut, "p_ppm long, nll long")
+    else:
+        lut_df = spark.createDataFrame([], "p_ppm long, nll long")
     g = grid.join(F.broadcast(lut_df), "p_ppm").select("tok", "cand", "nll")
     return (
         test.join(g, "tok")

@@ -291,8 +291,14 @@ def pipe_coreset_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rank, vid, (d6 / 1000000.0) if d6 is not None else None)
         for rank, vid, d6, _vec in fps_select(spark, sf_dir)
     ]
-    return spark.createDataFrame(
-        rows, "rank long, vec_id long, radius double"
+    # r22 batch 7: VALUES LocalRelation (bit-exact repr-double cells)
+    # instead of a Python-RDD frame; see functions/localframe.py.
+    if not rows:
+        return spark.createDataFrame([], "rank long, vec_id long, radius double")
+    from doc2vec_spark.functions.localframe import local_frame
+
+    return local_frame(
+        spark, rows, "rank long, vec_id long, radius double"
     ).orderBy("rank")
 
 

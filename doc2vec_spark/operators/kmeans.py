@@ -318,7 +318,14 @@ def ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cell in sorted(cents)
         for dim, fp in enumerate(cents[cell])
     ]
-    return spark.createDataFrame(rows, "cell long, dim long, fp long").orderBy(
+    # r22 batch 7: VALUES LocalRelation instead of a Python-RDD frame —
+    # createDataFrame's applySchemaToPythonRDD spawns Python workers on
+    # every action (see functions/localframe.py); values identical.
+    if not rows:
+        return spark.createDataFrame([], "cell long, dim long, fp long")
+    from doc2vec_spark.functions.localframe import local_frame
+
+    return local_frame(spark, rows, "cell long, dim long, fp long").orderBy(
         "cell", "dim"
     )
 

@@ -100,10 +100,15 @@ def ta_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     total = next(r["cnt"] for r in stat_rows if r["g"] == 1)
-    vocab = spark.createDataFrame(
-        [(r["tok"], int(r["cnt"])) for r in stat_rows if r["g"] == 0],
-        "tok string, cnt long",
-    )
+    vocab_rows = [(r["tok"], int(r["cnt"])) for r in stat_rows if r["g"] == 0]
+    if vocab_rows:
+        # r22 batch 7: VALUES LocalRelation instead of a Python-RDD frame;
+        # see functions/localframe.py.
+        from doc2vec_spark.functions.localframe import local_frame
+
+        vocab = local_frame(spark, vocab_rows, "tok string, cnt long")
+    else:
+        vocab = spark.createDataFrame([], "tok string, cnt long")
     scored = (
         toks.join(F.broadcast(vocab), "tok", "left")
         .groupBy("doc_id")

@@ -236,9 +236,15 @@ def ta_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are still derived driver-side by _py_pk so the micro-nat integers
     # stay byte-identical to the oracle's; driver/broadcast state is
     # bounded by TOP_V + alphabet size (a few MB even for full Unicode).
+    # r22 batch 7: VALUES LocalRelation (byte-exact base64 string cells) —
+    # the Python-RDD frame re-ran a Python-worker job inside every action
+    # that built this broadcast; see functions/localframe.py. `vocab` is
+    # non-empty here (guarded above).
+    from doc2vec_spark.functions.localframe import local_frame
+
     pcost = F.broadcast(
-        spark.createDataFrame(
-            [(p, _py_pk(c, total)) for p, c in vocab], "piece string, pk long"
+        local_frame(
+            spark, [(p, _py_pk(c, total)) for p, c in vocab], "piece string, pk long"
         )
     )
 

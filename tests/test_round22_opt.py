@@ -236,3 +236,30 @@ def test_int_local_frame_types_values_and_guards(spark):
         int_local_frame(spark, [(1.5, 2, 3)], schema)
     with _pytest.raises(TypeError):
         int_local_frame(spark, [(True, 2, 3)], schema)
+
+
+def test_local_frame_string_and_double_cells(spark):
+    """Batch 7 extends the VALUES helper to the remaining exact cell kinds:
+    strings travel as base64 (injection-proof, byte-exact for arbitrary
+    UTF-8) and doubles as shortest-repr literals (bit-exact round trip)."""
+    import struct
+
+    from doc2vec_spark.functions.localframe import local_frame
+
+    rows = [
+        ("it's", 0.1), ("back\\slash", -1.5), ("unié中文", 1e-17),
+        ("tab\tnl\n", 2.0**-1074), ("", -0.0), ('quote"d', None),
+    ]
+    got = local_frame(spark, rows, "s string, x double").collect()
+    assert [r["s"] for r in got] == [r[0] for r in rows]
+    for g, (_, want) in zip(got, rows):
+        if want is None:
+            assert g["x"] is None
+        else:
+            assert struct.pack("<d", g["x"]) == struct.pack("<d", want)
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        local_frame(spark, [("s", float("nan"))], "s string, x double")
+    with _pytest.raises(TypeError):
+        local_frame(spark, [(b"bytes", 1.0)], "s string, x double")
