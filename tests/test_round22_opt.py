@@ -263,3 +263,28 @@ def test_local_frame_string_and_double_cells(spark):
         local_frame(spark, [("s", float("nan"))], "s string, x double")
     with _pytest.raises(TypeError):
         local_frame(spark, [(b"bytes", 1.0)], "s string, x double")
+
+
+def test_embedding_sql_bitwise_equals_column_form(spark):
+    """Batch 8: the single-parse SQL embedding template must stay
+    bit-identical to the reference Column-built fold (same digests, casts
+    and operation order), including empty/NULL text."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from doc2vec_spark.embedding_native import embedding_col, with_embeddings_native
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "unié中文 #suffix'quote")],
+        "doc_id long, content string",
+    )
+    old = df.withColumn("embedding", embedding_col(F.col("content"))).orderBy(
+        "doc_id"
+    ).collect()
+    new = with_embeddings_native(df).orderBy("doc_id").collect()
+
+    def bits(rows):
+        return [tuple(struct.pack("<f", x) for x in r["embedding"]) for r in rows]
+
+    assert bits(old) == bits(new)
